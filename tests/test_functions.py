@@ -1,0 +1,144 @@
+import pandas as pd
+import pytest
+
+from housenumbercore_ray.functions import (
+    apply_regex_corrections,
+    expand_range,
+    format_hstore,
+    german_collation_fold,
+    housenumber_normalized,
+    housenumber_sortable,
+    normalize_official_key,
+    normalize_street_name,
+    normalized_series,
+    official_key_variants,
+    parse_hstore,
+    select_tag_priority,
+    sortable_series,
+    split_multivalue,
+    street_upper_lower,
+)
+from housenumbercore_ray.functions.housenumber import split_and_expand
+from housenumbercore_ray.functions.street import match_key
+
+
+class TestHousenumber:
+    def test_split_multivalue(self):
+        assert split_multivalue("1,3") == ["1", "3"]
+        assert split_multivalue("5; 7") == ["5", "7"]
+        assert split_multivalue("4a") == ["4a"]
+
+    def test_expand_range_step2(self):
+        # TheoreticalHousenumbers.java:292-316: a..b step 2 when b > a
+        assert expand_range("2-8") == ["2", "4", "6", "8"]
+        assert expand_range("1-4") == ["1", "3"]
+
+    def test_expand_range_failures_drop(self):
+        # failed int parse → EMPTY (the reference's TODO at :300)
+        assert expand_range("28d-30") == []
+        assert expand_range("2-2") == []
+        assert expand_range("8-2") == []
+
+    def test_expand_no_dash_kept(self):
+        assert expand_range("28d") == ["28d"]
+        assert expand_range("47 1/2") == ["47 1/2"]
+
+    def test_split_and_expand(self):
+        assert split_and_expand("1,3") == ["1", "3"]
+        assert split_and_expand("2-6;9") == ["2", "4", "6", "9"]
+
+    def test_sortable(self):
+        # Workcache_Entry.setHausnummerNormalisiert:504-528
+        assert housenumber_sortable("1") == "0001"
+        assert housenumber_sortable("47 1/2") == "0047 1/2"
+        assert housenumber_sortable("4a") == "0004a"
+        assert housenumber_sortable("12345") == "12345"
+        assert housenumber_sortable("") == ""
+        assert housenumber_sortable("a") == "0000a"
+
+    def test_normalized_case_flag(self):
+        # Workcache_Entry.java:521-525
+        assert housenumber_normalized("4A", True) == "0004A"
+        assert housenumber_normalized("4A", False) == "0004a"
+
+    def test_series_match_scalar(self):
+        values = ["1", "4a", "4A", "47 1/2", "", "12345", "a"]
+        s = pd.Series(values)
+        assert sortable_series(s).tolist() == [housenumber_sortable(v) for v in values]
+        exact = pd.Series([False] * len(values))
+        assert normalized_series(s, exact).tolist() == [
+            housenumber_normalized(v, False) for v in values
+        ]
+
+    def test_sort_order_is_numeric(self):
+        nums = ["9", "10", "2", "100"]
+        srt = sorted(nums, key=housenumber_sortable)
+        assert srt == ["2", "9", "10", "100"]
+
+
+class TestStreet:
+    def test_ro_strada(self):
+        assert normalize_street_name("Strada Mare", "RO") == "Mare"
+        assert normalize_street_name("Strada Mare", "DE") == "Strada Mare"
+
+    def test_upper_lower_default_titlecase(self):
+        assert street_upper_lower("HAUPTSTRASSE") == "Hauptstrasse"
+        assert street_upper_lower("VIA ROMA", "IT") == "Via Roma"
+
+    def test_upper_lower_it_lists(self):
+        assert street_upper_lower("VIA DEI FIORI", "IT") == "Via dei Fiori"
+        assert street_upper_lower("VIA VITTORIO EMANUELE II", "IT") == "Via Vittorio Emanuele II"
+
+    def test_regex_corrections_pl(self):
+        assert apply_regex_corrections("Al. Jerozolimskie", "PL") == "Aleja Jerozolimskie"
+        assert apply_regex_corrections("Ulica Marszałkowska", "PL") == "Marszałkowska"
+
+    def test_regex_corrections_it(self):
+        assert apply_regex_corrections("Grosser Graben", "IT") == "Großer Graben"
+
+    def test_collation_fold(self):
+        assert german_collation_fold("Größenmaßstäbe") == "groessenmassstaebe"
+        assert german_collation_fold("Ärger") == "aerger"
+
+    def test_match_key(self):
+        assert match_key("Hauptstraße") == "hauptstrasse"
+        assert match_key("Strada Mare", "RO") == "mare"
+
+
+class TestRefs:
+    def test_normalize(self):
+        assert normalize_official_key("03152012") == "03152012"
+        assert normalize_official_key("03 1 52 012") == "03152012"
+        assert normalize_official_key("031") == "03100000"
+        assert normalize_official_key("123456789") == ""
+        assert normalize_official_key("") == ""
+
+    def test_variants(self):
+        assert official_key_variants("03152000") == ["03152000", "03152", "03 1 52 000"]
+        assert official_key_variants("03152012") == ["03152012", "03 1 52 012"]
+
+
+class TestTags:
+    def test_priority(self):
+        # Workcache_Entry.set_osm_tag:387-450
+        assert select_tag_priority({"building": "entrance"}) == ('"building"=>"entrance"', 1)
+        assert select_tag_priority({"entrance": "main"}) == ('"entrance"=>"main"', 1)
+        assert select_tag_priority({"building": "yes"}) == ('"building"=>"yes"', 2)
+        assert select_tag_priority({"building": "garage"}) == ('"building"=>"garage"', 9)
+        assert select_tag_priority({"amenity": "school"}) == ('"amenity"=>"school"', 20)
+        assert select_tag_priority({"addr:housenumber": "4"}) == ("", 99)
+
+    def test_priority_best_wins(self):
+        tags = [("amenity", "school"), ("building", "yes"), ("entrance", "yes")]
+        assert select_tag_priority(tags) == ('"entrance"=>"yes"', 1)
+
+    def test_priority_tie_first_wins(self):
+        tags = [("building", "entrance"), ("entrance", "main")]
+        assert select_tag_priority(tags) == ('"building"=>"entrance"', 1)
+
+    def test_hstore_roundtrip(self):
+        tags = {"addr:street": 'Ro"sen \\ weg', "building": "yes"}
+        assert parse_hstore(format_hstore(tags)) == tags
+
+    def test_hstore_null(self):
+        assert parse_hstore('"a"=>NULL, "b"=>"1"') == {"b": "1"}

@@ -1,0 +1,150 @@
+import numpy as np
+import pytest
+
+from housenumbercore_ray.geo import (
+    cell_bounds,
+    latlng_to_cell,
+    linestring_wkb,
+    multipolygon_wkb,
+    parse_wkb,
+    point_segment_distance_m,
+    point_wkb,
+    points_in_polygon,
+    polygon_cover,
+    polygon_wkb,
+    equirect_distance_m,
+)
+from housenumbercore_ray.geo.index import BoundaryIndex, StreetIndex
+from housenumbercore_ray.geo.wkb import wkb_bbox, wkb_rings
+
+
+class TestWkb:
+    def test_point_roundtrip(self):
+        kind, arr = parse_wkb(point_wkb(10.5, 50.25))
+        assert kind == "point"
+        assert arr.tolist() == [[10.5, 50.25]]
+
+    def test_linestring_roundtrip(self):
+        coords = [(10, 40), (10.1, 40.1), (10, 40.2)]
+        kind, arr = parse_wkb(linestring_wkb(coords))
+        assert kind == "linestring"
+        assert arr.tolist() == [list(map(float, c)) for c in coords]
+
+    def test_polygon_autoclose_and_rings(self):
+        ext = [(0, 0), (4, 0), (4, 4), (0, 4)]
+        hole = [(1, 1), (2, 1), (2, 2), (1, 2)]
+        wkb = polygon_wkb(ext, [hole])
+        kind, rings = parse_wkb(wkb)
+        assert kind == "polygon"
+        assert len(rings) == 2
+        assert np.array_equal(rings[0][0], rings[0][-1])
+        flat = wkb_rings(wkb)
+        assert [is_ext for _, is_ext in flat] == [True, False]
+
+    def test_multipolygon(self):
+        a = [(0, 0), (1, 0), (1, 1), (0, 1)]
+        b = [(5, 5), (6, 5), (6, 6), (5, 6)]
+        wkb = multipolygon_wkb([a, b])
+        kind, polys = parse_wkb(wkb)
+        assert kind == "multipolygon"
+        assert len(polys) == 2
+        assert wkb_bbox(wkb) == (0.0, 0.0, 6.0, 6.0)
+
+
+class TestCells:
+    def test_encode_decode(self):
+        cells = latlng_to_cell([50.025], [10.025])
+        minlon, minlat, maxlon, maxlat = cell_bounds(int(cells[0]))
+        assert minlon <= 10.025 < maxlon
+        assert minlat <= 50.025 < maxlat
+
+    def test_vectorized_matches_scalar(self):
+        lats = np.linspace(-89, 89, 97)
+        lons = np.linspace(-179, 179, 97)
+        cells = latlng_to_cell(lats, lons)
+        for lat, lon, c in zip(lats, lons, cells):
+            assert latlng_to_cell([lat], [lon])[0] == c
+
+    def test_polygon_cover_contains_point_cell(self):
+        wkb = polygon_wkb([(10, 50), (10.3, 50), (10.3, 50.2), (10, 50.2)])
+        cover = set(polygon_cover(wkb).tolist())
+        inside_cell = int(latlng_to_cell([50.1], [10.15])[0])
+        assert inside_cell in cover
+
+
+class TestPip:
+    SQUARE = polygon_wkb([(0, 0), (10, 0), (10, 10), (0, 10)])
+
+    def test_basic(self):
+        lon = [5, 15, 0, 10, -0.001]
+        lat = [5, 5, 0, 10, 5]
+        got = points_in_polygon(lon, lat, self.SQUARE).tolist()
+        assert got == [True, False, True, True, False]
+
+    def test_hole(self):
+        wkb = polygon_wkb([(0, 0), (10, 0), (10, 10), (0, 10)], [[(4, 4), (6, 4), (6, 6), (4, 6)]])
+        assert points_in_polygon([5], [5], wkb)[0] == np.False_
+        assert points_in_polygon([2], [2], wkb)[0] == np.True_
+
+    def test_concave(self):
+        # L-shape
+        wkb = polygon_wkb([(0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4)])
+        got = points_in_polygon([1, 3, 3], [3, 1, 3], wkb).tolist()
+        assert got == [True, True, False]
+
+    def test_multipolygon_parts(self):
+        wkb = multipolygon_wkb([[(0, 0), (1, 0), (1, 1), (0, 1)], [(5, 5), (6, 5), (6, 6), (5, 6)]])
+        from housenumbercore_ray.geo.pip import points_in_rings
+
+        got = points_in_rings([0.5, 5.5, 3], [0.5, 5.5, 3], wkb_rings(wkb)).tolist()
+        assert got == [True, True, False]
+
+    def test_equirect_distance(self):
+        # one degree of latitude ≈ 111.2 km
+        d = equirect_distance_m([10], [50], [10], [51])[0]
+        assert d == pytest.approx(111194, rel=0.01)
+
+    def test_point_segment_distance(self):
+        seg = [(10.0, 50.0), (10.01, 50.0)]
+        d = point_segment_distance_m([10.005], [50.001], seg)[0]
+        assert d == pytest.approx(111.2, rel=0.02)
+        d_end = point_segment_distance_m([10.02], [50.0], seg)[0]
+        assert d_end > d
+
+
+class TestBoundaryIndex:
+    def test_locate(self):
+        polys = [
+            polygon_wkb([(10, 50), (10.2, 50), (10.2, 50.2), (10, 50.2)]),
+            polygon_wkb([(10.2, 50), (10.4, 50), (10.4, 50.2), (10.2, 50.2)]),
+        ]
+        idx = BoundaryIndex([101, 102], polys)
+        lon = np.array([10.1, 10.3, 11.5])
+        lat = np.array([50.1, 50.1, 50.1])
+        assert idx.locate(lon, lat).tolist() == [101, 102, -1]
+
+    def test_locate_empty(self):
+        idx = BoundaryIndex([1], [polygon_wkb([(0, 0), (1, 0), (1, 1), (0, 1)])])
+        assert idx.locate(np.array([]), np.array([])).tolist() == []
+
+
+class TestStreetIndex:
+    def test_name_match_then_knn(self):
+        streets = StreetIndex(
+            area_ids=[1, 1],
+            names_norm=["hauptstrasse", "nebenweg"],
+            linestring_wkbs=[
+                linestring_wkb([(10.0, 50.00), (10.1, 50.00)]),
+                linestring_wkb([(10.0, 50.01), (10.1, 50.01)]),
+            ],
+            osm_ids=[11, 22],
+        )
+        names, ids, by_name = streets.assign(
+            1, [10.05, 10.05], [50.0095, 50.0005], ["hauptstrasse", "unbekannt"]
+        )
+        assert names.tolist() == ["hauptstrasse", "hauptstrasse"]
+        assert ids.tolist() == [11, 11]
+        assert by_name.tolist() == [True, False]
+        # the second point is nearer nebenweg when name doesn't pin it
+        names2, ids2, _ = streets.assign(1, [10.05], [50.0095], ["unbekannt"])
+        assert names2[0] == "nebenweg" and ids2[0] == 22
