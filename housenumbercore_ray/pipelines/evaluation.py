@@ -1,0 +1,174 @@
+"""The flagship pipeline: pages → extract → spatial join → street assignment
+→ explode/normalize → Treffertyp evaluation → aggregates.
+
+One streaming Dataset pass replaces the reference's per-municipality loop
+(TheoreticalHousenumbers.java:764-1429) — municipalities are just keys; hot
+municipalities are hot keys handled by the partial combine + coarse-key
+shuffle (SURVEY.md §4 skew row).
+
+Stage sizing (single 32-cpu node; scales by partitioning on a cluster):
+  - extract: actor pool, html-heavy batches kept small;
+  - spatial/street + explode/combine: actor pools over Arrow/pandas batches;
+  - evaluation merge: ONE shuffle keyed on muni_id;
+  - aggregates: Ray groupby aggregates over the (small) evaluation output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..stages.context import get_context, get_context_ref
+from ..stages.evaluate import ExplodeCombine, classify_muni, explode_housenumbers, list_side_partials
+from ..stages.extract import CandidateExtractor, TextExtractor
+from ..stages.spatial import SpatialStreetJoin
+
+EXTRACT_BATCH = 512
+ROW_BATCH = 8192
+
+
+def _pool() -> int:
+    """Actor-pool size per stage: ~1/4 of cluster CPUs so three pools plus
+    read/shuffle tasks coexist without starving any stage (a pool that
+    reserves every CPU serializes the pipeline)."""
+    import ray
+
+    total = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(1, total // 4)
+
+
+def read_pages(world_dir: str, columns=("url", "html")) -> rd.Dataset:
+    return rd.read_parquet(f"{world_dir}/pages.parquet", columns=list(columns))
+
+
+def extracted_text(world_dir: str) -> rd.Dataset:
+    """url → byte-identical extracted text (the per-row invariant surface)."""
+    return read_pages(world_dir).map_batches(
+        TextExtractor, batch_format="pyarrow", batch_size=EXTRACT_BATCH,
+        concurrency=_pool(), num_cpus=1,
+    )
+
+
+def candidates(world_dir: str) -> rd.Dataset:
+    return read_pages(world_dir).map_batches(
+        CandidateExtractor, batch_format="pyarrow", batch_size=EXTRACT_BATCH,
+        concurrency=_pool(), num_cpus=1,
+    )
+
+
+def located(world_dir: str) -> rd.Dataset:
+    """Candidates with cell, area, municipality and street assignment."""
+    ref = get_context_ref(world_dir)
+    return candidates(world_dir).map_batches(
+        SpatialStreetJoin, fn_constructor_args=(ref,),
+        batch_format="pandas", batch_size=ROW_BATCH, concurrency=_pool(), num_cpus=1,
+    )
+
+
+def join_rows(world_dir: str) -> rd.Dataset:
+    """Per-candidate join output rows: url, cand_seq, area_id, h3_cell,
+    street assignment, exploded hnr + sortable + per-candidate treffertyp
+    ('i' if the key is in the official list else 'o')."""
+    ref = get_context_ref(world_dir)
+
+    class JoinRowsClassify:
+        def __init__(self) -> None:
+            import ray
+
+            ctx = ray.get(ref)
+            self.list_keys = ctx.list_df[["muni_id", "street_key", "hnr_norm"]].drop_duplicates()
+            self.list_keys = self.list_keys.assign(_in_list=True)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.housenumber import normalized_series, sortable_series
+
+            ex = explode_housenumbers(batch)
+            if len(ex) == 0:
+                return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in [
+                    ("url", str), ("cand_seq", np.int64), ("area_id", np.int64),
+                    ("h3_cell", np.int64), ("muni_id", np.int64), ("street_key", str),
+                    ("matched_by_name", bool), ("hnr", str), ("hnr_sortable", str),
+                    ("hnr_norm", str), ("treffertyp", str)]})
+            ex["hnr_sortable"] = sortable_series(ex["hnr"])
+            ex["hnr_norm"] = normalized_series(ex["hnr"], ex["addition_exactly"])
+            m = ex.merge(self.list_keys, on=["muni_id", "street_key", "hnr_norm"], how="left")
+            m["treffertyp"] = np.where(m["_in_list"].notna(), "i", "o")
+            return m[["url", "cand_seq", "area_id", "h3_cell", "muni_id", "street_key",
+                      "matched_by_name", "hnr", "hnr_sortable", "hnr_norm", "treffertyp"]]
+
+    return located(world_dir).map_batches(
+        JoinRowsClassify, batch_format="pandas", batch_size=ROW_BATCH,
+        concurrency=_pool(), num_cpus=1,
+    )
+
+
+def evaluation(world_dir: str) -> rd.Dataset:
+    """The auswertung_hausnummern analog: one row per
+    (muni_id, street_key, hnr_norm) with treffertyp ∈ {i,l,o}."""
+    ref = get_context_ref(world_dir)
+    ctx = get_context(world_dir)
+    osm_partials = located(world_dir).map_batches(
+        ExplodeCombine, fn_constructor_args=(ref,),
+        batch_format="pandas", batch_size=ROW_BATCH, concurrency=_pool(), num_cpus=1,
+    )
+    lst = rd.from_pandas(list_side_partials(ctx))
+    both = osm_partials.union(lst)
+    return both.groupby("muni_id").map_groups(classify_muni, batch_format="pandas")
+
+
+def muni_summary(world_dir: str) -> rd.Dataset:
+    """evaluations analog (dbstructure.sql:209-226): per muni
+    number_target / number_identical / number_osmonly."""
+    ev = evaluation(world_dir)
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "muni_id": b["muni_id"],
+            "number_target": (b["treffertyp"] != "o").astype(np.int64),
+            "number_identical": (b["treffertyp"] == "i").astype(np.int64),
+            "number_osmonly": (b["treffertyp"] == "o").astype(np.int64),
+        })
+
+    return (
+        ev.map_batches(flags, batch_format="pandas")
+        .groupby("muni_id")
+        .aggregate(
+            Sum("number_target", alias_name="number_target"),
+            Sum("number_identical", alias_name="number_identical"),
+            Sum("number_osmonly", alias_name="number_osmonly"),
+        )
+    )
+
+
+def street_summary(world_dir: str) -> rd.Dataset:
+    """exporthnr2shape analog (dbstructure.sql:311-331): per (muni, street)
+    hnr_soll / hnr_osm / hnr_fhlosm / hnr_nurosm / hnr_abdeck / hnr_liste."""
+    ev = evaluation(world_dir)
+
+    def per_muni(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["street_key", "hnr_sortable", "hnr_display"], kind="mergesort")
+        t = g["treffertyp"]
+        flags = pd.DataFrame({
+            "street_key": g["street_key"],
+            "hnr_soll": (t != "o").astype(np.int64),
+            "hnr_osm": (t != "l").astype(np.int64),
+            "hnr_fhlosm": (t == "l").astype(np.int64),
+            "hnr_nurosm": (t == "o").astype(np.int64),
+        })
+        out = flags.groupby("street_key", sort=True).sum()
+        liste = (
+            g.loc[t == "l"].groupby("street_key", sort=True)["hnr_display"].agg(",".join)
+        )
+        out["hnr_liste"] = liste.reindex(out.index).fillna("")
+        identical = out["hnr_soll"] - out["hnr_fhlosm"]
+        out["hnr_abdeck"] = np.where(
+            out["hnr_soll"] > 0, 100.0 * identical / out["hnr_soll"], 0.0
+        )
+        out = out.reset_index()
+        out.insert(0, "muni_id", np.int64(g["muni_id"].iloc[0]))
+        return out[["muni_id", "street_key", "hnr_soll", "hnr_osm", "hnr_fhlosm",
+                    "hnr_nurosm", "hnr_abdeck", "hnr_liste"]]
+
+    return ev.groupby("muni_id").map_groups(per_muni, batch_format="pandas")

@@ -1,0 +1,278 @@
+"""DuckDB oracle SQL for the flagship pipeline.
+
+Each query in ``__ray_entry__.oracle_sql()`` is an INDEPENDENT SQL
+re-computation of a pipeline stage from the same world Parquet inputs: the
+SQL re-extracts candidates from ``pages.text`` with regex, re-does the
+spatial join with bbox arithmetic (the synthetic boundaries are rectangles /
+bbox-tiling multipolygons by construction — see worldgen), re-assigns
+streets by normalized-name match with an ``argmin |Δlat|`` kNN fallback
+(streets are horizontal polylines by construction), and re-implements the
+normalization / range expansion / Treffertyp semantics in SQL.
+
+The engine runs the fully general code paths (WKB polygons, even-odd PIP,
+point-to-segment kNN); the oracle exploits the synthetic world's geometry to
+stay expressible in SQL. Agreement is therefore a real end-to-end check, not
+a shared implementation.
+"""
+
+from __future__ import annotations
+
+
+def _fold(expr: str) -> str:
+    """SQL version of functions.street.german_collation_fold + strip (M8)."""
+    inner = f"lower({expr})"
+    for a, b in [("ß", "ss"), ("ä", "ae"), ("ö", "oe"), ("ü", "ue"), ("â", "a")]:
+        inner = f"replace({inner}, '{a}', '{b}')"
+    return f"trim({inner})"
+
+
+_SORTABLE = "repeat('0', greatest(0, 4 - length(regexp_extract({h}, '^[0-9]*')))) || {h}"
+
+# regex must match stages.extract.MENTION_PATTERN
+MENTION_SQL_PATTERN = (
+    r"Adresse: ([A-Za-zÄÖÜäöüß .\-]+?) ([0-9][^,]*?), "
+    r"([0-9]{5}) ([A-Za-zÄÖÜäöüß .\-]+?) "
+    r"\((-?[0-9]+\.[0-9]+),(-?[0-9]+\.[0-9]+)\)(?: \[([^\]]*)\])?"
+)
+
+CELL_SQL = ("(CAST(floor(({lon} + 180.0) / 0.05) AS BIGINT) * 4194304 "
+            "+ CAST(floor(({lat} + 90.0) / 0.05) AS BIGINT))")
+
+VALID_HIGHWAYS_SQL = ("('primary','secondary','tertiary','unclassified','residential',"
+                      "'living_street','pedestrian','service','track')")
+
+
+def preamble(world_dir: str) -> str:
+    """Shared WITH-clause CTEs (candidates → located → assigned → exploded →
+    evaluation) over the world parquet files."""
+    pat = MENTION_SQL_PATTERN.replace("'", "''")
+    sortable_hnr = _SORTABLE.format(h="e.hnr")
+    return f"""
+WITH
+pages_w AS (SELECT * FROM read_parquet('{world_dir}/pages.parquet')),
+bounds AS (SELECT * FROM read_parquet('{world_dir}/boundaries.parquet')),
+streets_raw AS (SELECT * FROM read_parquet('{world_dir}/osm_streets.parquet')),
+list_raw AS (SELECT * FROM read_parquet('{world_dir}/list_addresses.parquet')),
+cand_lists AS (
+  SELECT url,
+         regexp_extract_all(text, '{pat}', 1) AS l_street,
+         regexp_extract_all(text, '{pat}', 2) AS l_hnr,
+         regexp_extract_all(text, '{pat}', 3) AS l_plz,
+         regexp_extract_all(text, '{pat}', 4) AS l_muni,
+         regexp_extract_all(text, '{pat}', 5) AS l_lat,
+         regexp_extract_all(text, '{pat}', 6) AS l_lon,
+         regexp_extract_all(text, '{pat}', 7) AS l_tags
+  FROM pages_w
+),
+candidates AS (
+  SELECT url,
+         unnest(generate_series(1, len(l_street))) - 1 AS cand_seq,
+         unnest(l_street) AS street_raw,
+         unnest(l_hnr) AS hnr_raw,
+         unnest(l_plz) AS plz,
+         unnest(l_muni) AS muni_raw,
+         CAST(unnest(l_lat) AS DOUBLE) AS lat,
+         CAST(unnest(l_lon) AS DOUBLE) AS lon,
+         coalesce(unnest(l_tags), '') AS tags_text
+  FROM cand_lists
+),
+valid_streets AS (
+  SELECT s.osm_id, s.name, s.street_lat, {_fold('s.name')} AS skey, b.muni_id
+  FROM streets_raw s
+  JOIN bounds b
+    ON s.mid_lon >= b.minlon AND s.mid_lon <= b.maxlon
+   AND s.mid_lat >= b.minlat AND s.mid_lat <= b.maxlat
+  WHERE s.highway IN {VALID_HIGHWAYS_SQL} AND NOT s.blacklisted AND s.name <> ''
+),
+located AS (
+  SELECT c.*, b.area_id, b.muni_id, b.housenumberaddition_exactly AS addition_exactly,
+         {CELL_SQL.format(lon='c.lon', lat='c.lat')} AS h3_cell,
+         {_fold('c.street_raw')} AS street_key_raw
+  FROM candidates c
+  JOIN bounds b
+    ON c.lon >= b.minlon AND c.lon <= b.maxlon
+   AND c.lat >= b.minlat AND c.lat <= b.maxlat
+),
+name_matched AS (
+  SELECT l.*, s.skey AS nm_key, s.osm_id AS nm_osm_id
+  FROM located l
+  LEFT JOIN valid_streets s
+    ON s.muni_id = l.muni_id AND s.skey = l.street_key_raw
+),
+knn AS (
+  SELECT n.url, n.cand_seq, s.skey AS knn_key, s.osm_id AS knn_osm_id,
+         row_number() OVER (PARTITION BY n.url, n.cand_seq
+                            ORDER BY abs(n.lat - s.street_lat), s.osm_id) AS rn
+  FROM name_matched n
+  JOIN valid_streets s ON s.muni_id = n.muni_id
+  WHERE n.nm_key IS NULL
+),
+assigned AS (
+  SELECT n.url, n.cand_seq, n.street_raw, n.hnr_raw, n.plz, n.muni_raw,
+         n.lat, n.lon, n.tags_text, n.h3_cell, n.area_id, n.muni_id,
+         n.addition_exactly,
+         coalesce(n.nm_key, k.knn_key) AS street_key,
+         coalesce(n.nm_osm_id, k.knn_osm_id) AS street_osm_id,
+         (n.nm_key IS NOT NULL) AS matched_by_name
+  FROM name_matched n
+  LEFT JOIN knn k ON k.url = n.url AND k.cand_seq = n.cand_seq AND k.rn = 1
+),
+parts AS (
+  SELECT a.*, trim(unnest(string_split(replace(a.hnr_raw, ',', ';'), ';'))) AS part
+  FROM assigned a
+),
+parts_rng AS (
+  SELECT p.*,
+         CASE WHEN strpos(p.part, '-') = 0 THEN NULL
+              ELSE try_cast(trim(substr(p.part, 1, strpos(p.part, '-') - 1)) AS BIGINT) END AS r_a,
+         CASE WHEN strpos(p.part, '-') = 0 THEN NULL
+              ELSE try_cast(trim(substr(p.part, strpos(p.part, '-') + 1)) AS BIGINT) END AS r_b
+  FROM parts p
+),
+exploded AS (
+  SELECT p.* EXCLUDE (part, r_a, r_b),
+         unnest(CASE WHEN strpos(p.part, '-') = 0 THEN [p.part]
+                     WHEN p.r_a IS NOT NULL AND p.r_b IS NOT NULL AND p.r_b > p.r_a
+                       THEN list_transform(range(p.r_a, p.r_b + 1, 2), x -> CAST(x AS VARCHAR))
+                     ELSE [] END) AS hnr
+  FROM parts_rng p
+),
+exploded_norm AS (
+  SELECT e.*,
+         {sortable_hnr} AS hnr_sortable,
+         CASE WHEN e.addition_exactly THEN {sortable_hnr}
+              ELSE lower({sortable_hnr}) END AS hnr_norm
+  FROM exploded e
+),
+list_keys AS (
+  SELECT DISTINCT b.muni_id, {_fold('l.street')} AS street_key,
+         CASE WHEN b.housenumberaddition_exactly
+              THEN {_SORTABLE.format(h='l.housenumber')}
+              ELSE lower({_SORTABLE.format(h='l.housenumber')}) END AS hnr_norm
+  FROM list_raw l JOIN bounds b ON b.official_ref = l.muni_ref
+),
+list_reps AS (
+  SELECT muni_id, street_key, hnr_norm, hnr_sortable, housenumber AS hnr_display
+  FROM (
+    SELECT b.muni_id, {_fold('l.street')} AS street_key,
+           CASE WHEN b.housenumberaddition_exactly
+                THEN {_SORTABLE.format(h='l.housenumber')}
+                ELSE lower({_SORTABLE.format(h='l.housenumber')}) END AS hnr_norm,
+           {_SORTABLE.format(h='l.housenumber')} AS hnr_sortable,
+           l.housenumber, l.subarea, l.postcode,
+           row_number() OVER (
+             PARTITION BY b.muni_id, {_fold('l.street')},
+                          CASE WHEN b.housenumberaddition_exactly
+                               THEN {_SORTABLE.format(h='l.housenumber')}
+                               ELSE lower({_SORTABLE.format(h='l.housenumber')}) END
+             ORDER BY {_SORTABLE.format(h='l.housenumber')}, l.housenumber, l.subarea, l.postcode
+           ) AS rn
+    FROM list_raw l JOIN bounds b ON b.official_ref = l.muni_ref
+  ) WHERE rn = 1
+),
+osm_tagged AS (
+  SELECT e.*,
+         CASE WHEN e.tags_text = '' THEN ''
+              ELSE string_split(e.tags_text, ';')[1] END AS tag1,
+         CASE WHEN len(string_split(e.tags_text, ';')) > 1
+              THEN string_split(e.tags_text, ';')[2] ELSE NULL END AS tag2
+  FROM exploded_norm e
+),
+osm_prio AS (
+  SELECT o.*,
+         CASE WHEN o.tag1 = '' OR o.tag1 IS NULL THEN 99
+              WHEN split_part(o.tag1, '=', 1) = 'amenity' THEN 20
+              WHEN split_part(o.tag1, '=', 1) = 'building' AND split_part(o.tag1, '=', 2) = 'entrance' THEN 1
+              WHEN split_part(o.tag1, '=', 1) = 'building' AND split_part(o.tag1, '=', 2) IN ('yes','office','apartments') THEN 2
+              WHEN split_part(o.tag1, '=', 1) = 'building' THEN 9
+              WHEN split_part(o.tag1, '=', 1) = 'entrance' AND split_part(o.tag1, '=', 2) IN ('yes','main','home') THEN 1
+              ELSE 99 END AS prio1,
+         CASE WHEN o.tag2 IS NULL THEN 99
+              WHEN split_part(o.tag2, '=', 1) = 'amenity' THEN 20
+              WHEN split_part(o.tag2, '=', 1) = 'building' AND split_part(o.tag2, '=', 2) = 'entrance' THEN 1
+              WHEN split_part(o.tag2, '=', 1) = 'building' AND split_part(o.tag2, '=', 2) IN ('yes','office','apartments') THEN 2
+              WHEN split_part(o.tag2, '=', 1) = 'building' THEN 9
+              WHEN split_part(o.tag2, '=', 1) = 'entrance' AND split_part(o.tag2, '=', 2) IN ('yes','main','home') THEN 1
+              ELSE 99 END AS prio2
+  FROM osm_tagged o
+),
+osm_sel AS (
+  SELECT o.*,
+         least(o.prio1, o.prio2) AS tag_prio_row,
+         CASE WHEN least(o.prio1, o.prio2) >= 99 THEN ''
+              WHEN o.prio2 < o.prio1
+              THEN '"' || split_part(o.tag2, '=', 1) || '"=>"' || split_part(o.tag2, '=', 2) || '"'
+              ELSE '"' || split_part(o.tag1, '=', 1) || '"=>"' || split_part(o.tag1, '=', 2) || '"' END AS osm_tag_row
+  FROM osm_prio o
+),
+osm_best AS (
+  SELECT muni_id, street_key, hnr_norm,
+         hnr_sortable, hnr AS hnr_display, osm_tag_row AS osm_tag,
+         tag_prio_row AS tag_prio, n_obs
+  FROM (
+    SELECT o.*, count(*) OVER (PARTITION BY o.muni_id, o.street_key, o.hnr_norm) AS n_obs,
+           row_number() OVER (PARTITION BY o.muni_id, o.street_key, o.hnr_norm
+                              ORDER BY o.tag_prio_row, o.url, o.cand_seq) AS rn
+    FROM osm_sel o
+  ) WHERE rn = 1
+),
+evaluation AS (
+  SELECT coalesce(l.muni_id, o.muni_id) AS muni_id,
+         coalesce(l.street_key, o.street_key) AS street_key,
+         coalesce(l.hnr_norm, o.hnr_norm) AS hnr_norm,
+         CASE WHEN l.hnr_norm IS NOT NULL AND o.hnr_norm IS NOT NULL THEN 'i'
+              WHEN l.hnr_norm IS NOT NULL THEN 'l' ELSE 'o' END AS treffertyp,
+         CASE WHEN l.hnr_norm IS NOT NULL THEN l.hnr_sortable ELSE o.hnr_sortable END AS hnr_sortable,
+         CASE WHEN l.hnr_norm IS NOT NULL THEN l.hnr_display ELSE o.hnr_display END AS hnr_display,
+         CASE WHEN o.hnr_norm IS NOT NULL THEN o.osm_tag ELSE '' END AS osm_tag,
+         CASE WHEN o.hnr_norm IS NOT NULL THEN o.tag_prio ELSE 9999 END AS tag_prio,
+         coalesce(o.n_obs, 0) AS n_osm_obs
+  FROM list_reps l
+  FULL OUTER JOIN osm_best o
+    ON l.muni_id = o.muni_id AND l.street_key = o.street_key AND l.hnr_norm = o.hnr_norm
+)
+"""
+
+
+def queries_sql(world_dir: str) -> dict[str, str]:
+    pre = preamble(world_dir)
+    return {
+        "hnr_extract_candidates": pre + """
+SELECT url, cand_seq, street_raw, hnr_raw, plz, muni_raw, lat, lon, tags_text
+FROM candidates
+""",
+        "hnr_join_rows": pre + """
+SELECT e.url, e.cand_seq, e.area_id, e.h3_cell, e.muni_id, e.street_key,
+       e.matched_by_name, e.hnr, e.hnr_sortable, e.hnr_norm,
+       CASE WHEN k.hnr_norm IS NOT NULL THEN 'i' ELSE 'o' END AS treffertyp
+FROM exploded_norm e
+LEFT JOIN list_keys k
+  ON k.muni_id = e.muni_id AND k.street_key = e.street_key AND k.hnr_norm = e.hnr_norm
+""",
+        "hnr_evaluation": pre + """
+SELECT muni_id, street_key, hnr_norm, treffertyp, hnr_sortable, hnr_display,
+       osm_tag, tag_prio, n_osm_obs
+FROM evaluation
+""",
+        "hnr_muni_summary": pre + """
+SELECT muni_id,
+       CAST(sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END) AS BIGINT) AS number_target,
+       CAST(sum(CASE WHEN treffertyp = 'i' THEN 1 ELSE 0 END) AS BIGINT) AS number_identical,
+       CAST(sum(CASE WHEN treffertyp = 'o' THEN 1 ELSE 0 END) AS BIGINT) AS number_osmonly
+FROM evaluation GROUP BY muni_id
+""",
+        "hnr_street_summary": pre + """
+SELECT muni_id, street_key,
+       CAST(sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_soll,
+       CAST(sum(CASE WHEN treffertyp <> 'l' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_osm,
+       CAST(sum(CASE WHEN treffertyp = 'l' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_fhlosm,
+       CAST(sum(CASE WHEN treffertyp = 'o' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_nurosm,
+       CASE WHEN sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END) > 0
+            THEN 100.0 * sum(CASE WHEN treffertyp = 'i' THEN 1 ELSE 0 END)
+                 / sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END)
+            ELSE 0.0 END AS hnr_abdeck,
+       coalesce(string_agg(CASE WHEN treffertyp = 'l' THEN hnr_display END, ','
+                           ORDER BY hnr_sortable, hnr_display), '') AS hnr_liste
+FROM evaluation GROUP BY muni_id, street_key
+""",
+    }

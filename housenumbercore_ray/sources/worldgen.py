@@ -1,0 +1,472 @@
+"""Deterministic synthetic world generator.
+
+Materializes the engine's input tables (FIXTURES.md) as Parquet:
+
+  - ``pages``          — Common-Crawl-style web pages (url, warc_ts, html,
+                         text, lang) with address mentions embedded in the
+                         text (the BASELINE.json ``input_hint`` shape);
+  - ``boundaries``     — admin polygons (gebiete+stadt+land analog,
+                         dbstructure.sql:24-81) as WKB plus bbox columns;
+  - ``osm_streets``    — named street polylines (jobs_strassen analog);
+  - ``list_addresses`` — the official list (stadt_hausnummern analog);
+  - ``osm_addresses``  — ground-truth OSM address objects
+                         (planet_point/line/polygon analog) — the page
+                         mentions are generated 1:1 from these rows.
+
+Design constraints (why the world looks like this):
+
+  * **Deterministic, no wall-clock, no RNG** — all pseudo-randomness is
+    splitmix64-style integer hashing of row indices, so every run of every
+    scale reproduces byte-identical tables (resume/retry safety).
+  * **SQL-oracle-friendly** — boundary polygons are axis-aligned rectangles
+    (one is a multi-part polygon whose parts tile its bbox exactly), so a
+    DuckDB oracle can recompute the spatial join independently with plain
+    ``BETWEEN`` arithmetic while the engine runs the general WKB/cell/PIP
+    path. Streets are horizontal full-width polylines, so nearest-street
+    (kNN) reduces to ``argmin |lat - street_lat|`` in SQL while the engine
+    runs the general point-to-segment kernel. Page mentions follow a fixed
+    regex-extractable pattern so the oracle can re-derive candidates from
+    ``pages.text``.
+  * **Skewed** — municipality 0 ("Grossmetropole") receives ~5× mention
+    weight: its grid cells are the hot keys the salted shuffle handles.
+  * **Edge cases from the reference** embedded by construction: multi-value
+    housenumbers ("1;3"), step-2 ranges ("2-8"), non-expandable ranges
+    ("28d-30" → dropped, TheoreticalHousenumbers.java:292-316), suffix case
+    ("4A" vs "4a") gated per-municipality by ``housenumberaddition_exactly``
+    (Workcache_Entry.java:521-525), fractions ("47 1/2"), exact list
+    duplicates (HousenumberList.java:117-158), blacklisted/invalid-highway
+    streets (OSMStreet.java:89-101, MunicipalityJobs.java:209-251), ALL-CAPS
+    street spellings on pages, unknown street names (kNN fallback), tag
+    priorities (Workcache_Entry.set_osm_tag:387-450), and out-of-world
+    coordinates (must be dropped by the join).
+
+Address mention line format (one per line inside page text)::
+
+    Adresse: <street> <hnr>, <plz> <muni> (<lat>,<lon>) [k=v;k=v]
+
+with the trailing ``[tags]`` block optional.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..geo.wkb import linestring_wkb, multipolygon_wkb, polygon_wkb
+
+WORLD_VERSION = "v1"
+WORLD_ROOT = "/tmp/hnr_world"
+
+LON0, LAT0 = 10.0, 50.0
+MUNI_W, MUNI_H = 0.1, 0.08
+NCOLS = 8
+
+STREET_POOL = [
+    "Hauptstraße", "Bahnhofstraße", "Gartenweg", "Schulstraße", "Ringstraße",
+    "Lindenallee", "Mühlenweg", "Birkenweg", "Kirchplatz", "Amselgasse",
+    "Große Bergstraße", "Rosenweg", "Feldgasse", "Wiesengrund", "Eichendorffweg",
+    "Drosselgasse", "Tannenweg", "Marktplatz", "Uferpromenade", "Akazienallee",
+]
+MUNI_PREFIX = ["Ober", "Unter", "Neu", "Alt", "Bad", "Hohen", "Nieder", "Klein"]
+MUNI_SUFFIX = ["stadt", "dorf", "hausen", "berg", "feld", "heim", "bach", "burg"]
+FILLER_WORDS = [
+    "Willkommen", "auf", "unserer", "Seite", "wir", "bieten", "Informationen",
+    "rund", "um", "das", "Thema", "Service", "und", "Beratung", "vor", "Ort",
+    "unser", "Team", "freut", "sich", "über", "Ihren", "Besuch", "im", "Laden",
+]
+TAG_CHOICES = [
+    "",                          # no informative tag → prio 99
+    "building=yes",              # prio 2
+    "building=entrance",         # prio 1
+    "entrance=main",             # prio 1
+    "building=garage",           # prio 9
+    "amenity=school",            # prio 20
+    "building=yes;entrance=main",  # best prio 1 (entrance)
+    "amenity=school;building=yes",  # best prio 2 (building)
+]
+
+
+def _mix(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — vectorized deterministic hash of uint64
+    (uint64 wraparound is the intent; overflow warnings suppressed)."""
+    with np.errstate(over="ignore"):
+        x = np.asarray(x, dtype=np.uint64).copy()
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def h(*parts) -> np.ndarray:
+    """Deterministic hash of integer arrays/scalars (broadcast)."""
+    acc = np.uint64(0x51AF2B4D9E8C7F63)
+    for p in parts:
+        acc = _mix(np.asarray(p, dtype=np.uint64) ^ acc)
+    return acc
+
+
+def hf(*parts) -> np.ndarray:
+    """Hash → float64 in [0, 1)."""
+    return (h(*parts) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+_M64 = (1 << 64) - 1
+
+
+def _mix_int(x: int) -> int:
+    """Pure-Python splitmix64 — identical values to :func:`_mix` (fast path
+    for scalar call sites in the generator loops)."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
+
+def hi(*parts) -> int:
+    """Scalar twin of :func:`h` — same hash values, plain ints."""
+    acc = 0x51AF2B4D9E8C7F63
+    for p in parts:
+        acc = _mix_int(int(p) ^ acc)
+    return acc
+
+
+@dataclass(frozen=True)
+class WorldParams:
+    n_munis: int
+    n_streets: int
+    n_hnr: int       # base housenumbers per street
+    n_pages: int
+
+    @staticmethod
+    def for_scale(scale: str) -> "WorldParams":
+        table = {
+            "sf0.001": WorldParams(6, 6, 8, 2_000),
+            "sf0.01": WorldParams(20, 10, 12, 20_000),
+            "sf0.1": WorldParams(50, 14, 16, 200_000),
+        }
+        if scale not in table:
+            raise ValueError(f"unknown world scale {scale!r}")
+        return table[scale]
+
+
+def muni_rect(i: int):
+    col, row = i % NCOLS, i // NCOLS
+    minlon = LON0 + col * MUNI_W
+    minlat = LAT0 + row * MUNI_H
+    return minlon, minlat, minlon + MUNI_W, minlat + MUNI_H
+
+
+def _muni_name(i: int) -> str:
+    if i == 0:
+        return "Grossmetropole"
+    return MUNI_PREFIX[i % len(MUNI_PREFIX)] + MUNI_SUFFIX[(i // len(MUNI_PREFIX) + i) % len(MUNI_SUFFIX)] + (
+        "" if i < 64 else f" {'ABCDEFGH'[i % 8]}"
+    )
+
+
+def _q6(v: np.ndarray) -> np.ndarray:
+    """Quantize coordinates to the 6-decimal text form used on pages so the
+    parquet ground truth and the text-parsed values are identical doubles."""
+    return np.asarray([float(f"{x:.6f}") for x in np.atleast_1d(v)])
+
+
+def generate_world(scale: str, out_dir: str) -> dict:
+    p = WorldParams.for_scale(scale)
+    M, S, K = p.n_munis, p.n_streets, p.n_hnr
+
+    # ---- boundaries -------------------------------------------------------
+    b_rows = {k: [] for k in [
+        "area_id", "muni_id", "name", "admin_level", "official_ref", "countrycode",
+        "sub_id", "polygon_wkb", "minlon", "minlat", "maxlon", "maxlat",
+        "population", "area_km2", "housenumberaddition_exactly", "subareasidentifyable", "plz",
+    ]}
+    for i in range(M):
+        minlon, minlat, maxlon, maxlat = muni_rect(i)
+        if i == 2:
+            # multi-part polygon whose two halves tile the bbox exactly
+            mid = (minlon + maxlon) / 2
+            wkb = multipolygon_wkb([
+                [(minlon, minlat), (mid, minlat), (mid, maxlat), (minlon, maxlat)],
+                [(mid, minlat), (maxlon, minlat), (maxlon, maxlat), (mid, maxlat)],
+            ])
+        else:
+            wkb = polygon_wkb([(minlon, minlat), (maxlon, minlat), (maxlon, maxlat), (minlon, maxlat)])
+        pop = int(500_000 if i == 0 else 800 + int(hi(1, i) % 40_000))
+        b_rows["area_id"].append(1000 + i)
+        b_rows["muni_id"].append(i)
+        b_rows["name"].append(_muni_name(i))
+        b_rows["admin_level"].append(6 if i % 11 == 3 else 8)
+        b_rows["official_ref"].append(f"{3150000 + i * 4:08d}")
+        b_rows["countrycode"].append("DE")
+        b_rows["sub_id"].append("-1")
+        b_rows["polygon_wkb"].append(wkb)
+        b_rows["minlon"].append(minlon)
+        b_rows["minlat"].append(minlat)
+        b_rows["maxlon"].append(maxlon)
+        b_rows["maxlat"].append(maxlat)
+        b_rows["population"].append(pop)
+        b_rows["area_km2"].append(round(3.0 + (int(hi(2, i)) % 2000) / 10.0, 1))
+        b_rows["housenumberaddition_exactly"].append(i % 5 == 2)
+        b_rows["subareasidentifyable"].append(False)
+        b_rows["plz"].append(f"{10000 + (i * 37) % 89999:05d}")
+    boundaries = pa.table({k: v for k, v in b_rows.items()})
+
+    # ---- streets ----------------------------------------------------------
+    s_rows = {k: [] for k in [
+        "osm_id", "muni_id", "name", "highway", "linestring_wkb",
+        "mid_lon", "mid_lat", "street_lat", "blacklisted",
+    ]}
+    osm_id = 10_000
+    # per-muni street name list: deterministic rotation of the pool
+    muni_streets: list[list[tuple[str, float]]] = []
+    for i in range(M):
+        minlon, minlat, maxlon, maxlat = muni_rect(i)
+        names = [STREET_POOL[(i + j * 3) % len(STREET_POOL)] for j in range(S)]
+        # ensure uniqueness within the muni
+        seen, uniq = set(), []
+        for j, nm in enumerate(names):
+            if nm in seen:
+                nm = f"{nm} {'ABCDEFG'[j % 7]}"
+            seen.add(nm)
+            uniq.append(nm)
+        entries = []
+        for j, nm in enumerate(uniq):
+            lat = minlat + (j + 0.5) / S * (maxlat - minlat)
+            lat = float(f"{lat:.6f}")
+            x0, x1 = minlon + 0.05 * MUNI_W, maxlon - 0.05 * MUNI_W
+            wkb = linestring_wkb([(x0, lat), ((x0 + x1) / 2, lat), (x1, lat)])
+            s_rows["osm_id"].append(osm_id)
+            s_rows["muni_id"].append(i)
+            s_rows["name"].append(nm)
+            s_rows["highway"].append("residential" if j % 4 else "service")
+            s_rows["linestring_wkb"].append(wkb)
+            s_rows["mid_lon"].append((x0 + x1) / 2)
+            s_rows["mid_lat"].append(lat)
+            s_rows["street_lat"].append(lat)
+            s_rows["blacklisted"].append(False)
+            entries.append((nm, lat))
+            osm_id += 1
+        # noise streets that MUST be filtered: invalid highway / blacklisted
+        for extra, (hw, bl) in enumerate([("footway", False), ("motorway", False), ("residential", True)]):
+            lat = float(f"{(minlat + 0.001 + extra * 1e-4):.6f}")
+            s_rows["osm_id"].append(osm_id)
+            s_rows["muni_id"].append(i)
+            s_rows["name"].append(f"Ausgeschlossene Gasse {'XYZ'[extra]}")
+            s_rows["highway"].append(hw)
+            s_rows["linestring_wkb"].append(linestring_wkb([(minlon + 0.01, lat), (maxlon - 0.01, lat)]))
+            s_rows["mid_lon"].append((minlon + maxlon) / 2)
+            s_rows["mid_lat"].append(lat)
+            s_rows["street_lat"].append(lat)
+            s_rows["blacklisted"].append(bl)
+            osm_id += 1
+        muni_streets.append(entries)
+    osm_streets = pa.table(s_rows)
+
+    # ---- list addresses + osm addresses -----------------------------------
+    la = {k: [] for k in ["muni_ref", "subarea", "street", "housenumber", "postcode",
+                          "lon", "lat", "note", "extra_tags"]}
+    oa = {k: [] for k in ["osm_id", "osm_type", "addr_street", "addr_place",
+                          "addr_housenumber", "tags_text", "lon", "lat", "assoc_street_rel", "muni_id"]}
+    obs_lines: list[tuple[int, str]] = []  # (muni_id, mention line) — 1:1 with osm_addresses rows
+    oid = 500_000
+    for i in range(M):
+        minlon, minlat, maxlon, maxlat = muni_rect(i)
+        ref = f"{3150000 + i * 4:08d}"
+        plz = f"{10000 + (i * 37) % 89999:05d}"
+        exactly = i % 5 == 2
+        x0, x1 = minlon + 0.05 * MUNI_W, maxlon - 0.05 * MUNI_W
+        for j, (street, lat) in enumerate(muni_streets[i]):
+            n_here = K + int(hi(3, i, j) % 7) - 3
+            for k in range(1, n_here + 1):
+                r = int(hi(4, i, j, k) % 100)
+                hnr = str(k)
+                if r < 8:
+                    hnr = f"{k}a"
+                elif r < 12:
+                    hnr = f"{k} 1/2"
+                lon = float(f"{(x0 + (k / (n_here + 1)) * (x1 - x0)):.6f}")
+                alat = float(f"{(lat + (0.000008 + (r % 5) * 1e-6)):.6f}")  # jitter, stays nearest to own street
+                # list side
+                la["muni_ref"].append(ref)
+                la["subarea"].append("-1")
+                la["street"].append(street)
+                la["housenumber"].append(hnr)
+                la["postcode"].append(plz)
+                la["lon"].append(lon)
+                la["lat"].append(alat)
+                la["note"].append(None)
+                la["extra_tags"].append(None)
+                if r % 10 == 7:  # exact duplicate row → dedup must collapse
+                    for col in la:
+                        la[col].append(la[col][-1])
+                # osm side: ~72% present
+                present = int(hi(5, i, j, k) % 100) < 72
+                if present:
+                    page_hnr = hnr
+                    caps = int(hi(6, i, j, k) % 100)
+                    street_label = street.upper() if caps < 10 else street
+                    if caps >= 10 and caps < 16:
+                        street_label = "Unbekannte Gasse"  # kNN fallback path
+                    if hnr == str(k) and caps % 7 == 3:
+                        page_hnr = f"{k}A" if int(hi(7, i, j, k) % 2) else hnr
+                    tags = TAG_CHOICES[int(hi(8, i, j, k) % len(TAG_CHOICES))]
+                    line = _mention(street_label, page_hnr, plz, _muni_name(i), alat, lon, tags)
+                    obs_lines.append((i, line))
+                    oa["osm_id"].append(oid)
+                    oa["osm_type"].append(["node", "way", "relation"][int(hi(9, oid) % 3)])
+                    oa["addr_street"].append(street_label if street_label != "Unbekannte Gasse" else None)
+                    oa["addr_place"].append(None)
+                    oa["addr_housenumber"].append(page_hnr)
+                    oa["tags_text"].append(tags)
+                    oa["lon"].append(lon)
+                    oa["lat"].append(alat)
+                    oa["assoc_street_rel"].append(None)
+                    oa["muni_id"].append(i)
+                    oid += 1
+                    # some addresses observed TWICE with different tags → merge/prio path
+                    if int(hi(10, i, j, k) % 100) < 6:
+                        tags2 = TAG_CHOICES[int(hi(11, i, j, k) % len(TAG_CHOICES))]
+                        line2 = _mention(street, page_hnr, plz, _muni_name(i), alat, lon, tags2)
+                        obs_lines.append((i, line2))
+                        oa["osm_id"].append(oid)
+                        oa["osm_type"].append("node")
+                        oa["addr_street"].append(street)
+                        oa["addr_place"].append(None)
+                        oa["addr_housenumber"].append(page_hnr)
+                        oa["tags_text"].append(tags2)
+                        oa["lon"].append(lon)
+                        oa["lat"].append(alat)
+                        oa["assoc_street_rel"].append(None)
+                        oa["muni_id"].append(i)
+                        oid += 1
+            # OSM-only extras per street: plain, multi-value, range forms
+            extra_forms = [str(n_here + 1), f"{n_here + 2};{n_here + 4}", f"{n_here + 6}-{n_here + 10}", f"{n_here + 3}d-{n_here + 5}"]
+            for e, form in enumerate(extra_forms):
+                if int(hi(12, i, j, e) % 100) >= 40:
+                    continue
+                lon = float(f"{(x0 + ((n_here + 1 + e) / (n_here + 6)) * (x1 - x0)):.6f}")
+                alat = float(f"{(lat + 0.00001):.6f}")
+                tags = TAG_CHOICES[int(hi(13, i, j, e) % len(TAG_CHOICES))]
+                line = _mention(street, form, plz, _muni_name(i), alat, lon, tags)
+                obs_lines.append((i, line))
+                oa["osm_id"].append(oid)
+                oa["osm_type"].append(["node", "way", "relation"][int(hi(14, oid) % 3)])
+                oa["addr_street"].append(street)
+                oa["addr_place"].append(None)
+                oa["addr_housenumber"].append(form)
+                oa["tags_text"].append(tags)
+                oa["lon"].append(lon)
+                oa["lat"].append(alat)
+                oa["assoc_street_rel"].append(None)
+                oa["muni_id"].append(i)
+                oid += 1
+    # a few mentions with coordinates OUTSIDE the world → must be dropped
+    for e in range(5):
+        line = _mention("Nirgendwo Allee", str(e + 1), "99999", "Phantomstadt", 0.5 + e, -120.0 + e, "")
+        obs_lines.append((-1, line))
+
+    list_addresses = pa.table(la)
+    osm_addresses = pa.table(oa)
+
+    # ---- pages ------------------------------------------------------------
+    n_obs = len(obs_lines)
+    n_pages = p.n_pages
+    # mention → page assignment: coverage pass (obs o on page o % n_pages),
+    # plus extra skewed mentions (metropolis obs 5× weight)
+    weights = np.asarray([5 if m == 0 else 1 for m, _ in obs_lines], dtype=np.int64)
+    weighted_idx = np.repeat(np.arange(n_obs), weights)
+    page_lines: list[list[str]] = [[] for _ in range(n_pages)]
+    for o in range(n_obs):
+        page_lines[o % n_pages].append(obs_lines[o][1])
+    n_extra = min(n_pages * 2, 4 * n_obs)
+    ex_pages = (h(15, np.arange(n_extra)) % np.uint64(n_pages)).astype(np.int64)
+    ex_obs = weighted_idx[(h(16, np.arange(n_extra)) % np.uint64(len(weighted_idx))).astype(np.int64)]
+    for pg, o in zip(ex_pages, ex_obs):
+        page_lines[pg].append(obs_lines[int(o)][1])
+
+    urls, texts, htmls, langs, tss = [], [], [], [], []
+    fw = FILLER_WORDS
+    nfw = np.uint64(len(fw))
+    base_ts = np.datetime64("2024-01-01T00:00:00", "us")
+    # vectorized pseudo-random page attributes (one hash pass per attribute)
+    pg_idx = np.arange(n_pages, dtype=np.uint64)
+    sites = (h(17, pg_idx) % np.uint64(997)).astype(int)
+    nfills = (np.uint64(2) + h(18, pg_idx) % np.uint64(4)).astype(int)
+    MAXF, MAXW = 5, 13
+    word_keys = (
+        pg_idx[:, None, None] * np.uint64(1024)
+        + np.arange(MAXF, dtype=np.uint64)[None, :, None] * np.uint64(64)
+        + np.arange(MAXW, dtype=np.uint64)[None, None, :]
+    ).ravel()
+    widx = (h(19, word_keys) % nfw).astype(int).reshape(n_pages, MAXF, MAXW)
+    nwords = (np.uint64(6) + h(20, pg_idx[:, None] * np.uint64(8) + np.arange(MAXF, dtype=np.uint64)[None, :]) % np.uint64(8)).astype(int)
+    lang_idx = (h(21, pg_idx) % np.uint64(6)).astype(int)
+    ts_off = (h(22, pg_idx) % np.uint64(365 * 24 * 3600)).astype("timedelta64[s]").astype("timedelta64[us]")
+    lang_pool = ["de", "de", "de", "de", "fr", "it"]
+    tss = (base_ts + ts_off).tolist()
+    langs = [lang_pool[v] for v in lang_idx]
+    urls = [f"https://www.beispiel-{s:03d}.de/seite/{pg}" for pg, s in enumerate(sites)]
+    for pg in range(n_pages):
+        fills = [
+            " ".join(fw[w] for w in widx[pg, f, : nwords[pg, f]]) + "."
+            for f in range(nfills[pg])
+        ]
+        lines = fills[:1] + page_lines[pg] + fills[1:]
+        texts.append("\n".join(lines))
+        htmls.append(("<html><body>" + "".join(f"<p>{ln}</p>" for ln in lines) + "</body></html>").encode())
+    pages = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    })
+
+    # ---- write atomically -------------------------------------------------
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    for name, tbl in [("boundaries", boundaries), ("osm_streets", osm_streets),
+                      ("list_addresses", list_addresses), ("osm_addresses", osm_addresses),
+                      ("pages", pages)]:
+        # modest row groups so ray.data.read_parquet gets read parallelism
+        pq.write_table(tbl, os.path.join(tmp, f"{name}.parquet"),
+                       row_group_size=5000 if name == "pages" else 100_000)
+    with open(os.path.join(tmp, ".done"), "w") as fh:
+        fh.write(WORLD_VERSION)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    return {"n_pages": n_pages, "n_obs": n_obs, "n_list": len(la["street"]),
+            "n_munis": M, "n_streets_total": len(s_rows["osm_id"])}
+
+
+def _mention(street, hnr, plz, muni, lat, lon, tags) -> str:
+    core = f"Adresse: {street} {hnr}, {plz} {muni} ({lat:.6f},{lon:.6f})"
+    if tags:
+        core += f" [{tags}]"
+    return core
+
+
+def world_dir_for(sf_dir: str) -> str:
+    """Map a driver sf dir (/root/testdata/sf0.01) to the world cache dir."""
+    scale = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(WORLD_ROOT, WORLD_VERSION, scale)
+
+
+def ensure_world(sf_dir: str) -> str:
+    """Generate (once, cached) the synthetic world for the sf scale of
+    ``sf_dir``; returns the world directory."""
+    out = world_dir_for(sf_dir)
+    marker = os.path.join(out, ".done")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == WORLD_VERSION:
+                return out
+    scale = os.path.basename(os.path.normpath(sf_dir))
+    generate_world(scale, out)
+    return out

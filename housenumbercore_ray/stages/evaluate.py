@@ -1,0 +1,203 @@
+"""Housenumber explode + Treffertyp evaluation merge (stages 5-6).
+
+Reproduces the Workcache merge semantics (SURVEY.md ST1) as a deterministic
+two-phase reduce instead of a 500k-slot mutable cache
+(Workcache.java:41,135-162; Workcache_Entry.update:191-385):
+
+  phase A (inside map_batches, per batch — the "partial/combiner" of the
+  north-rule salted aggregate): explode multi-value/range housenumbers,
+  derive sortable + match-normalized forms, and collapse each
+  (muni_id, street_key, hnr_norm) key to ONE partial row per batch keeping
+  the best-priority OSM observation (tag priority M11, tie → first by
+  (url, cand_seq));
+
+  phase B (groupby(muni_id).map_groups, vectorized pandas): merge partials
+  with the broadcast official-list side and classify Treffertyp:
+  key in both → 'i' (IDENTICAL), list only → 'l' (LIST_ONLY), page/OSM only
+  → 'o' (OSM_ONLY) — text codes per Workcache_Entry.getTreffertypText:654-663.
+  IDENTICAL keeps the list row's sortable form and takes OSM rep fields from
+  the best observation (update() priority rules: IDENTICAL/OSM_ONLY
+  overwrite, LIST_ONLY clears OSM fields → prio 9999 / empty tag, mirroring
+  Workcache_Entry.update:247-260).
+
+The shuffle key is muni_id (coarse) with all finer grouping vectorized inside
+the group — at larger scale substitute a salted (muni_id, hash(street) % s)
+key; the partial combine already bounds per-key row counts by batch count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions.housenumber import normalized_series, sortable_series
+from ..functions.tags import select_tag_priority
+from .extract import parse_tags_text
+
+KEY = ["muni_id", "street_key", "hnr_norm"]
+
+
+def explode_housenumbers(df: pd.DataFrame, col: str = "hnr_raw") -> pd.DataFrame:
+    """Vectorized M1 (split) + M2 (range expansion) over a DataFrame.
+
+    Returns one row per expanded housenumber with columns ``hnr`` (display
+    form) added; rows whose parts all fail expansion disappear (reference
+    drop semantics)."""
+    if len(df) == 0:
+        return df.assign(hnr=pd.Series([], dtype=str))
+    parts = df[col].fillna("").str.replace(",", ";", regex=False).str.split(";")
+    ex = df.assign(_p=parts).explode("_p", ignore_index=True)
+    part = ex["_p"].str.strip()
+    has_dash = part.str.contains("-", regex=False).to_numpy()
+    split = part.str.split("-", n=1)
+    left = split.str[0].str.strip()
+    right = split.str[1].fillna("").str.strip()
+    lok = left.str.fullmatch(r"[+-]?[0-9]+").fillna(False)
+    rok = right.str.fullmatch(r"[+-]?[0-9]+").fillna(False)
+    a = pd.to_numeric(left.where(lok), errors="coerce").to_numpy()
+    b = pd.to_numeric(right.where(rok), errors="coerce").to_numpy()
+    with np.errstate(invalid="ignore"):
+        valid_range = has_dash & lok.to_numpy() & rok.to_numpy() & (b > a)
+    counts = np.where(~has_dash, 1, np.where(valid_range, np.where(valid_range, ((b - a) // 2 + 1), 0), 0))
+    counts = np.nan_to_num(counts, nan=0).astype(np.int64)
+    idx = np.repeat(np.arange(len(ex)), counts)
+    intra = np.arange(counts.sum()) - np.repeat(np.cumsum(counts) - counts, counts)
+    a_fill = np.nan_to_num(a, nan=0).astype(np.int64)
+    nums = a_fill[idx] + 2 * intra
+    numstr = nums.astype(str).astype(object)
+    vals = np.where(has_dash[idx], numstr, part.to_numpy(dtype=object)[idx])
+    out = ex.iloc[idx].drop(columns=["_p"]).reset_index(drop=True)
+    out["hnr"] = vals
+    return out
+
+
+_PRIO_CACHE: dict[str, tuple[str, int]] = {}
+
+
+def tag_selection_series(tags_text: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """(osm_tag, tag_prio) per row — M11 via a per-unique-value cache."""
+    def sel(t: str) -> tuple[str, int]:
+        r = _PRIO_CACHE.get(t)
+        if r is None:
+            r = select_tag_priority(parse_tags_text(t))
+            _PRIO_CACHE[t] = r
+        return r
+
+    uniq = {t: sel(t) for t in tags_text.dropna().unique()}
+    tags = tags_text.map(lambda t: uniq[t][0] if t is not None else "")
+    prios = tags_text.map(lambda t: uniq[t][1] if t is not None else 99)
+    return tags, prios.astype(np.int64)
+
+
+class ExplodeCombine:
+    """map_batches actor: located/assigned candidate rows → per-batch partial
+    rows (phase A). One output row per key per batch."""
+
+    def __init__(self, ctx_ref) -> None:
+        import ray
+
+        self.ctx = ray.get(ctx_ref)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return _empty_partial()
+        ex = explode_housenumbers(batch)
+        if len(ex) == 0:
+            return _empty_partial()
+        ex["hnr_sortable"] = sortable_series(ex["hnr"])
+        ex["hnr_norm"] = normalized_series(ex["hnr"], ex["addition_exactly"])
+        ex["osm_tag"], ex["tag_prio"] = tag_selection_series(ex["tags_text"])
+        ex = ex.sort_values(["muni_id", "street_key", "hnr_norm", "tag_prio", "url", "cand_seq"],
+                            kind="mergesort")
+        agg = ex.groupby(KEY, sort=False, as_index=False).agg(
+            hnr_sortable=("hnr_sortable", "first"),
+            hnr_display=("hnr", "first"),
+            osm_tag=("osm_tag", "first"),
+            tag_prio=("tag_prio", "first"),
+            ord_url=("url", "first"),
+            ord_seq=("cand_seq", "first"),
+            lon=("lon", "first"),
+            lat=("lat", "first"),
+            n_obs=("url", "size"),
+        )
+        agg["side"] = "osm"
+        return agg.astype({"muni_id": np.int64, "tag_prio": np.int64, "ord_seq": np.int64,
+                           "n_obs": np.int64})
+
+
+def _empty_partial() -> pd.DataFrame:
+    return pd.DataFrame({
+        "muni_id": pd.Series([], dtype=np.int64),
+        "street_key": pd.Series([], dtype=str),
+        "hnr_norm": pd.Series([], dtype=str),
+        "hnr_sortable": pd.Series([], dtype=str),
+        "hnr_display": pd.Series([], dtype=str),
+        "osm_tag": pd.Series([], dtype=str),
+        "tag_prio": pd.Series([], dtype=np.int64),
+        "ord_url": pd.Series([], dtype=str),
+        "ord_seq": pd.Series([], dtype=np.int64),
+        "lon": pd.Series([], dtype=np.float64),
+        "lat": pd.Series([], dtype=np.float64),
+        "n_obs": pd.Series([], dtype=np.int64),
+        "side": pd.Series([], dtype=str),
+    })
+
+
+def list_side_partials(ctx) -> pd.DataFrame:
+    """The official-list side as partial rows (side='list'), exact-deduped on
+    the key (HousenumberList.java:117-158 dedup on
+    street+subarea+postcode+housenumber → here the normalized key; first row
+    by (hnr_sortable, housenumber, subarea, postcode) wins)."""
+    la = ctx.list_df.copy()
+    la = la.sort_values(["muni_id", "street_key", "hnr_norm", "hnr_sortable",
+                         "housenumber", "subarea", "postcode"], kind="mergesort")
+    agg = la.groupby(KEY, sort=False, as_index=False).agg(
+        hnr_sortable=("hnr_sortable", "first"),
+        hnr_display=("housenumber", "first"),
+        n_obs=("housenumber", "size"),
+    )
+    agg["osm_tag"] = ""
+    agg["tag_prio"] = np.int64(9999)
+    agg["ord_url"] = ""
+    agg["ord_seq"] = np.int64(0)
+    agg["lon"] = np.float64(np.nan)
+    agg["lat"] = np.float64(np.nan)
+    agg["side"] = "list"
+    return agg[_empty_partial().columns.tolist()].astype({"muni_id": np.int64})
+
+
+def classify_muni(group: pd.DataFrame) -> pd.DataFrame:
+    """Phase B: one municipality's partial rows → evaluation rows
+    (auswertung_hausnummern analog). Fully vectorized pandas."""
+    osm = group[group["side"] == "osm"]
+    lst = group[group["side"] == "list"]
+    # best OSM observation per key: (tag_prio, ord_url, ord_seq) min
+    if len(osm):
+        osm = osm.sort_values(["street_key", "hnr_norm", "tag_prio", "ord_url", "ord_seq"],
+                              kind="mergesort")
+        osm_n = osm.groupby(["street_key", "hnr_norm"], sort=False)["n_obs"].sum()
+        osm = osm.groupby(["street_key", "hnr_norm"], sort=False).first()
+        osm["n_obs"] = osm_n
+    else:
+        osm = osm.set_index(["street_key", "hnr_norm"])
+    lst = lst.set_index(["street_key", "hnr_norm"]) if len(lst) else lst.set_index(["street_key", "hnr_norm"])
+    merged = lst.join(osm, how="outer", lsuffix="_l", rsuffix="_o")
+    has_l = merged["side_l"].notna() if "side_l" in merged else pd.Series(False, index=merged.index)
+    has_o = merged["side_o"].notna() if "side_o" in merged else pd.Series(False, index=merged.index)
+    treffertyp = np.where(has_l & has_o, "i", np.where(has_l, "l", "o"))
+    muni_id = int(group["muni_id"].iloc[0])
+    out = pd.DataFrame({
+        "muni_id": np.int64(muni_id),
+        "street_key": merged.index.get_level_values(0),
+        "hnr_norm": merged.index.get_level_values(1),
+        "treffertyp": treffertyp,
+        # IDENTICAL/LIST_ONLY keep the list row's sortable+display; OSM_ONLY the OSM rep's
+        "hnr_sortable": np.where(has_l, merged.get("hnr_sortable_l"), merged.get("hnr_sortable_o")),
+        "hnr_display": np.where(has_l, merged.get("hnr_display_l"), merged.get("hnr_display_o")),
+        # LIST_ONLY clears OSM fields (update():247-260): tag '' / prio 9999
+        "osm_tag": np.where(has_o, merged.get("osm_tag_o"), ""),
+        "tag_prio": np.where(has_o, merged.get("tag_prio_o"), 9999).astype(np.int64),
+        "n_osm_obs": np.nan_to_num(merged.get("n_obs_o"), nan=0).astype(np.int64)
+        if "n_obs_o" in merged else np.int64(0),
+    })
+    return out.reset_index(drop=True)

@@ -1,0 +1,84 @@
+"""End-to-end flagship pipeline vs the independent DuckDB oracle (sf0.001)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from housenumbercore_ray.sources.worldgen import ensure_world
+
+
+@pytest.fixture(scope="module")
+def world(ray_session):
+    return ensure_world("/root/testdata/sf0.001")
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(9)
+        elif df[c].dtype == bool:
+            df[c] = df[c].astype(np.int64)
+        elif str(df[c].dtype).startswith(("int", "uint")):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", [
+    "hnr_extract_candidates", "hnr_join_rows", "hnr_evaluation",
+    "hnr_muni_summary", "hnr_street_summary",
+])
+def test_query_matches_oracle(world, name):
+    from housenumbercore_ray.pipelines import evaluation as ev
+    from housenumbercore_ray.pipelines.oracle import queries_sql
+
+    ray_fn = {
+        "hnr_extract_candidates": ev.candidates,
+        "hnr_join_rows": ev.join_rows,
+        "hnr_evaluation": ev.evaluation,
+        "hnr_muni_summary": ev.muni_summary,
+        "hnr_street_summary": ev.street_summary,
+    }[name]
+    got = _normalize(ray_fn(world).to_pandas())
+    want = _normalize(duckdb.sql(queries_sql(world)[name]).df())
+    assert got.shape == want.shape
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_extracted_text_byte_identical(world):
+    """Per-row invariant (north rule): extracted text == pages.text per url."""
+    import pyarrow.parquet as pq
+
+    from housenumbercore_ray.pipelines import evaluation as ev
+
+    got = ev.extracted_text(world).to_pandas().set_index("url")["extracted_text"]
+    want = pq.read_table(f"{world}/pages.parquet", columns=["url", "text"]).to_pandas()
+    want = want.set_index("url")["text"]
+    assert len(got) == len(want)
+    joined = pd.DataFrame({"got": got, "want": want})
+    assert (joined["got"] == joined["want"]).all()
+
+
+def test_evaluation_covers_all_treffertypen(world):
+    from housenumbercore_ray.pipelines import evaluation as ev
+
+    e = ev.evaluation(world).to_pandas()
+    assert set(e["treffertyp"].unique()) == {"i", "l", "o"}
+    # LIST_ONLY rows must have cleared OSM fields (Workcache_Entry.update:247-260)
+    lonly = e[e["treffertyp"] == "l"]
+    assert (lonly["osm_tag"] == "").all()
+    assert (lonly["tag_prio"] == 9999).all()
+    assert (lonly["n_osm_obs"] == 0).all()
+
+
+def test_out_of_world_candidates_dropped(world):
+    from housenumbercore_ray.pipelines import evaluation as ev
+
+    cand = ev.candidates(world).to_pandas()
+    assert (cand["muni_raw"] == "Phantomstadt").any()  # present in extraction
+    jr = ev.join_rows(world).to_pandas()
+    assert (jr["area_id"] >= 0).all()  # but dropped by the spatial join

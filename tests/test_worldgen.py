@@ -1,0 +1,72 @@
+import hashlib
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from housenumbercore_ray.sources.worldgen import WORLD_VERSION, ensure_world, generate_world
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("world") / "sf0.001")
+    generate_world("sf0.001", out)
+    return out
+
+
+class TestWorldgen:
+    def test_deterministic(self, world, tmp_path):
+        out2 = str(tmp_path / "again")
+        generate_world("sf0.001", out2)
+        for t in ["pages", "boundaries", "osm_streets", "list_addresses", "osm_addresses"]:
+            h1 = hashlib.sha256(open(f"{world}/{t}.parquet", "rb").read()).hexdigest()
+            h2 = hashlib.sha256(open(f"{out2}/{t}.parquet", "rb").read()).hexdigest()
+            assert h1 == h2, f"{t} not byte-identical"
+
+    def test_pages_schema(self, world):
+        s = pq.read_schema(f"{world}/pages.parquet")
+        assert s.names == ["url", "warc_ts", "html", "text", "lang"]
+        assert str(s.field("html").type) == "binary"
+        assert str(s.field("warc_ts").type) == "timestamp[us]"
+
+    def test_text_matches_html(self, world):
+        from housenumbercore_ray.stages.extract import extract_text
+
+        t = pq.read_table(f"{world}/pages.parquet", columns=["html", "text"])
+        for html, text in zip(t["html"].to_pylist()[:200], t["text"].to_pylist()[:200]):
+            assert extract_text(html) == text  # byte-identical invariant
+
+    def test_edge_forms_present(self, world):
+        oa = pq.read_table(f"{world}/osm_addresses.parquet").to_pandas()
+        hnrs = oa["addr_housenumber"]
+        assert hnrs.str.contains(";").any()       # multi-value
+        assert hnrs.str.fullmatch(r"\d+-\d+").any()   # expandable range
+        assert hnrs.str.contains(r"\dd-", regex=True).any()  # non-expandable
+        la = pq.read_table(f"{world}/list_addresses.parquet").to_pandas()
+        assert la.duplicated().any()              # exact dup rows for dedup
+
+    def test_boundaries_are_bbox_equivalent(self, world):
+        """Oracle precondition: PIP against the polygon == bbox test."""
+        import numpy as np
+
+        from housenumbercore_ray.geo.pip import points_in_rings
+        from housenumbercore_ray.geo.wkb import wkb_rings
+
+        b = pq.read_table(f"{world}/boundaries.parquet").to_pandas()
+        rng = np.random.default_rng(1)
+        for r in b.itertuples():
+            lon = rng.uniform(r.minlon - 0.01, r.maxlon + 0.01, 500)
+            lat = rng.uniform(r.minlat - 0.01, r.maxlat + 0.01, 500)
+            inside_poly = points_in_rings(lon, lat, wkb_rings(r.polygon_wkb))
+            inside_bbox = (lon >= r.minlon) & (lon <= r.maxlon) & (lat >= r.minlat) & (lat <= r.maxlat)
+            assert (inside_poly == inside_bbox).all()
+
+    def test_ensure_world_caches(self, tmp_path, monkeypatch):
+        import housenumbercore_ray.sources.worldgen as wg
+
+        monkeypatch.setattr(wg, "WORLD_ROOT", str(tmp_path / "cache"))
+        d1 = ensure_world("/root/testdata/sf0.001")
+        mtime = os.path.getmtime(f"{d1}/pages.parquet")
+        d2 = ensure_world("/root/testdata/sf0.001")
+        assert d1 == d2
+        assert os.path.getmtime(f"{d2}/pages.parquet") == mtime
