@@ -48,30 +48,254 @@ def _world(sf_dir: str) -> str:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from housenumbercore_ray.pipelines import corpus, relational
     from housenumbercore_ray.pipelines import evaluation as ev
 
-    def q_extract(sf_dir: str):
-        return ev.candidates(_world(sf_dir))
-
-    def q_join_rows(sf_dir: str):
-        return ev.join_rows(_world(sf_dir))
-
-    def q_evaluation(sf_dir: str):
-        return ev.evaluation(_world(sf_dir))
-
-    def q_muni_summary(sf_dir: str):
-        return ev.muni_summary(_world(sf_dir))
-
-    def q_street_summary(sf_dir: str):
-        return ev.street_summary(_world(sf_dir))
-
-    return {
-        "hnr_extract_candidates": q_extract,
-        "hnr_join_rows": q_join_rows,
-        "hnr_evaluation": q_evaluation,
-        "hnr_muni_summary": q_muni_summary,
-        "hnr_street_summary": q_street_summary,
+    q: dict[str, Callable[[str], Any]] = {
+        # flagship housenumber pipeline (synthetic world per input_hint)
+        "hnr_extract_candidates": lambda sf: ev.candidates(_world(sf)),
+        "hnr_join_rows": lambda sf: ev.join_rows(_world(sf)),
+        "hnr_evaluation": lambda sf: ev.evaluation(_world(sf)),
+        "hnr_muni_summary": lambda sf: ev.muni_summary(_world(sf)),
+        "hnr_street_summary": lambda sf: ev.street_summary(_world(sf)),
+        # theoretical pipeline (osm_addresses table of the world)
+        "theo_muni_summary": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.theoretical", fromlist=["theo_muni_summary"]
+        ).theo_muni_summary(_world(sf)),
+        # dedup family (documents table)
+        "dedup_exact": corpus.exact_dedup,
+        "dedup_list_pairs": lambda sf: corpus.list_dup_pairs(_world(sf)),
+        "dedup_minhash_pairs": corpus.minhash_near_dup_pairs,   # rows-only
+        "dedup_simhash": corpus.doc_simhash,                    # rows-only
+        # text analysis (documents table)
+        "text_token_stats": corpus.doc_token_stats,
+        "text_quality": corpus.doc_quality,
+        "text_lang_id": corpus.doc_lang_id,
+        "text_fingerprint": corpus.doc_fingerprint,
+        # similarity search (embeddings table)
+        "ann_topk_cosine": corpus.ann_topk,
+        "ann_lsh_buckets": corpus.ann_lsh_buckets,              # rows-only
+        # multimodal plumbing (binary column of pages)
+        "media_features": lambda sf: corpus.media_features(_world(sf)),
+        "media_frame_samples": lambda sf: corpus.frame_samples(_world(sf)),
+        # generic relational operator suite (TPC-H-ish tables)
+        "rel_pricing_summary": relational.pricing_summary,
+        "rel_top_customers": relational.top_customers,
+        "rel_events_monthly": relational.events_monthly,
+        "rel_events_mom_diff": relational.events_month_over_month,
+        "rel_user_sessions": relational.user_sessions,
+        "rel_distinct_segments": relational.distinct_mktsegments,
     }
+    return q
+
+
+def _corpus_oracles(world_dir: str) -> dict[str, str]:
+    from housenumbercore_ray.stages.textops import LANG_ORDER, STOPWORDS
+
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stop_in = ", ".join(f"'{w}'" for w in all_stop)
+    ntok = "CASE WHEN trim(text) = '' THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END"
+    hits = {
+        lang: ("len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+               f"x -> x IN ({', '.join(repr(w) for w in STOPWORDS[lang])})))")
+        for lang in LANG_ORDER
+    }
+    greatest = f"greatest({hits['de']}, {hits['en']}, {hits['fr']}, {hits['it']})"
+    lang_case = f"CASE WHEN {greatest} = 0 THEN 'unknown' " + " ".join(
+        f"WHEN {hits[lang]} = {greatest} THEN '{lang}'" for lang in LANG_ORDER
+    ) + " END"
+    return {
+        "dedup_exact": """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups,
+       md5(text) AS content_hash
+FROM documents GROUP BY text
+""",
+        "dedup_list_pairs": f"""
+SELECT CAST(a.addr_id AS BIGINT) AS addr_id_a, CAST(b.addr_id AS BIGINT) AS addr_id_b
+FROM read_parquet('{world_dir}/list_addresses.parquet') a
+JOIN read_parquet('{world_dir}/list_addresses.parquet') b
+  ON a.muni_ref = b.muni_ref AND a.subarea = b.subarea AND a.street = b.street
+ AND a.housenumber = b.housenumber AND a.postcode = b.postcode
+ AND a.addr_id < b.addr_id
+""",
+        "text_token_stats": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({ntok} AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+        "text_quality": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({ntok} AS BIGINT) AS n_tokens,
+       CASE WHEN {ntok} > 0 THEN
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> lower(x) IN ({stop_in}))) AS DOUBLE) / {ntok}
+       ELSE 0.0 END AS stop_ratio,
+       CASE WHEN length(text) > 0 THEN
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+       ELSE 0.0 END AS punct_ratio,
+       CASE WHEN length(text) > 0 THEN
+         CAST(length(text) - length(regexp_replace(text, '[A-Za-zÄÖÜäöüß]', '', 'g')) AS DOUBLE) / length(text)
+       ELSE 0.0 END AS alpha_ratio,
+       CASE WHEN {ntok} > 0 THEN
+         CAST(length(text) - greatest({ntok} - 1, 0) AS DOUBLE) / {ntok}
+       ELSE 0.0 END AS mean_token_len
+FROM documents
+""",
+        "text_lang_id": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {lang_case} AS lang_pred,
+       CAST({hits['de']} AS BIGINT) AS hits_de,
+       CAST({hits['en']} AS BIGINT) AS hits_en,
+       CAST({hits['fr']} AS BIGINT) AS hits_fr,
+       CAST({hits['it']} AS BIGINT) AS hits_it
+FROM documents
+""",
+        "text_fingerprint": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS content_md5 FROM documents
+""",
+        "ann_topk_cosine": """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+), s AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+)
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id
+FROM s
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) <= 5
+""",
+        "media_features": f"""
+SELECT url, CAST(octet_length(html) AS BIGINT) AS n_bytes,
+       md5(decode(html)) AS content_md5
+FROM read_parquet('{world_dir}/pages.parquet')
+""",
+        "media_frame_samples": f"""
+SELECT url, CAST(unnest(range(0, greatest(1, octet_length(html) // 4096), 10)) AS BIGINT) AS frame_idx
+FROM read_parquet('{world_dir}/pages.parquet')
+""",
+        "rel_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "rel_top_customers": """
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rank,
+         CAST(c_custkey AS BIGINT) AS c_custkey, round(revenue, 2) AS revenue, n_orders
+  FROM (
+    SELECT o.o_custkey AS c_custkey, sum(o.o_totalprice) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY o.o_custkey
+  )
+) WHERE rank <= 10
+""",
+        "rel_events_monthly": """
+SELECT event_type, strftime(ts, '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type, strftime(ts, '%Y-%m')
+""",
+        "rel_events_mom_diff": """
+WITH m AS (
+  SELECT event_type, strftime(ts, '%Y-%m') AS month, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m')
+)
+SELECT event_type, month, n_events,
+       CAST(coalesce(lag(n_events) OVER (PARTITION BY event_type ORDER BY month), 0) AS BIGINT) AS prev_n_events,
+       CAST(n_events - coalesce(lag(n_events) OVER (PARTITION BY event_type ORDER BY month), 0) AS BIGINT) AS delta_n_events
+FROM m
+""",
+        "rel_user_sessions": """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM d GROUP BY user_id
+""",
+        "rel_distinct_segments": """
+SELECT DISTINCT c_mktsegment FROM customer
+""",
+        "theo_muni_summary": _theo_oracle(world_dir),
+    }
+
+
+def _theo_oracle(world_dir: str) -> str:
+    model = ("bevoelkerungszahl * 1.052178115 / ({c1} * bevoelkerungszahl / flaechekm2 + {c2})")
+    brackets = [
+        (0, 5_000, 0.000920645, 3.002091115),
+        (5_000, 20_000, 0.000509945, 3.086196323),
+        (20_000, 100_000, 0.000865691, 3.490431037),
+        (100_000, 250_000, 0.000728235, 3.394332878),
+        (250_000, None, 0.001400991, 3.46995551),
+    ]
+
+    def case(expr_tpl: str) -> str:
+        parts = []
+        for lo, hi, c1, c2 in brackets:
+            cond = f"flaechekm2 > 0 AND bevoelkerungszahl > {lo}"
+            if hi is not None:
+                cond += f" AND bevoelkerungszahl <= {hi}"
+            parts.append(f"WHEN {cond} THEN {expr_tpl.format(c1=c1, c2=c2)}")
+        return "CASE " + " ".join(parts) + " ELSE 0 END"
+
+    theo = case(f"CAST(floor({model} + 0.5) AS BIGINT)")
+    abdeck = case(f"100 * anzahl_osmadressen / ({model})")
+    return f"""
+WITH b AS (
+  SELECT muni_id, minlon, minlat, maxlon, maxlat,
+         population AS bevoelkerungszahl, area_km2 AS flaechekm2
+  FROM read_parquet('{world_dir}/boundaries.parquet')
+),
+oa AS (
+  SELECT o.*, b.muni_id AS mid
+  FROM read_parquet('{world_dir}/osm_addresses.parquet') o
+  JOIN b ON o.lon >= b.minlon AND o.lon <= b.maxlon
+        AND o.lat >= b.minlat AND o.lat <= b.maxlat
+),
+res AS (
+  SELECT oa.mid AS muni_id, oa.osm_type,
+         CASE WHEN oa.addr_street IS NOT NULL THEN 'street'
+              WHEN r.name IS NOT NULL THEN 'assoc'
+              WHEN oa.addr_place IS NOT NULL THEN 'place'
+              ELSE 'incomplete' END AS resolution
+  FROM oa LEFT JOIN read_parquet('{world_dir}/osm_relations.parquet') r
+    ON r.rel_id = oa.assoc_rel_id
+),
+counts AS (
+  SELECT muni_id,
+    CAST(sum(CASE WHEN resolution <> 'incomplete' THEN 1 ELSE 0 END) AS BIGINT) AS anzahl_osmadressen,
+    CAST(sum(CASE WHEN osm_type = 'node' AND resolution <> 'incomplete' THEN 1 ELSE 0 END) AS BIGINT) AS anzahl_osmadressennodes,
+    CAST(sum(CASE WHEN osm_type = 'way' AND resolution <> 'incomplete' THEN 1 ELSE 0 END) AS BIGINT) AS anzahl_osmadressenways,
+    CAST(sum(CASE WHEN osm_type = 'relation' AND resolution <> 'incomplete' THEN 1 ELSE 0 END) AS BIGINT) AS anzahl_osmadressenrels,
+    CAST(sum(CASE WHEN osm_type = 'node' AND resolution = 'street' THEN 1 ELSE 0 END) AS BIGINT) AS anzahl_nodes_addrstreet_treffer,
+    CAST(sum(CASE WHEN osm_type = 'way' AND resolution = 'street' THEN 1 ELSE 0 END) AS BIGINT) AS anzahl_ways_addrstreet_treffer,
+    CAST(sum(CASE WHEN osm_type = 'relation' AND resolution = 'street' THEN 1 ELSE 0 END) AS BIGINT) AS anzahl_polygons_addrstreet_treffer,
+    CAST(sum(CASE WHEN osm_type = 'node' AND resolution = 'assoc' THEN 1 ELSE 0 END) AS BIGINT) AS anzahl_nodes_associatedstreet_treffer,
+    CAST(sum(CASE WHEN osm_type = 'way' AND resolution = 'assoc' THEN 1 ELSE 0 END) AS BIGINT) AS anzahl_ways_associatedstreet_treffer,
+    CAST(sum(CASE WHEN osm_type = 'relation' AND resolution = 'assoc' THEN 1 ELSE 0 END) AS BIGINT) AS anzahl_polygons_associatedstreet_treffer,
+    CAST(sum(CASE WHEN resolution = 'place' THEN 1 ELSE 0 END) AS BIGINT) AS anzahl_osmadressenplaces,
+    CAST(sum(CASE WHEN osm_type = 'node' AND resolution = 'incomplete' THEN 1 ELSE 0 END) AS BIGINT) AS anzahl_osmadressennodesunvollstaendig,
+    CAST(sum(CASE WHEN osm_type = 'way' AND resolution = 'incomplete' THEN 1 ELSE 0 END) AS BIGINT) AS anzahl_osmadressenwaysunvollstaendig,
+    CAST(sum(CASE WHEN osm_type = 'relation' AND resolution = 'incomplete' THEN 1 ELSE 0 END) AS BIGINT) AS anzahl_osmadressenrelsunvollstaendig
+  FROM res GROUP BY muni_id
+)
+SELECT counts.*, {theo} AS theo_anzahl_adressen,
+       {abdeck} AS theo_adressenabdeckung
+FROM counts JOIN b USING (muni_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -81,4 +305,7 @@ def oracle_sql() -> dict[str, str]:
     # the driver runs oracles at sf=0.01 — make sure that world exists before
     # any SQL runs, and point the SQL at its absolute path
     ensure_world(ORACLE_SF)
-    return queries_sql(world_dir_for(ORACLE_SF))
+    wd = world_dir_for(ORACLE_SF)
+    out = queries_sql(wd)
+    out.update(_corpus_oracles(wd))
+    return out

@@ -1,0 +1,114 @@
+"""Benchmark harness — prints ONE JSON line with headline + per-query seconds.
+
+Usage:
+  python bench.py                # $GRAFT_SF_DIR (default /root/testdata/sf0.1),
+                                 # ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)
+  python bench.py --scaling      # same pipeline at 8 and 32 cpus in fresh
+                                 # subprocesses; reports throughputs + efficiency
+
+Headline metric: full flagship pipeline (pages → extract → spatial join →
+street kNN → evaluation merge → per-muni aggregate) wall-clock; docs/sec =
+input pages / headline seconds (the BASELINE.json throughput metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from housenumbercore_ray.pipelines import evaluation as ev
+    from housenumbercore_ray.sources.worldgen import ensure_world, ensure_world_scale
+
+    scale_override = os.environ.get("GRAFT_WORLD_SCALE")
+    wd = ensure_world_scale(scale_override) if scale_override else ensure_world(sf_dir)
+
+    import pyarrow.parquet as pq
+
+    n_pages = pq.read_metadata(f"{wd}/pages.parquet").num_rows
+
+    # warm the OS page cache so we measure compute+shuffle, not first disk read
+    ev.read_pages(wd).count()
+
+    queries: dict[str, float] = {}
+
+    t = time.time()
+    ev.candidates(wd).count()
+    queries["extract_only"] = round(time.time() - t, 3)
+
+    t = time.time()
+    n_join = ev.join_rows(wd).count()
+    queries["join_rows"] = round(time.time() - t, 3)
+
+    t = time.time()
+    n_eval = ev.muni_summary(wd).count()
+    queries["evaluation_full"] = round(time.time() - t, 3)
+
+    headline = queries["evaluation_full"]
+    result = {
+        "metric": "housenumber evaluation pipeline wall-clock (pages->extract->spatial join->street kNN->treffertyp merge->aggregate)",
+        "value": headline,
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "n_pages": int(n_pages),
+        "docs_per_sec": round(n_pages / headline, 1),
+        "join_rows_per_sec": round(n_join / queries["join_rows"], 1),
+        "n_muni_rows": int(n_eval),
+        "n_join_rows": int(n_join),
+    }
+    ray.shutdown()
+    return result
+
+
+def _scaling(sf_dir: str) -> dict:
+    def run(ncpu: int) -> dict:
+        # scaling evidence runs on the larger 'bench' world (800k pages) so
+        # parallel work dominates fixed per-run overhead
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
+                   GRAFT_WORLD_SCALE=os.environ.get("GRAFT_WORLD_SCALE", "bench"))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (N=8 vs 4N=32 cpus, fresh processes, same input)",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_lo["sf"],
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(_scaling(sf_dir)))
+        return
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(_run_benchmarks(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

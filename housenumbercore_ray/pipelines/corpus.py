@@ -1,0 +1,187 @@
+"""Training-data corpus pipelines over the driver's ``documents`` /
+``embeddings`` tables and the synthetic ``pages`` table: dedup, text
+analysis, similarity search, multimodal plumbing.
+
+Every function takes ``sf_dir`` and returns a lazy ``ray.data.Dataset``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from ..stages.dedup import MinHashLSH, add_content_hash, dup_groups, exact_dup_pairs_in_group, ngram_jaccard
+from ..stages.multimodal import BinaryFeatureExtract, FrameSampleStub
+from ..stages.similarity import BruteForceTopK, SignedProjectionLSH, topk_finalize
+from ..stages.textops import fingerprint, lang_id, quality_scores, token_stats
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def exact_dedup(sf_dir: str) -> rd.Dataset:
+    """Exact dedup: content-hash partition + per-group keeper (min doc_id) +
+    duplicate count — HousenumberList dedup semantics generalized."""
+    return (
+        _docs(sf_dir)
+        .map_batches(add_content_hash, batch_format="pandas")
+        .groupby("content_hash")
+        .map_groups(dup_groups, batch_format="pandas")
+    )
+
+
+def list_dup_pairs(world_dir: str) -> rd.Dataset:
+    """Duplicate-pair detection on the official list with the REFERENCE's
+    dedup key: street + subarea + postcode + housenumber within municipality,
+    coordinates deliberately excluded (HousenumberList.java:117-158, comment
+    :131-138). Hash-partition on the key, pairs per group by addr_id."""
+    ds = rd.read_parquet(
+        f"{world_dir}/list_addresses.parquet",
+        columns=["addr_id", "muni_ref", "subarea", "street", "housenumber", "postcode"],
+    )
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["dedup_key"] = (b["muni_ref"] + "|" + b["subarea"] + "|" + b["street"]
+                          + "|" + b["housenumber"] + "|" + b["postcode"])
+        return b
+
+    return (
+        ds.map_batches(keyed, batch_format="pandas")
+        .groupby("dedup_key")
+        .map_groups(lambda g: exact_dup_pairs_in_group(g, id_col="addr_id"), batch_format="pandas")
+    )
+
+
+def doc_token_stats(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir).map_batches(token_stats, batch_format="pandas")
+
+
+def doc_quality(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir).map_batches(quality_scores, batch_format="pandas")
+
+
+def doc_lang_id(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir).map_batches(lang_id, batch_format="pandas")
+
+
+def doc_fingerprint(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir).map_batches(fingerprint, batch_format="pandas")
+
+
+def minhash_buckets(sf_dir: str) -> rd.Dataset:
+    """MinHash+LSH banding rows (band_id, band_hash, doc_id)."""
+    return _docs(sf_dir).map_batches(
+        MinHashLSH, batch_format="pandas", batch_size=1024, concurrency=(1, 4), num_cpus=1
+    )
+
+
+def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+    """LSH candidate pairs verified with exact n-gram Jaccard ≥ threshold.
+
+    groupby (band_id, band_hash) buckets → pairwise within bucket → global
+    pair dedup → verify. Verification joins back to the (small at test
+    scale) text by broadcast lookup; at 100 TB the verify stage would fetch
+    texts via a hash-partitioned join instead."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts_ref = ray.put(dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist())))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"].tolist()))
+        from itertools import combinations
+
+        pairs = list(combinations(ids, 2))
+        return pd.DataFrame({
+            "doc_id_a": pd.Series([a for a, _ in pairs], dtype=np.int64),
+            "doc_id_b": pd.Series([b for _, b in pairs], dtype=np.int64),
+        })
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(texts_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                return batch.assign(jaccard=pd.Series([], dtype=np.float64))
+            batch = batch.drop_duplicates(["doc_id_a", "doc_id_b"])
+            jac = [ngram_jaccard(self.texts[a], self.texts[b])
+                   for a, b in zip(batch["doc_id_a"], batch["doc_id_b"])]
+            batch = batch.assign(jaccard=np.asarray(jac, dtype=np.float64))
+            return batch[batch["jaccard"] >= threshold]
+
+    pairs = (
+        minhash_buckets(sf_dir)
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # global pair dedup (a pair can collide in several bands) then verify
+    return (
+        pairs.groupby(["doc_id_a", "doc_id_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .map_batches(Verify, batch_format="pandas", concurrency=(1, 4), num_cpus=1)
+    )
+
+
+def doc_simhash(sf_dir: str) -> rd.Dataset:
+    from ..stages.dedup import simhash64
+
+    def sh(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype(np.int64),
+            "simhash": pd.Series([simhash64(t) >> 1 for t in batch["text"]], dtype=np.int64),
+        })
+
+    return _docs(sf_dir).map_batches(sh, batch_format="pandas")
+
+
+DEFAULT_QUERY_IDS = (0, 1, 2, 3)
+TOPK = 5
+
+
+def ann_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK) -> rd.Dataset:
+    """Brute-force cosine top-k against broadcast query vectors: per-batch
+    partial top-k (map_batches) → tiny groupby(qid) final reduce."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    lookup = {int(v): e for v, e in zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist())
+              if int(v) in set(query_ids)}
+    query_ref = ray.put(lookup)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        BruteForceTopK, fn_constructor_args=(query_ref, k),
+        batch_format="pandas", batch_size=4096, concurrency=(1, 4), num_cpus=1,
+    )
+    return partials.groupby("qid").map_groups(lambda g: topk_finalize(g, k), batch_format="pandas")
+
+
+def ann_lsh_buckets(sf_dir: str) -> rd.Dataset:
+    """Approximate path: signed-projection LSH bucket per vector."""
+    import pyarrow.parquet as pq
+
+    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])[0][0].as_py())
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).map_batches(
+        SignedProjectionLSH, fn_constructor_args=(dim,),
+        batch_format="pandas", batch_size=4096, concurrency=(1, 4), num_cpus=1,
+    )
+
+
+def media_features(world_dir: str) -> rd.Dataset:
+    """Multimodal plumbing over the binary html column: small batches sized
+    for binary payloads, actor pool, typed metadata out."""
+    return rd.read_parquet(f"{world_dir}/pages.parquet", columns=["url", "html"]).map_batches(
+        BinaryFeatureExtract, fn_constructor_args=("html", "url"),
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4), num_cpus=1,
+    )
+
+
+def frame_samples(world_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{world_dir}/pages.parquet", columns=["url", "html"]).map_batches(
+        FrameSampleStub, fn_constructor_args=(10, 4096, "html", "url"),
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4), num_cpus=1,
+    )

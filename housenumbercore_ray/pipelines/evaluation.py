@@ -29,14 +29,15 @@ EXTRACT_BATCH = 512
 ROW_BATCH = 8192
 
 
-def _pool() -> int:
-    """Actor-pool size per stage: ~1/4 of cluster CPUs so three pools plus
-    read/shuffle tasks coexist without starving any stage (a pool that
-    reserves every CPU serializes the pipeline)."""
+def _pool() -> tuple[int, int]:
+    """Actor-pool sizing per stage: AUTOSCALING (1, cpus//2) so the
+    bottleneck stage (usually extraction) can absorb idle CPUs while three
+    pools plus read/shuffle tasks still coexist — a fixed pool that reserves
+    every CPU starves the read stage and serializes the pipeline."""
     import ray
 
     total = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(1, total // 4)
+    return (1, max(2, total // 2))
 
 
 def read_pages(world_dir: str, columns=("url", "html")) -> rd.Dataset:

@@ -1,0 +1,159 @@
+"""Generic relational operators over the driver's TPC-H-ish tables —
+demonstrates the engine's aggregate / join / sort / top-k / window coverage
+(the Ray analogs of the reference's SQL-side shapes: A1-A6 aggregates,
+J9/J10 joins, §2.6 sorts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1 shape: filtered scan → groupby two keys → five aggregates.
+    Pre-aggregation is handled by Ray's partial+final aggregate path."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] < pd.Timestamp("1998-09-01")]
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "qty": b["l_quantity"],
+            "price": b["l_extendedprice"],
+            "disc_price": b["l_extendedprice"] * (1 - b["l_discount"]),
+        })
+
+    def round2(b: pd.DataFrame) -> pd.DataFrame:
+        # float sums are rounded identically in the SQL oracle: summation
+        # order differs between engines only in the last ~ulp
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            b[c] = b[c].round(2)
+        return b
+
+    return (
+        ds.map_batches(prep, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+        .map_batches(round2, batch_format="pandas")
+    )
+
+
+def top_customers(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Join (orders ⋈ customer, broadcast small side) → groupby → top-k.
+    The customer table is the broadcast side (dimension-table pattern);
+    deterministic order by (revenue desc, custkey)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]).to_pandas()
+    cust_ref = ray.put(cust)
+
+    class JoinName:
+        def __init__(self):
+            self.cust = ray.get(cust_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return b.merge(self.cust, left_on="o_custkey", right_on="c_custkey", how="inner")
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+        .map_batches(JoinName, batch_format="pandas", concurrency=(1, 4), num_cpus=1)
+        .groupby("c_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+    )
+
+    def attach_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["revenue", "c_custkey"], ascending=[False, True], kind="mergesort").head(k)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        df["revenue"] = df["revenue"].round(2)
+        return df[["rank", "c_custkey", "revenue", "n_orders"]]
+
+    # top-k: Ray sort+limit then a single-block rank attach (result is tiny)
+    return (
+        agg.sort(["revenue", "c_custkey"], descending=[True, False])
+        .limit(k)
+        .repartition(1)
+        .map_batches(attach_rank, batch_format="pandas", batch_size=k)
+    )
+
+
+def events_monthly(sf_dir: str) -> rd.Dataset:
+    """Event-stream monthly rollup: groupby (event_type, month)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "month": b["ts"].dt.strftime("%Y-%m"),
+            "value": b["value"],
+        })
+
+    def round2(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_value"] = b["sum_value"].round(2)
+        return b
+
+    return (
+        ds.map_batches(prep, batch_format="pandas")
+        .groupby(["event_type", "month"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .map_batches(round2, batch_format="pandas")
+    )
+
+
+def events_month_over_month(sf_dir: str) -> rd.Dataset:
+    """J10 analog (month-over-month diff views,
+    dbstructure_theoeval.sql:1019-1037): monthly rollup self-joined with the
+    previous month — implemented as a per-key ordered window (map_groups),
+    the Ray shape for consecutive-snapshot diffs."""
+    monthly = events_monthly(sf_dir)
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("month", kind="mergesort").reset_index(drop=True)
+        g["prev_n_events"] = g["n_events"].shift(1).fillna(0).astype(np.int64)
+        g["delta_n_events"] = g["n_events"] - g["prev_n_events"]
+        return g[["event_type", "month", "n_events", "prev_n_events", "delta_n_events"]]
+
+    return monthly.groupby("event_type").map_groups(diff, batch_format="pandas")
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Streaming-shaped sessionization: per-user ts-ordered gap windows
+    (ray_guide 'ordered, partitioned log' pattern). Returns per-user session
+    count and event count."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        d = g["ts"].diff()
+        new_sess = d.isna() | (d > gap)
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "n_sessions": [np.int64(new_sess.sum())],
+            "n_events": [np.int64(len(g))],
+        })
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+def distinct_mktsegments(sf_dir: str) -> rd.Dataset:
+    """A6 analog (SELECT DISTINCT): distinct values via groupby-first."""
+    return (
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
+        .groupby("c_mktsegment")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )

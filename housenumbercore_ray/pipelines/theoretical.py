@@ -1,0 +1,140 @@
+"""The "theoretical" evaluation pipeline — nationwide OSM address counting
+per municipality plus the population-density regression model.
+
+Reference: TheoreticalHousenumbers.main (entry 3, SURVEY.md §3.3) — the
+per-municipality loop with three extraction passes becomes ONE streaming pass
+over ``osm_addresses``:
+
+  - street resolution order (TheoreticalHousenumbers.java:943-1010):
+    ``addr:street`` → associatedStreet relation name (J5, via the broadcast
+    relation dictionary, ST2) → ``addr:place`` fallback (M12) → incomplete
+    (M15; counted per object type, never dropped silently);
+  - per-municipality counters (A1, theoevaluations columns,
+    dbstructure_theoeval.sql:20-49): complete addresses by object type,
+    addr:street hits by type (relation → "polygons" per the reference's
+    polygon pass), associatedStreet hits by type, place fallbacks,
+    incomplete by type;
+  - theoretical address model (A5, dbstructure_theoeval.sql:71-87):
+    ``theo_anzahl_adressen = round(pop * 1.052178115 / (c1 * pop/km² + c2))``
+    with 5 population brackets, and coverage
+    ``theo_adressenabdeckung = 100 * anzahl / model``; round() is
+    half-away-from-zero (SQL round) → ``floor(x + 0.5)`` here.
+
+Counting is object-level (no housenumber explosion) exactly like the
+reference's counters. The shuffle is a pre-aggregated (muni, type,
+resolution) partial count per batch — O(munis × 12) rows per batch — then a
+tiny groupby(muni_id) finalize.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..stages.context import get_context, get_context_ref
+
+# (c1, c2) per population bracket — dbstructure_theoeval.sql:71-87
+MODEL_BRACKETS = [
+    (0, 5_000, 0.000920645, 3.002091115),
+    (5_000, 20_000, 0.000509945, 3.086196323),
+    (20_000, 100_000, 0.000865691, 3.490431037),
+    (100_000, 250_000, 0.000728235, 3.394332878),
+    (250_000, None, 0.001400991, 3.46995551),
+]
+POP_FACTOR = 1.052178115
+
+
+def model_value(population: float, area_km2: float) -> float:
+    """Raw (unrounded) model denominator-applied value; 0 outside brackets."""
+    if not (area_km2 > 0 and population > 0):
+        return 0.0
+    for lo, hi, c1, c2 in MODEL_BRACKETS:
+        if population > lo and (hi is None or population <= hi):
+            return population * POP_FACTOR / (c1 * population / area_km2 + c2)
+    return 0.0
+
+
+class TheoCount:
+    """map_batches actor: osm_addresses rows → per-batch partial counts
+    (muni_id, osm_type, resolution, n)."""
+
+    def __init__(self, ctx_ref) -> None:
+        import ray
+
+        self.ctx = ray.get(ctx_ref)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        area = self.ctx.boundary_index.locate(batch["lon"].to_numpy(), batch["lat"].to_numpy())
+        batch = batch.assign(area_id=area)
+        batch = batch[batch["area_id"] >= 0]
+        if len(batch) == 0:
+            return pd.DataFrame({
+                "muni_id": pd.Series([], dtype=np.int64),
+                "osm_type": pd.Series([], dtype=str),
+                "resolution": pd.Series([], dtype=str),
+                "n": pd.Series([], dtype=np.int64),
+            })
+        batch = batch.assign(muni_id=batch["area_id"].map(self.ctx.area_to_muni))
+        rel_known = batch["assoc_rel_id"].map(
+            lambda r: r is not None and not pd.isna(r) and int(r) in self.ctx.relations
+        )
+        resolution = np.where(
+            batch["addr_street"].notna(), "street",
+            np.where(rel_known, "assoc",
+                     np.where(batch["addr_place"].notna(), "place", "incomplete")),
+        )
+        batch = batch.assign(resolution=resolution)
+        out = (
+            batch.groupby(["muni_id", "osm_type", "resolution"], as_index=False)
+            .size().rename(columns={"size": "n"})
+        )
+        return out.astype({"muni_id": np.int64, "n": np.int64})
+
+
+def theo_muni_summary(world_dir: str) -> rd.Dataset:
+    ref = get_context_ref(world_dir)
+    ctx = get_context(world_dir)
+    pop = {meta["muni_id"]: meta["population"] for meta in ctx.boundary_index.payload.values()}
+    km2 = {meta["muni_id"]: meta["area_km2"] for meta in ctx.boundary_index.payload.values()}
+
+    partials = rd.read_parquet(
+        f"{world_dir}/osm_addresses.parquet",
+        columns=["osm_type", "addr_street", "addr_place", "assoc_rel_id", "lon", "lat"],
+    ).map_batches(
+        TheoCount, fn_constructor_args=(ref,),
+        batch_format="pandas", batch_size=8192, concurrency=(1, 4), num_cpus=1,
+    )
+
+    TYPE_COL = {"node": "nodes", "way": "ways", "relation": "rels"}
+    TREFFER_COL = {"node": "nodes", "way": "ways", "relation": "polygons"}
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        muni = int(g["muni_id"].iloc[0])
+        agg = g.groupby(["osm_type", "resolution"])["n"].sum()
+
+        def get(t, r):
+            return int(agg.get((t, r), 0))
+
+        row = {"muni_id": np.int64(muni)}
+        complete_by_type = {
+            t: sum(get(t, r) for r in ("street", "assoc", "place")) for t in TYPE_COL
+        }
+        row["anzahl_osmadressen"] = np.int64(sum(complete_by_type.values()))
+        for t, col in TYPE_COL.items():
+            row[f"anzahl_osmadressen{col}"] = np.int64(complete_by_type[t])
+        for t, col in TREFFER_COL.items():
+            row[f"anzahl_{col}_addrstreet_treffer"] = np.int64(get(t, "street"))
+        for t, col in TREFFER_COL.items():
+            row[f"anzahl_{col}_associatedstreet_treffer"] = np.int64(get(t, "assoc"))
+        row["anzahl_osmadressenplaces"] = np.int64(sum(get(t, "place") for t in TYPE_COL))
+        for t, col in TYPE_COL.items():
+            row[f"anzahl_osmadressen{col}unvollstaendig"] = np.int64(get(t, "incomplete"))
+        raw = model_value(float(pop.get(muni, 0)), float(km2.get(muni, 0.0)))
+        row["theo_anzahl_adressen"] = np.int64(np.floor(raw + 0.5)) if raw > 0 else np.int64(0)
+        row["theo_adressenabdeckung"] = (
+            100 * row["anzahl_osmadressen"] / raw if raw > 0 else 0.0
+        )
+        return pd.DataFrame([row])
+
+    return partials.groupby("muni_id").map_groups(finalize, batch_format="pandas")

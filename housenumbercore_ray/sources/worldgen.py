@@ -59,7 +59,7 @@ import pyarrow.parquet as pq
 
 from ..geo.wkb import linestring_wkb, multipolygon_wkb, polygon_wkb
 
-WORLD_VERSION = "v1"
+WORLD_VERSION = "v3"
 WORLD_ROOT = "/tmp/hnr_world"
 
 LON0, LAT0 = 10.0, 50.0
@@ -148,6 +148,10 @@ class WorldParams:
             "sf0.001": WorldParams(6, 6, 8, 2_000),
             "sf0.01": WorldParams(20, 10, 12, 20_000),
             "sf0.1": WorldParams(50, 14, 16, 200_000),
+            # scaling-evidence world: enough parallel work that fixed
+            # per-run overhead (actor spin-up, small shuffles) amortizes,
+            # as it would on any real multi-node run
+            "bench": WorldParams(50, 14, 16, 800_000),
         }
         if scale not in table:
             raise ValueError(f"unknown world scale {scale!r}")
@@ -268,12 +272,28 @@ def generate_world(scale: str, out_dir: str) -> dict:
     osm_streets = pa.table(s_rows)
 
     # ---- list addresses + osm addresses -----------------------------------
-    la = {k: [] for k in ["muni_ref", "subarea", "street", "housenumber", "postcode",
+    la = {k: [] for k in ["addr_id", "muni_ref", "subarea", "street", "housenumber", "postcode",
                           "lon", "lat", "note", "extra_tags"]}
     oa = {k: [] for k in ["osm_id", "osm_type", "addr_street", "addr_place",
-                          "addr_housenumber", "tags_text", "lon", "lat", "assoc_street_rel", "muni_id"]}
+                          "addr_housenumber", "tags_text", "lon", "lat",
+                          "assoc_rel_id", "muni_id"]}
+    # associatedStreet relations (J5): rel_id → street name, emitted when an
+    # osm address resolves its street only via relation membership
+    rels = {"rel_id": [], "name": []}
+    rel_memo: dict[tuple[int, str], int] = {}
     obs_lines: list[tuple[int, str]] = []  # (muni_id, mention line) — 1:1 with osm_addresses rows
     oid = 500_000
+    next_addr_id = 1
+
+    def rel_for(muni: int, street: str) -> int:
+        key = (muni, street)
+        rid = rel_memo.get(key)
+        if rid is None:
+            rid = 900_000 + len(rel_memo)
+            rel_memo[key] = rid
+            rels["rel_id"].append(rid)
+            rels["name"].append(street)
+        return rid
     for i in range(M):
         minlon, minlat, maxlon, maxlat = muni_rect(i)
         ref = f"{3150000 + i * 4:08d}"
@@ -292,6 +312,8 @@ def generate_world(scale: str, out_dir: str) -> dict:
                 lon = float(f"{(x0 + (k / (n_here + 1)) * (x1 - x0)):.6f}")
                 alat = float(f"{(lat + (0.000008 + (r % 5) * 1e-6)):.6f}")  # jitter, stays nearest to own street
                 # list side
+                la["addr_id"].append(next_addr_id)
+                next_addr_id += 1
                 la["muni_ref"].append(ref)
                 la["subarea"].append("-1")
                 la["street"].append(street)
@@ -301,9 +323,10 @@ def generate_world(scale: str, out_dir: str) -> dict:
                 la["lat"].append(alat)
                 la["note"].append(None)
                 la["extra_tags"].append(None)
-                if r % 10 == 7:  # exact duplicate row → dedup must collapse
+                if r % 10 == 7:  # exact duplicate row (new id, same content) → dedup must collapse
                     for col in la:
-                        la[col].append(la[col][-1])
+                        la[col].append(next_addr_id if col == "addr_id" else la[col][-1])
+                    next_addr_id += 1
                 # osm side: ~72% present
                 present = int(hi(5, i, j, k) % 100) < 72
                 if present:
@@ -317,15 +340,28 @@ def generate_world(scale: str, out_dir: str) -> dict:
                     tags = TAG_CHOICES[int(hi(8, i, j, k) % len(TAG_CHOICES))]
                     line = _mention(street_label, page_hnr, plz, _muni_name(i), alat, lon, tags)
                     obs_lines.append((i, line))
+                    # theoretical-pipeline street-resolution branches
+                    # (TheoreticalHousenumbers.java:943-1010): addr:street /
+                    # associatedStreet relation (J5) / addr:place (M12) /
+                    # incomplete (M15) — independent of the page mention label
+                    r2 = int(hi(24, i, j, k) % 100)
+                    o_street = street_label if street_label != "Unbekannte Gasse" else None
+                    o_place, o_rel = None, None
+                    if r2 < 8:
+                        o_street, o_rel = None, rel_for(i, street)
+                    elif r2 < 14:
+                        o_street, o_place = None, street
+                    elif r2 < 18:
+                        o_street = None  # fully incomplete
                     oa["osm_id"].append(oid)
                     oa["osm_type"].append(["node", "way", "relation"][int(hi(9, oid) % 3)])
-                    oa["addr_street"].append(street_label if street_label != "Unbekannte Gasse" else None)
-                    oa["addr_place"].append(None)
+                    oa["addr_street"].append(o_street)
+                    oa["addr_place"].append(o_place)
                     oa["addr_housenumber"].append(page_hnr)
                     oa["tags_text"].append(tags)
                     oa["lon"].append(lon)
                     oa["lat"].append(alat)
-                    oa["assoc_street_rel"].append(None)
+                    oa["assoc_rel_id"].append(o_rel)
                     oa["muni_id"].append(i)
                     oid += 1
                     # some addresses observed TWICE with different tags → merge/prio path
@@ -341,7 +377,7 @@ def generate_world(scale: str, out_dir: str) -> dict:
                         oa["tags_text"].append(tags2)
                         oa["lon"].append(lon)
                         oa["lat"].append(alat)
-                        oa["assoc_street_rel"].append(None)
+                        oa["assoc_rel_id"].append(None)
                         oa["muni_id"].append(i)
                         oid += 1
             # OSM-only extras per street: plain, multi-value, range forms
@@ -362,7 +398,7 @@ def generate_world(scale: str, out_dir: str) -> dict:
                 oa["tags_text"].append(tags)
                 oa["lon"].append(lon)
                 oa["lat"].append(alat)
-                oa["assoc_street_rel"].append(None)
+                oa["assoc_rel_id"].append(None)
                 oa["muni_id"].append(i)
                 oid += 1
     # a few mentions with coordinates OUTSIDE the world → must be dropped
@@ -371,7 +407,15 @@ def generate_world(scale: str, out_dir: str) -> dict:
         obs_lines.append((-1, line))
 
     list_addresses = pa.table(la)
-    osm_addresses = pa.table(oa)
+    oa_schema = pa.schema([
+        ("osm_id", pa.int64()), ("osm_type", pa.string()), ("addr_street", pa.string()),
+        ("addr_place", pa.string()), ("addr_housenumber", pa.string()),
+        ("tags_text", pa.string()), ("lon", pa.float64()), ("lat", pa.float64()),
+        ("assoc_rel_id", pa.int64()), ("muni_id", pa.int64()),
+    ])
+    osm_addresses = pa.Table.from_pydict(oa, schema=oa_schema)
+    osm_relations = pa.table({"rel_id": pa.array(rels["rel_id"], pa.int64()),
+                              "name": pa.array(rels["name"], pa.string())})
 
     # ---- pages ------------------------------------------------------------
     n_obs = len(obs_lines)
@@ -389,43 +433,39 @@ def generate_world(scale: str, out_dir: str) -> dict:
     for pg, o in zip(ex_pages, ex_obs):
         page_lines[pg].append(obs_lines[int(o)][1])
 
-    urls, texts, htmls, langs, tss = [], [], [], [], []
     fw = FILLER_WORDS
     nfw = np.uint64(len(fw))
     base_ts = np.datetime64("2024-01-01T00:00:00", "us")
-    # vectorized pseudo-random page attributes (one hash pass per attribute)
+    # deterministic filler-sentence pool (Common-Crawl-ish page bulk) built
+    # once; pages reference sentences by hashed index — keeps generation
+    # vectorized while giving each page KBs of text to scan
+    POOL_N, MAXW = 4096, 16
+    wkeys = (
+        np.arange(POOL_N, dtype=np.uint64)[:, None] * np.uint64(64)
+        + np.arange(MAXW, dtype=np.uint64)[None, :]
+    ).ravel()
+    pool_widx = (h(19, wkeys) % nfw).astype(int).reshape(POOL_N, MAXW)
+    pool_nw = (np.uint64(7) + h(20, np.arange(POOL_N, dtype=np.uint64)) % np.uint64(10)).astype(int)
+    sent_pool = [
+        " ".join(fw[w] for w in pool_widx[s, : pool_nw[s]]) + "."
+        for s in range(POOL_N)
+    ]
+    sent_pool_p = [f"<p>{s}</p>" for s in sent_pool]
+    # vectorized per-page attributes
     pg_idx = np.arange(n_pages, dtype=np.uint64)
     sites = (h(17, pg_idx) % np.uint64(997)).astype(int)
-    nfills = (np.uint64(2) + h(18, pg_idx) % np.uint64(4)).astype(int)
-    MAXF, MAXW = 5, 13
-    word_keys = (
-        pg_idx[:, None, None] * np.uint64(1024)
-        + np.arange(MAXF, dtype=np.uint64)[None, :, None] * np.uint64(64)
-        + np.arange(MAXW, dtype=np.uint64)[None, None, :]
+    MAXF = 40
+    nfills = (np.uint64(14) + h(18, pg_idx) % np.uint64(MAXF - 14)).astype(int)
+    skeys = (
+        pg_idx[:, None] * np.uint64(64) + np.arange(MAXF, dtype=np.uint64)[None, :]
     ).ravel()
-    widx = (h(19, word_keys) % nfw).astype(int).reshape(n_pages, MAXF, MAXW)
-    nwords = (np.uint64(6) + h(20, pg_idx[:, None] * np.uint64(8) + np.arange(MAXF, dtype=np.uint64)[None, :]) % np.uint64(8)).astype(int)
+    sidx = (h(23, skeys) % np.uint64(POOL_N)).astype(int).reshape(n_pages, MAXF)
     lang_idx = (h(21, pg_idx) % np.uint64(6)).astype(int)
     ts_off = (h(22, pg_idx) % np.uint64(365 * 24 * 3600)).astype("timedelta64[s]").astype("timedelta64[us]")
     lang_pool = ["de", "de", "de", "de", "fr", "it"]
     tss = (base_ts + ts_off).tolist()
     langs = [lang_pool[v] for v in lang_idx]
     urls = [f"https://www.beispiel-{s:03d}.de/seite/{pg}" for pg, s in enumerate(sites)]
-    for pg in range(n_pages):
-        fills = [
-            " ".join(fw[w] for w in widx[pg, f, : nwords[pg, f]]) + "."
-            for f in range(nfills[pg])
-        ]
-        lines = fills[:1] + page_lines[pg] + fills[1:]
-        texts.append("\n".join(lines))
-        htmls.append(("<html><body>" + "".join(f"<p>{ln}</p>" for ln in lines) + "</body></html>").encode())
-    pages = pa.table({
-        "url": pa.array(urls, pa.string()),
-        "warc_ts": pa.array(tss, pa.timestamp("us")),
-        "html": pa.array(htmls, pa.binary()),
-        "text": pa.array(texts, pa.string()),
-        "lang": pa.array(langs, pa.string()),
-    })
 
     # ---- write atomically -------------------------------------------------
     tmp = out_dir + ".tmp"
@@ -433,10 +473,39 @@ def generate_world(scale: str, out_dir: str) -> dict:
     os.makedirs(tmp, exist_ok=True)
     for name, tbl in [("boundaries", boundaries), ("osm_streets", osm_streets),
                       ("list_addresses", list_addresses), ("osm_addresses", osm_addresses),
-                      ("pages", pages)]:
-        # modest row groups so ray.data.read_parquet gets read parallelism
-        pq.write_table(tbl, os.path.join(tmp, f"{name}.parquet"),
-                       row_group_size=5000 if name == "pages" else 100_000)
+                      ("osm_relations", osm_relations)]:
+        pq.write_table(tbl, os.path.join(tmp, f"{name}.parquet"), row_group_size=100_000)
+
+    # pages streamed chunk-by-chunk through a ParquetWriter — bounded memory
+    # at any page count (accumulating millions of page strings thrashes the
+    # allocator); modest row groups give ray.data.read_parquet parallelism
+    CHUNK = 20_000
+    pages_schema = pa.schema([
+        ("url", pa.string()), ("warc_ts", pa.timestamp("us")), ("html", pa.binary()),
+        ("text", pa.string()), ("lang", pa.string()),
+    ])
+    writer = pq.ParquetWriter(os.path.join(tmp, "pages.parquet"), pages_schema)
+    for start in range(0, n_pages, CHUNK):
+        end = min(start + CHUNK, n_pages)
+        texts, htmls = [], []
+        for pg in range(start, end):
+            si = sidx[pg, : nfills[pg]]
+            fills = [sent_pool[j] for j in si]
+            mentions = page_lines[pg]
+            lines = fills[:1] + mentions + fills[1:]
+            texts.append("\n".join(lines))
+            hparts = [sent_pool_p[j] for j in si]
+            hm = [f"<p>{ln}</p>" for ln in mentions]
+            htmls.append(("<html><body>" + "".join(hparts[:1] + hm + hparts[1:]) + "</body></html>").encode())
+        chunk = pa.table({
+            "url": pa.array(urls[start:end], pa.string()),
+            "warc_ts": pa.array(tss[start:end], pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs[start:end], pa.string()),
+        }, schema=pages_schema)
+        writer.write_table(chunk, row_group_size=5000)
+    writer.close()
     with open(os.path.join(tmp, ".done"), "w") as fh:
         fh.write(WORLD_VERSION)
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -458,15 +527,19 @@ def world_dir_for(sf_dir: str) -> str:
     return os.path.join(WORLD_ROOT, WORLD_VERSION, scale)
 
 
-def ensure_world(sf_dir: str) -> str:
-    """Generate (once, cached) the synthetic world for the sf scale of
-    ``sf_dir``; returns the world directory."""
-    out = world_dir_for(sf_dir)
+def ensure_world_scale(scale: str) -> str:
+    """Generate (once, cached on disk) the world for a named scale."""
+    out = os.path.join(WORLD_ROOT, WORLD_VERSION, scale)
     marker = os.path.join(out, ".done")
     if os.path.exists(marker):
         with open(marker) as fh:
             if fh.read().strip() == WORLD_VERSION:
                 return out
-    scale = os.path.basename(os.path.normpath(sf_dir))
     generate_world(scale, out)
     return out
+
+
+def ensure_world(sf_dir: str) -> str:
+    """Generate (once, cached) the synthetic world for the sf scale of
+    ``sf_dir``; returns the world directory."""
+    return ensure_world_scale(os.path.basename(os.path.normpath(sf_dir)))

@@ -61,6 +61,17 @@ class WorldContext:
         self.muni_exactly = {int(r.muni_id): bool(r.housenumberaddition_exactly) for r in b.itertuples()}
         self.muni_ref_to_id = {r.official_ref: int(r.muni_id) for r in b.itertuples()}
 
+        # associatedStreet relation dictionary (ST2 analog: member→streetname
+        # cache, TheoreticalHousenumbers.hol_strassenname_zur_id:184-289) —
+        # broadcast once instead of per-row DB hits
+        import os
+
+        self.relations: dict[int, str] = {}
+        rel_path = f"{world_dir}/osm_relations.parquet"
+        if os.path.exists(rel_path):
+            rt = pq.read_table(rel_path)
+            self.relations = dict(zip(rt["rel_id"].to_pylist(), rt["name"].to_pylist()))
+
         s = pq.read_table(f"{world_dir}/osm_streets.parquet").to_pandas()
         # M13 valid-highway + named; M14 blacklist
         s = s[s["highway"].isin(VALID_HIGHWAYS) & ~s["blacklisted"] & (s["name"] != "")]

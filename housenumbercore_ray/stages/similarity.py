@@ -1,0 +1,96 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k as the exactness baseline: the query matrix is
+broadcast (``ray.put`` once), each ``map_batches`` task computes a numpy
+matmul of its batch against all queries and emits only its batch-local top-k
+per query (the partial/combiner), and a tiny final reduce merges partials —
+the scale path is identical at 10^12 rows because per-batch output is
+O(queries × k), never O(rows).
+
+An LSH-bucketed variant (random signed projections) is included as the
+approximate scale path: probe only buckets matching the query's signature.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["BruteForceTopK", "topk_finalize", "SignedProjectionLSH"]
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+class BruteForceTopK:
+    """map_batches actor: embedding rows → per-batch top-k partials.
+
+    Output rows: (qid, vec_id, sim). Cosine computed in float64 for
+    deterministic cross-engine agreement."""
+
+    def __init__(self, query_ref, k: int = 5, exclude_self: bool = True):
+        import ray
+
+        q = ray.get(query_ref)  # dict: qid -> vector
+        self.qids = np.asarray(list(q.keys()), dtype=np.int64)
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in q.values()])
+        self.Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        self.k = k
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        X = _to_matrix(batch["embedding"])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = Xn @ self.Qn.T  # (batch, nq)
+        vec_ids = batch["vec_id"].to_numpy(dtype=np.int64)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(self.qids):
+            s = sims[:, j]
+            mask = np.ones(len(s), dtype=bool)
+            if self.exclude_self:
+                mask &= vec_ids != qid
+            idx = np.flatnonzero(mask)
+            if len(idx) == 0:
+                continue
+            order = idx[np.lexsort((vec_ids[idx], -s[idx]))][: self.k]
+            out_q.extend([qid] * len(order))
+            out_v.extend(vec_ids[order])
+            out_s.extend(s[order])
+        return pd.DataFrame({
+            "qid": pd.Series(out_q, dtype=np.int64),
+            "vec_id": pd.Series(out_v, dtype=np.int64),
+            "sim": pd.Series(out_s, dtype=np.float64),
+        })
+
+
+def topk_finalize(group: pd.DataFrame, k: int = 5) -> pd.DataFrame:
+    """groupby(qid) final reduce: global top-k by (sim desc, vec_id asc)."""
+    g = group.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+    g = g.reset_index(drop=True)
+    return pd.DataFrame({
+        "qid": g["qid"].astype(np.int64),
+        "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        "vec_id": g["vec_id"].astype(np.int64),
+    })
+
+
+class SignedProjectionLSH:
+    """Approximate path: 16-bit signed random projection signature per vector;
+    vectors sharing the query's bucket (or hamming ≤ 1 neighbor buckets) are
+    the candidate set. map_batches stage emitting (bucket, vec_id)."""
+
+    def __init__(self, dim: int, bits: int = 16, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(bits, dim)).astype(np.float64)
+
+    def signature(self, X: np.ndarray) -> np.ndarray:
+        bits = (X @ self.planes.T) > 0
+        return (bits.astype(np.uint32) << np.arange(self.planes.shape[0], dtype=np.uint32)).sum(axis=1).astype(np.int64)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        X = _to_matrix(batch["embedding"])
+        return pd.DataFrame({
+            "bucket": self.signature(X),
+            "vec_id": batch["vec_id"].astype(np.int64),
+        })

@@ -1,0 +1,106 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting — vectorized ``map_batches`` stages over a document
+table. Semantics chosen to be independently reproducible in SQL for the
+oracle (see __ray_entry__.oracle_sql):
+
+  - token count: whitespace tokenization of the trimmed text;
+  - quality: stopword ratio, punctuation ratio, mean token length;
+  - language ID: per-language stopword-hit counts, argmax with fixed
+    tie-break order (de > en > fr > it > unknown);
+  - fingerprint: md5 content hash (SQL: md5(text)); plus a rolling-hash
+    winnowing fingerprint (rows-only, unit-tested) for shingle-level
+    matching.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+STOPWORDS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "auf", "für"],
+    "en": ["the", "and", "is", "not", "with", "a", "on", "for", "of", "to"],
+    "fr": ["le", "la", "et", "est", "pas", "avec", "un", "sur", "pour", "de"],
+    "it": ["il", "la", "e", "è", "non", "con", "un", "su", "per", "di"],
+}
+LANG_ORDER = ["de", "en", "fr", "it"]
+PUNCT = ".,;:!?"
+
+
+def token_stats(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    toks = batch[col].fillna("").str.strip().str.split()
+    n_tokens = toks.str.len().fillna(0).astype(np.int64)
+    n_chars = batch[col].fillna("").str.len().astype(np.int64)
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"].astype(np.int64),
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+    })
+
+
+def quality_scores(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    text = batch[col].fillna("")
+    toks = text.str.strip().str.split()
+    n_tokens = toks.str.len().fillna(0).astype(np.int64)
+    n_chars = text.str.len().astype(np.int64)
+    punct = text.str.count(f"[{PUNCT}]").astype(np.int64)
+    all_stop = set(w for ws in STOPWORDS.values() for w in ws)
+    stop_hits = toks.map(lambda ws: sum(1 for w in ws if w.lower() in all_stop) if isinstance(ws, list) else 0)
+    alpha_chars = text.str.count(r"[A-Za-zÄÖÜäöüß]").astype(np.int64)
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"].astype(np.int64),
+        "n_tokens": n_tokens,
+        "stop_ratio": np.where(n_tokens > 0, stop_hits / n_tokens, 0.0),
+        "punct_ratio": np.where(n_chars > 0, punct / n_chars, 0.0),
+        "alpha_ratio": np.where(n_chars > 0, alpha_chars / n_chars, 0.0),
+        "mean_token_len": np.where(n_tokens > 0, (n_chars - (n_tokens - 1).clip(lower=0)) / n_tokens.replace(0, 1), 0.0),
+    })
+
+
+def lang_id(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    toks = batch[col].fillna("").str.strip().str.lower().str.split()
+    counts = {}
+    for lang in LANG_ORDER:
+        sw = set(STOPWORDS[lang])
+        counts[lang] = toks.map(lambda ws: sum(1 for w in ws if w in sw) if isinstance(ws, list) else 0)
+    cnt = pd.DataFrame(counts)
+    best = cnt.max(axis=1)
+    # argmax with fixed tie-break order; all-zero → 'unknown'
+    pred = pd.Series("unknown", index=batch.index, dtype=object)
+    for lang in reversed(LANG_ORDER):  # earlier langs overwrite later → order wins ties
+        pred = pred.where(~((cnt[lang] == best) & (best > 0)), lang)
+    out = pd.DataFrame({"doc_id": batch["doc_id"].astype(np.int64), "lang_pred": pred})
+    for lang in LANG_ORDER:
+        out[f"hits_{lang}"] = cnt[lang].astype(np.int64)
+    return out
+
+
+def fingerprint(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"].astype(np.int64),
+        "content_md5": batch[col].fillna("").map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()),
+    })
+
+
+def winnowing_fingerprint(text: str, k: int = 5, window: int = 4) -> list[int]:
+    """Rolling-hash winnowing (Schleimer et al.): k-gram token hashes, min per
+    window, dedup preserving order. Rows-only operator (unit-tested)."""
+    toks = text.split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little") >> 1
+          for g in grams]
+    if not hs:
+        return []
+    out, last = [], None
+    for i in range(max(1, len(hs) - window + 1)):
+        w = hs[i:i + window]
+        m = min(w)
+        if m != last:
+            out.append(m)
+            last = m
+    return out

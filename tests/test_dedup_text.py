@@ -1,0 +1,156 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from housenumbercore_ray.stages.dedup import (
+    MinHashLSH,
+    minhash_signature,
+    ngram_jaccard,
+    shingles,
+    simhash64,
+)
+from housenumbercore_ray.stages.textops import (
+    lang_id,
+    quality_scores,
+    token_stats,
+    winnowing_fingerprint,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep dark forest where nobody ever goes at night")
+NEAR = BASE.replace("lazy", "sleepy")
+FAR = "completely different content about database engines and query plans"
+
+
+class TestMinHash:
+    def test_signature_deterministic(self):
+        a = minhash_signature(BASE)
+        b = minhash_signature(BASE)
+        assert np.array_equal(a, b)
+
+    def test_estimates_jaccard(self):
+        sa, sb = minhash_signature(BASE), minhash_signature(NEAR)
+        est = (sa == sb).mean()
+        true = ngram_jaccard(BASE, NEAR)
+        assert abs(est - true) < 0.25
+        sc = minhash_signature(FAR)
+        assert (sa == sc).mean() < 0.2
+
+    def test_lsh_buckets_collide_for_near_dups(self):
+        lsh = MinHashLSH()
+        df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [BASE, NEAR, FAR]})
+        rows = lsh(df)
+        b1 = set(map(tuple, rows[rows.doc_id == 1][["band_id", "band_hash"]].values.tolist()))
+        b2 = set(map(tuple, rows[rows.doc_id == 2][["band_id", "band_hash"]].values.tolist()))
+        b3 = set(map(tuple, rows[rows.doc_id == 3][["band_id", "band_hash"]].values.tolist()))
+        assert b1 & b2      # near-dups share ≥1 band
+        assert not (b1 & b3)
+
+    def test_empty_text(self):
+        assert shingles("") == set()
+        sig = minhash_signature("")
+        assert (sig == np.iinfo(np.uint64).max).all()
+
+
+class TestSimhash:
+    def test_hamming_property(self):
+        def ham(a, b):
+            return bin(a ^ b).count("1")
+
+        ha, hb, hc = simhash64(BASE), simhash64(NEAR), simhash64(FAR)
+        assert ham(ha, hb) < ham(ha, hc)
+        assert simhash64(BASE) == ha  # deterministic
+
+
+class TestJaccard:
+    def test_bounds(self):
+        assert ngram_jaccard(BASE, BASE) == 1.0
+        assert ngram_jaccard("", "") == 1.0
+        assert 0.0 <= ngram_jaccard(BASE, FAR) < 0.1
+
+
+class TestWinnowing:
+    def test_overlap_detection(self):
+        fa = set(winnowing_fingerprint(BASE))
+        fb = set(winnowing_fingerprint(NEAR))
+        fc = set(winnowing_fingerprint(FAR))
+        assert len(fa & fb) > 0
+        assert len(fa & fc) == 0
+        assert winnowing_fingerprint("") == []
+
+
+class TestTextOps:
+    def test_token_stats(self):
+        df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a  b   c", "", "ein wort"]})
+        out = token_stats(df)
+        assert out["n_tokens"].tolist() == [3, 0, 2]
+        assert out["n_chars"].tolist() == [8, 0, 8]
+
+    def test_quality_empty_safe(self):
+        df = pd.DataFrame({"doc_id": [1], "text": [""]})
+        out = quality_scores(df)
+        assert out.iloc[0]["stop_ratio"] == 0.0
+        assert out.iloc[0]["punct_ratio"] == 0.0
+
+    def test_lang_id(self):
+        df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [
+            "der hund und die katze ist nicht da",
+            "the cat and the dog is not here",
+            "xyz qqq zzz",
+        ]})
+        out = lang_id(df)
+        assert out["lang_pred"].tolist() == ["de", "en", "unknown"]
+
+    def test_lang_tiebreak_order(self):
+        # 'la' is both fr and it stopword; fr comes first in LANG_ORDER
+        df = pd.DataFrame({"doc_id": [1], "text": ["la la la"]})
+        assert lang_id(df)["lang_pred"].iloc[0] == "fr"
+
+
+class TestSimilarityKernel:
+    def test_bruteforce_topk_matches_numpy(self, ray_session):
+        import ray
+
+        from housenumbercore_ray.stages.similarity import BruteForceTopK, topk_finalize
+
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(50, 8))
+        q = {0: X[0], 7: X[7]}
+        ref = ray.put(q)
+        bf = BruteForceTopK.__new__(BruteForceTopK)
+        bf.qids = np.asarray([0, 7], dtype=np.int64)
+        Q = np.stack([q[0], q[7]])
+        bf.Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        bf.k = 3
+        bf.exclude_self = True
+        batch = pd.DataFrame({"vec_id": np.arange(50), "embedding": list(X)})
+        partial = bf(batch)
+        final = partial.groupby("qid", group_keys=False).apply(lambda g: topk_finalize(g, 3))
+        # independent check
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        for qid in (0, 7):
+            sims = Xn @ (X[qid] / np.linalg.norm(X[qid]))
+            sims[qid] = -np.inf
+            want = np.argsort(-sims, kind="stable")[:3].tolist()
+            got = final[final.qid == qid].sort_values("rank")["vec_id"].tolist()
+            assert got == want
+
+
+class TestMultimodal:
+    def test_binary_feature_extract(self):
+        import hashlib
+
+        import pyarrow as pa
+
+        from housenumbercore_ray.stages.multimodal import BinaryFeatureExtract, FrameSampleStub, resize_stub
+
+        t = pa.table({"url": ["a", "b"], "payload": [b"\x00\x01\x02", b"x" * 10000]})
+        out = BinaryFeatureExtract(col="payload", id_col="url")(t)
+        assert out["n_bytes"].to_pylist() == [3, 10000]
+        assert out["content_md5"].to_pylist()[0] == hashlib.md5(b"\x00\x01\x02").hexdigest()
+
+        fs = FrameSampleStub(every_nth=1, frame_bytes=4096, col="payload", id_col="url")(t)
+        assert fs["frame_idx"].to_pylist() == [0, 0, 1]  # 3B→1 frame; 10000B→2 frames
+
+        with pytest.raises(NotImplementedError):
+            resize_stub(pd.DataFrame())

@@ -43,7 +43,9 @@ class TestWorldgen:
         assert hnrs.str.fullmatch(r"\d+-\d+").any()   # expandable range
         assert hnrs.str.contains(r"\dd-", regex=True).any()  # non-expandable
         la = pq.read_table(f"{world}/list_addresses.parquet").to_pandas()
-        assert la.duplicated().any()              # exact dup rows for dedup
+        # exact content duplicates (fresh addr_id) for the dedup operators
+        assert la.duplicated(subset=[c for c in la.columns if c != "addr_id"]).any()
+        assert la["addr_id"].is_unique
 
     def test_boundaries_are_bbox_equivalent(self, world):
         """Oracle precondition: PIP against the polygon == bbox test."""

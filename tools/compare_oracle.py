@@ -46,6 +46,9 @@ def main() -> int:
     qs = e.queries()
     sqls = e.oracle_sql()
     con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
