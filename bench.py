@@ -97,7 +97,8 @@ def _scaling(sf_dir: str) -> dict:
         "docs_per_sec_8": r_lo["docs_per_sec"],
         "docs_per_sec_32": r_hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        "sf": r_lo["sf"],
+        "world_scale": os.environ.get("GRAFT_WORLD_SCALE", "bench"),
+        "n_pages": r_lo.get("n_pages"),
     }
 
 

@@ -173,3 +173,53 @@ def street_summary(world_dir: str) -> rd.Dataset:
                     "hnr_nurosm", "hnr_abdeck", "hnr_liste"]]
 
     return ev.groupby("muni_id").map_groups(per_muni, batch_format="pandas")
+
+
+def run_join_rows_resumable(world_dir: str, out_dir: str) -> dict:
+    """Resumable partitioned run of the join-rows output (north rule).
+
+    Output: one ``part=<muni>`` parquet per municipality plus a
+    ``_manifest/`` lineage row (inputs, row count, content hash). On rerun,
+    committed partitions are SKIPPED — their municipalities are filtered out
+    mid-stream (a cheap row filter right after the spatial join), so resumed
+    work is proportional to what's missing, and the recomputed output is
+    byte-identical (deterministic stages + sorted partition writes).
+    Partition writes happen INSIDE the grouped tasks (driver never holds
+    data); the manifest commit (atomic rename) is the partition's commit
+    point, mirroring the reference's per-municipality idempotent rewrite
+    (HousenumberList.java:349-361) and skip-if-evaluated check
+    (TheoreticalHousenumbers.java:801-812).
+    """
+    from ..state.lineage import ResumableWriter, read_manifest
+
+    ctx = get_context(world_dir)
+    writer = ResumableWriter(out_dir)
+    munis = sorted(set(ctx.area_to_muni.values()))
+    done = [m for m in munis if writer.is_done(f"{m:05d}")]
+    remaining = set(munis) - set(done)
+    computed = []
+    if remaining:
+        ds = join_rows(world_dir).map_batches(
+            lambda b: b[b["muni_id"].isin(remaining)], batch_format="pandas"
+        )
+
+        def write_part(g: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow as pa
+
+            g = g.sort_values(["url", "cand_seq", "hnr_norm", "hnr"], kind="mergesort")
+            key = f"{int(g['muni_id'].iloc[0]):05d}"
+            w = ResumableWriter(out_dir)
+            row = w.write_partition(
+                key, pa.Table.from_pandas(g.reset_index(drop=True), preserve_index=False),
+                inputs=[f"{world_dir}/pages.parquet"],
+                metrics={"n_rows": int(len(g)), "n_by_name": int(g["matched_by_name"].sum())},
+            )
+            return pd.DataFrame([{"part": key, "rows": np.int64(row["rows"])}])
+
+        res = ds.groupby("muni_id").map_groups(write_part, batch_format="pandas").to_pandas()
+        computed = sorted(res["part"].tolist())
+    return {
+        "computed": computed,
+        "skipped": [f"{m:05d}" for m in done],
+        "manifest_rows": len(read_manifest(out_dir)),
+    }

@@ -1,0 +1,106 @@
+"""Resumable output: kill/restart reproduces byte-identical partitions and
+skips completed ones (north rule)."""
+
+import hashlib
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pytest
+
+from housenumbercore_ray.sources.worldgen import ensure_world
+from housenumbercore_ray.state.lineage import ResumableWriter, read_manifest, run_resumable
+
+
+def _file_hash(path):
+    return hashlib.sha256(open(path, "rb").read()).hexdigest()
+
+
+class TestLineagePrimitives:
+    def test_run_resumable_skips_committed(self, tmp_path):
+        calls = []
+
+        def compute(key):
+            calls.append(key)
+            return pa.table({"k": [key], "v": [len(key)]})
+
+        out = str(tmp_path / "o")
+        s1 = run_resumable(out, ["a", "b", "c"], compute)
+        assert s1["computed"] == ["a", "b", "c"] and s1["skipped"] == []
+        calls.clear()
+        s2 = run_resumable(out, ["a", "b", "c", "d"], compute)
+        assert s2["computed"] == ["d"] and s2["skipped"] == ["a", "b", "c"]
+        assert calls == ["d"]
+        assert len(read_manifest(out)) == 4
+
+    def test_uncommitted_partition_recomputed(self, tmp_path):
+        def compute(key):
+            return pa.table({"k": [key]})
+
+        out = str(tmp_path / "o")
+        run_resumable(out, ["a", "b"], compute)
+        # simulate kill after data write but before manifest commit
+        os.remove(os.path.join(out, "_manifest", "part=b.json"))
+        s = run_resumable(out, ["a", "b"], compute)
+        assert s["computed"] == ["b"] and s["skipped"] == ["a"]
+
+    def test_content_hash_stable(self, tmp_path):
+        w = ResumableWriter(str(tmp_path / "o"))
+        t = pa.table({"x": [3, 1, 2], "y": ["c", "a", "b"]})
+        r1 = w.write_partition("p", t)
+        # same content, different row order → same content hash
+        t2 = pa.table({"x": [1, 2, 3], "y": ["a", "b", "c"]})
+        r2 = w.write_partition("p", t2)
+        assert r1["content_hash"] == r2["content_hash"]
+
+
+class TestPipelineResume:
+    @pytest.fixture(scope="class")
+    def world(self, ray_session):
+        return ensure_world("/root/testdata/sf0.001")
+
+    def test_resume_byte_identical(self, world, tmp_path):
+        from housenumbercore_ray.pipelines.evaluation import run_join_rows_resumable
+
+        out = str(tmp_path / "join_rows")
+        s1 = run_join_rows_resumable(world, out)
+        assert s1["skipped"] == [] and len(s1["computed"]) > 0
+        parts = sorted(p for p in os.listdir(out) if p.startswith("part="))
+        hashes1 = {p: _file_hash(os.path.join(out, p, "data.parquet")) for p in parts}
+        manifest1 = {m["part"]: m["content_hash"] for m in read_manifest(out)}
+
+        # kill simulation: drop two partitions (one with, one without manifest)
+        victim_full = parts[0]
+        victim_uncommitted = parts[1]
+        shutil.rmtree(os.path.join(out, victim_full))
+        os.remove(os.path.join(out, "_manifest", f"{victim_uncommitted}.json"))
+
+        s2 = run_join_rows_resumable(world, out)
+        recomputed = {f"part={p}" for p in s2["computed"]}
+        assert recomputed == {victim_full, victim_uncommitted}
+        assert len(s2["skipped"]) == len(parts) - 2
+
+        hashes2 = {p: _file_hash(os.path.join(out, p, "data.parquet")) for p in parts}
+        assert hashes1 == hashes2  # byte-identical resumed output
+        manifest2 = {m["part"]: m["content_hash"] for m in read_manifest(out)}
+        assert manifest1 == manifest2
+
+    def test_third_run_noop(self, world, tmp_path):
+        from housenumbercore_ray.pipelines.evaluation import run_join_rows_resumable
+
+        out = str(tmp_path / "j2")
+        run_join_rows_resumable(world, out)
+        s = run_join_rows_resumable(world, out)
+        assert s["computed"] == []
+        assert len(s["skipped"]) == s["manifest_rows"]
+
+    def test_manifest_metrics(self, world, tmp_path):
+        from housenumbercore_ray.pipelines.evaluation import run_join_rows_resumable
+
+        out = str(tmp_path / "j3")
+        run_join_rows_resumable(world, out)
+        for m in read_manifest(out):
+            assert m["rows"] > 0
+            assert m["metrics"]["n_rows"] == m["rows"]
+            assert m["inputs"] and m["inputs"][0].endswith("pages.parquet")
