@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hnr_evaluation": lambda sf: ev.evaluation(_world(sf)),
         "hnr_muni_summary": lambda sf: ev.muni_summary(_world(sf)),
         "hnr_street_summary": lambda sf: ev.street_summary(_world(sf)),
+        "hnr_streets_missing_in_osm": lambda sf: ev.streets_missing_in_osm(_world(sf)),
+        "hnr_subarea_rows": lambda sf: ev.subarea_rows(_world(sf)),
         # theoretical pipeline (osm_addresses table of the world)
         "theo_muni_summary": lambda sf: __import__(
             "housenumbercore_ray.pipelines.theoretical", fromlist=["theo_muni_summary"]
@@ -258,6 +260,7 @@ WITH b AS (
   SELECT muni_id, minlon, minlat, maxlon, maxlat,
          population AS bevoelkerungszahl, area_km2 AS flaechekm2
   FROM read_parquet('{world_dir}/boundaries.parquet')
+  WHERE sub_id = '-1'
 ),
 oa AS (
   SELECT o.*, b.muni_id AS mid

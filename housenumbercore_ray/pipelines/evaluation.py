@@ -175,6 +175,83 @@ def street_summary(world_dir: str) -> rd.Dataset:
     return ev.groupby("muni_id").map_groups(per_muni, batch_format="pandas")
 
 
+def streets_missing_in_osm(world_dir: str) -> rd.Dataset:
+    """J4: official-list streets with no valid OSM street in the municipality
+    (MunicipalityJobs.storeStreets:878-931 — inserted with NULL geometry as
+    'street missing in OSM'). Broadcast anti-semi-join: the valid OSM street
+    key set rides with the batch function; no shuffle."""
+    ctx = get_context(world_dir)
+    osm_keys = set()
+    for area, entry in ctx.street_index.by_area.items():
+        muni = ctx.area_to_muni.get(int(area))
+        for name in entry["names"]:
+            osm_keys.add((muni, name))
+
+    ref_to_id = ctx.muni_ref_to_id
+
+    def anti(b: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.context import street_key_series
+
+        b = b.assign(muni_id=b["muni_ref"].map(ref_to_id), street_key=street_key_series(b["street"]))
+        b = b.dropna(subset=["muni_id"])
+        b["muni_id"] = b["muni_id"].astype(np.int64)
+        mask = [(m, k) not in osm_keys for m, k in zip(b["muni_id"], b["street_key"])]
+        return b.loc[mask, ["muni_id", "street_key"]]
+
+    return (
+        rd.read_parquet(f"{world_dir}/list_addresses.parquet", columns=["muni_ref", "street"])
+        .map_batches(anti, batch_format="pandas")
+        .groupby(["muni_id", "street_key"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+
+def subarea_rows(world_dir: str) -> rd.Dataset:
+    """J7: assign each located candidate to its municipality subarea
+    (MunicipalityArea.generateSuburbPolygons:668-1004 semantics: only
+    subareas with admin_level > parent that lie within the 0.03°-buffered
+    parent polygon are admitted — the validity check runs at context build).
+    sub_id = '-1' when no subarea matches."""
+    ref = get_context_ref(world_dir)
+
+    class SubAssign:
+        def __init__(self) -> None:
+            import ray
+
+            self.ctx = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            from ..geo.pip import points_in_rings
+
+            sub = np.array(["-1"] * len(b), dtype=object)
+            pos = np.arange(len(b))
+            muni_vals = b["muni_id"].to_numpy()
+            for muni in np.unique(muni_vals):
+                subs = self.ctx.subareas.get(int(muni))
+                if not subs:
+                    continue
+                m = muni_vals == muni
+                lon = b["lon"].to_numpy()[m]
+                lat = b["lat"].to_numpy()[m]
+                assigned = np.array(["-1"] * m.sum(), dtype=object)
+                for sub_id, rings in subs:
+                    todo = assigned == "-1"
+                    if not todo.any():
+                        break
+                    inside = points_in_rings(lon[todo], lat[todo], rings)
+                    idx = np.flatnonzero(todo)[inside]
+                    assigned[idx] = sub_id
+                sub[pos[m]] = assigned
+            b = b[["url", "cand_seq", "muni_id"]].copy()
+            b["sub_id"] = sub
+            return b
+
+    return located(world_dir).map_batches(
+        SubAssign, batch_format="pandas", batch_size=ROW_BATCH,
+        concurrency=_pool(), num_cpus=1,
+    )
+
+
 def run_join_rows_resumable(world_dir: str, out_dir: str) -> dict:
     """Resumable partitioned run of the join-rows output (north rule).
 

@@ -50,7 +50,7 @@ def preamble(world_dir: str) -> str:
     return f"""
 WITH
 pages_w AS (SELECT * FROM read_parquet('{world_dir}/pages.parquet')),
-bounds AS (SELECT * FROM read_parquet('{world_dir}/boundaries.parquet')),
+bounds AS (SELECT * FROM read_parquet('{world_dir}/boundaries.parquet') WHERE sub_id = '-1'),
 streets_raw AS (SELECT * FROM read_parquet('{world_dir}/osm_streets.parquet')),
 list_raw AS (SELECT * FROM read_parquet('{world_dir}/list_addresses.parquet')),
 cand_lists AS (
@@ -261,6 +261,38 @@ SELECT muni_id,
        CAST(sum(CASE WHEN treffertyp = 'o' THEN 1 ELSE 0 END) AS BIGINT) AS number_osmonly
 FROM evaluation GROUP BY muni_id
 """,
+        "hnr_streets_missing_in_osm": pre + f"""
+SELECT DISTINCT b.muni_id, {_fold('l.street')} AS street_key
+FROM list_raw l JOIN bounds b ON b.official_ref = l.muni_ref
+WHERE NOT EXISTS (
+  SELECT 1 FROM valid_streets s
+  WHERE s.muni_id = b.muni_id AND s.skey = {_fold('l.street')}
+)
+""",
+        "hnr_subarea_rows": pre + f"""
+, subs AS (
+  SELECT sb.muni_id, sb.sub_id, sb.minlon AS slo, sb.minlat AS sla,
+         sb.maxlon AS shi, sb.maxlat AS sha
+  FROM read_parquet('{{world_dir}}/boundaries.parquet') sb
+  JOIN bounds p ON p.muni_id = sb.muni_id
+  WHERE sb.sub_id <> '-1' AND sb.admin_level > p.admin_level
+    AND sb.minlon >= p.minlon - 0.03 AND sb.maxlon <= p.maxlon + 0.03
+    AND sb.minlat >= p.minlat - 0.03 AND sb.maxlat <= p.maxlat + 0.03
+)
+SELECT url, cand_seq, muni_id, sub_id FROM (
+  SELECT a.url, a.cand_seq, a.muni_id, coalesce(s.sub_id, '-1') AS sub_id,
+         row_number() OVER (PARTITION BY a.url, a.cand_seq
+                            ORDER BY coalesce(s.sub_id, '~')) AS rn
+  FROM assigned a
+  -- ±1e-6° tolerance mirrors the engine's ST_Covers-style boundary
+  -- inclusion (geo.pip._on_ring eps): a point one ulp past a shared
+  -- subarea edge still counts as inside that subarea
+  LEFT JOIN subs s
+    ON s.muni_id = a.muni_id
+   AND a.lon >= s.slo - 1e-6 AND a.lon <= s.shi + 1e-6
+   AND a.lat >= s.sla - 1e-6 AND a.lat <= s.sha + 1e-6
+) WHERE rn = 1
+""".replace("{world_dir}", world_dir),
         "hnr_street_summary": pre + """
 SELECT muni_id, street_key,
        CAST(sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_soll,

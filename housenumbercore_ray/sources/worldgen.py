@@ -59,7 +59,7 @@ import pyarrow.parquet as pq
 
 from ..geo.wkb import linestring_wkb, multipolygon_wkb, polygon_wkb
 
-WORLD_VERSION = "v3"
+WORLD_VERSION = "v4"
 WORLD_ROOT = "/tmp/hnr_world"
 
 LON0, LAT0 = 10.0, 50.0
@@ -216,8 +216,39 @@ def generate_world(scale: str, out_dir: str) -> dict:
         b_rows["population"].append(pop)
         b_rows["area_km2"].append(round(3.0 + (int(hi(2, i)) % 2000) / 10.0, 1))
         b_rows["housenumberaddition_exactly"].append(i % 5 == 2)
-        b_rows["subareasidentifyable"].append(False)
+        b_rows["subareasidentifyable"].append(i % 7 == 1)
         b_rows["plz"].append(f"{10000 + (i * 37) % 89999:05d}")
+    # subareas (J7, gebiete sub rows): two halves tiling the parent rect for
+    # subarea-identifyable munis, plus ONE stray subarea far outside its
+    # parent (muni 8) that the buffered-within check must reject
+    for i in range(M):
+        if i % 7 != 1 and i != 8:
+            continue
+        minlon, minlat, maxlon, maxlat = muni_rect(i)
+        mid = (minlon + maxlon) / 2
+        subrects = []
+        if i % 7 == 1:
+            subrects = [("1", minlon, minlat, mid, maxlat), ("2", mid, minlat, maxlon, maxlat)]
+        if i == 8:
+            subrects = subrects + [("9", minlon + 5.0, minlat, mid + 5.0, maxlat)]  # stray
+        for sub_id, slo, sla, shi, sha in subrects:
+            b_rows["area_id"].append(5000 + i * 10 + int(sub_id))
+            b_rows["muni_id"].append(i)
+            b_rows["name"].append(f"{_muni_name(i)} OT {sub_id}")
+            b_rows["admin_level"].append(9)
+            b_rows["official_ref"].append(f"{3150000 + i * 4:08d}")
+            b_rows["countrycode"].append("DE")
+            b_rows["sub_id"].append(sub_id)
+            b_rows["polygon_wkb"].append(polygon_wkb([(slo, sla), (shi, sla), (shi, sha), (slo, sha)]))
+            b_rows["minlon"].append(slo)
+            b_rows["minlat"].append(sla)
+            b_rows["maxlon"].append(shi)
+            b_rows["maxlat"].append(sha)
+            b_rows["population"].append(0)
+            b_rows["area_km2"].append(0.0)
+            b_rows["housenumberaddition_exactly"].append(i % 5 == 2)
+            b_rows["subareasidentifyable"].append(True)
+            b_rows["plz"].append(f"{10000 + (i * 37) % 89999:05d}")
     boundaries = pa.table({k: v for k, v in b_rows.items()})
 
     # ---- streets ----------------------------------------------------------
@@ -247,7 +278,10 @@ def generate_world(scale: str, out_dir: str) -> dict:
             s_rows["osm_id"].append(osm_id)
             s_rows["muni_id"].append(i)
             s_rows["name"].append(nm)
-            s_rows["highway"].append("residential" if j % 4 else "service")
+            # the LAST street of each muni exists only in the official list
+            # (invalid highway in OSM) → the J4 official-only anti-join has
+            # real rows and its page candidates exercise the kNN fallback
+            s_rows["highway"].append("footway" if j == S - 1 else ("residential" if j % 4 else "service"))
             s_rows["linestring_wkb"].append(wkb)
             s_rows["mid_lon"].append((x0 + x1) / 2)
             s_rows["mid_lat"].append(lat)

@@ -39,10 +39,52 @@ def street_key_series(names: pd.Series) -> pd.Series:
     return names.fillna("").str.lower().str.translate(_FOLD_TABLE).str.strip()
 
 
+def _within_buffered(sub_rings, parent_rings, buffer_deg: float) -> bool:
+    """Is the sub polygon within the parent buffered by ``buffer_deg``
+    (planar degrees, like PostGIS ST_Buffer on a 4326 geometry)? Vertex
+    test: every exterior vertex inside the parent or within buffer distance
+    of a parent edge — exact for convex parents, conservative otherwise."""
+    import numpy as np
+
+    from ..geo.pip import points_in_rings
+
+    for ring, is_ext in sub_rings:
+        if not is_ext:
+            continue
+        lon, lat = ring[:, 0], ring[:, 1]
+        inside = points_in_rings(lon, lat, parent_rings)
+        if inside.all():
+            continue
+        out_idx = np.flatnonzero(~inside)
+        for pi in out_idx:
+            d = min(
+                _min_dist_deg(lon[pi], lat[pi], pring)
+                for pring, _ in parent_rings
+            )
+            if d > buffer_deg:
+                return False
+    return True
+
+
+def _min_dist_deg(px: float, py: float, ring) -> float:
+    """Planar min distance (degrees) from a point to a ring's edges."""
+    import numpy as np
+
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    dx, dy = x1 - x0, y1 - y0
+    L2 = dx * dx + dy * dy
+    t = np.clip(((px - x0) * dx + (py - y0) * dy) / np.where(L2 > 0, L2, 1.0), 0.0, 1.0)
+    cx, cy = x0 + t * dx, y0 + t * dy
+    return float(np.sqrt(((px - cx) ** 2 + (py - cy) ** 2).min()))
+
+
 class WorldContext:
     def __init__(self, world_dir: str):
         self.world_dir = world_dir
-        b = pq.read_table(f"{world_dir}/boundaries.parquet").to_pandas()
+        ball = pq.read_table(f"{world_dir}/boundaries.parquet").to_pandas()
+        # main municipality areas only; sub rows feed the subarea index (J7)
+        b = ball[ball["sub_id"] == "-1"]
         self.boundary_index = BoundaryIndex(
             b["area_id"].to_numpy(), b["polygon_wkb"].tolist(),
             payload={
@@ -60,6 +102,25 @@ class WorldContext:
         self.area_to_muni = {int(r.area_id): int(r.muni_id) for r in b.itertuples()}
         self.muni_exactly = {int(r.muni_id): bool(r.housenumberaddition_exactly) for r in b.itertuples()}
         self.muni_ref_to_id = {r.official_ref: int(r.muni_id) for r in b.itertuples()}
+
+        # subarea polygons (J7, MunicipalityArea.generateSuburbPolygons
+        # :668-1004): admitted only if admin_level > parent's and the sub
+        # polygon lies within the parent buffered by 0.03°
+        # (ST_Within(way, ST_Buffer(muniPolygon, 0.03)), query :675-686)
+        from ..geo.pip import points_in_rings
+        from ..geo.wkb import wkb_rings
+
+        self.subareas: dict[int, list] = {}
+        parent_level = {int(r.muni_id): int(r.admin_level) for r in b.itertuples()}
+        parent_rings = {int(r.muni_id): wkb_rings(r.polygon_wkb) for r in b.itertuples()}
+        for r in ball[ball["sub_id"] != "-1"].itertuples():
+            muni = int(r.muni_id)
+            if int(r.admin_level) <= parent_level.get(muni, 99):
+                continue
+            rings = wkb_rings(r.polygon_wkb)
+            if not _within_buffered(rings, parent_rings[muni], 0.03):
+                continue
+            self.subareas.setdefault(muni, []).append((r.sub_id, rings))
 
         # associatedStreet relation dictionary (ST2 analog: member→streetname
         # cache, TheoreticalHousenumbers.hol_strassenname_zur_id:184-289) —
