@@ -58,6 +58,21 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     n_eval = ev.muni_summary(wd).count()
     queries["evaluation_full"] = round(time.time() - t, 3)
 
+    # secondary operator families (timed over the driver tables / world)
+    from housenumbercore_ray.pipelines import corpus, theoretical
+
+    t = time.time()
+    corpus.exact_dedup(sf_dir).count()
+    queries["dedup_exact"] = round(time.time() - t, 3)
+
+    t = time.time()
+    corpus.ann_topk(sf_dir).count()
+    queries["ann_topk"] = round(time.time() - t, 3)
+
+    t = time.time()
+    theoretical.theo_muni_summary(wd).count()
+    queries["theo_summary"] = round(time.time() - t, 3)
+
     headline = queries["evaluation_full"]
     result = {
         "metric": "housenumber evaluation pipeline wall-clock (pages->extract->spatial join->street kNN->treffertyp merge->aggregate)",

@@ -22,14 +22,44 @@ def _docs(sf_dir: str, columns=("doc_id", "text")) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
+N_SHARDS = 64
+
+
+def _shard_on(cols):
+    """Stable shard column over one or more key columns — the two-level
+    groupby pattern: shuffle on ~N_SHARDS coarse shards, run the fine
+    per-key logic VECTORIZED inside each shard. One Ray group per key is
+    pathological (per-group Python call overhead dominates); one group per
+    shard keeps the reduce at pandas speed and the shuffle balanced."""
+
+    def add(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(b), dtype=np.uint64)
+        for c in cols:
+            h = h * np.uint64(1099511628211) + pd.util.hash_array(b[c].to_numpy(dtype=object))
+        return b.assign(_shard=(h % N_SHARDS).astype(np.int64))
+
+    return add
+
+
 def exact_dedup(sf_dir: str) -> rd.Dataset:
     """Exact dedup: content-hash partition + per-group keeper (min doc_id) +
-    duplicate count — HousenumberList dedup semantics generalized."""
+    duplicate count — HousenumberList dedup semantics generalized. Sharded
+    two-level groupby; inner reduce fully vectorized."""
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("content_hash", sort=True)
+            .agg(doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+            .reset_index()
+        )
+        return out[["doc_id", "n_dups", "content_hash"]].astype({"doc_id": np.int64, "n_dups": np.int64})
+
     return (
         _docs(sf_dir)
         .map_batches(add_content_hash, batch_format="pandas")
-        .groupby("content_hash")
-        .map_groups(dup_groups, batch_format="pandas")
+        .map_batches(_shard_on(["content_hash"]), batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(agg, batch_format="pandas")
     )
 
 
@@ -49,10 +79,24 @@ def list_dup_pairs(world_dir: str) -> rd.Dataset:
                           + "|" + b["housenumber"] + "|" + b["postcode"])
         return b
 
+    def pairs_in_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # only keys with >1 rows can produce pairs; loop over those few
+        sizes = g.groupby("dedup_key")["addr_id"].transform("size")
+        dups = g[sizes > 1]
+        frames = [
+            exact_dup_pairs_in_group(sub, id_col="addr_id")
+            for _, sub in dups.groupby("dedup_key", sort=True)
+        ]
+        if not frames:
+            return pd.DataFrame({"addr_id_a": pd.Series([], dtype=np.int64),
+                                 "addr_id_b": pd.Series([], dtype=np.int64)})
+        return pd.concat(frames, ignore_index=True)
+
     return (
         ds.map_batches(keyed, batch_format="pandas")
-        .groupby("dedup_key")
-        .map_groups(lambda g: exact_dup_pairs_in_group(g, id_col="addr_id"), batch_format="pandas")
+        .map_batches(_shard_on(["dedup_key"]), batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(pairs_in_shard, batch_format="pandas")
     )
 
 
@@ -114,15 +158,26 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
             batch = batch.assign(jaccard=np.asarray(jac, dtype=np.float64))
             return batch[batch["jaccard"] >= threshold]
 
+    def bucket_pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(["band_id", "band_hash"])["doc_id"].transform("size")
+        frames = [bucket_pairs(sub) for _, sub in g[sizes > 1].groupby(["band_id", "band_hash"], sort=True)]
+        if not frames:
+            return pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
+                                 "doc_id_b": pd.Series([], dtype=np.int64)})
+        return pd.concat(frames, ignore_index=True)
+
     pairs = (
         minhash_buckets(sf_dir)
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(_shard_on(["band_hash"]), batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(bucket_pairs_shard, batch_format="pandas")
     )
     # global pair dedup (a pair can collide in several bands) then verify
     return (
-        pairs.groupby(["doc_id_a", "doc_id_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        pairs.map_batches(_shard_on(["doc_id_a", "doc_id_b"]), batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(lambda g: g.drop_duplicates(["doc_id_a", "doc_id_b"]).drop(columns=["_shard"]),
+                    batch_format="pandas")
         .map_batches(Verify, batch_format="pandas", concurrency=(1, 4), num_cpus=1)
     )
 

@@ -105,9 +105,25 @@ def join_rows(world_dir: str) -> rd.Dataset:
     )
 
 
+EVAL_SALT = 8
+
+
+def _add_shard(b: pd.DataFrame) -> pd.DataFrame:
+    """Salted shuffle key (north-rule skew handling): hot municipalities
+    (the metropolis holds ~30% of rows) split into EVAL_SALT shards keyed by
+    a stable hash of street_key, so every (street, hnr) evaluation key stays
+    co-located while no single reducer gets a whole hot municipality."""
+    salt = pd.util.hash_array(b["street_key"].to_numpy(dtype=object)) % EVAL_SALT
+    return b.assign(_shard=b["muni_id"].to_numpy(dtype=np.int64) * EVAL_SALT + salt.astype(np.int64))
+
+
 def evaluation(world_dir: str) -> rd.Dataset:
     """The auswertung_hausnummern analog: one row per
-    (muni_id, street_key, hnr_norm) with treffertyp ∈ {i,l,o}."""
+    (muni_id, street_key, hnr_norm) with treffertyp ∈ {i,l,o}.
+
+    Shuffle = ONE salted groupby over per-batch partial rows: phase A
+    (ExplodeCombine) bounds rows per key per batch; phase B classifies per
+    salted shard (all rows of a key share a shard by construction)."""
     ref = get_context_ref(world_dir)
     ctx = get_context(world_dir)
     osm_partials = located(world_dir).map_batches(
@@ -115,8 +131,12 @@ def evaluation(world_dir: str) -> rd.Dataset:
         batch_format="pandas", batch_size=ROW_BATCH, concurrency=_pool(), num_cpus=1,
     )
     lst = rd.from_pandas(list_side_partials(ctx))
-    both = osm_partials.union(lst)
-    return both.groupby("muni_id").map_groups(classify_muni, batch_format="pandas")
+    both = osm_partials.union(lst).map_batches(_add_shard, batch_format="pandas")
+
+    def classify_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return classify_muni(g.drop(columns=["_shard"]))
+
+    return both.groupby("_shard").map_groups(classify_shard, batch_format="pandas")
 
 
 def muni_summary(world_dir: str) -> rd.Dataset:
