@@ -60,6 +60,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hnr_street_summary": lambda sf: ev.street_summary(_world(sf)),
         "hnr_streets_missing_in_osm": lambda sf: ev.streets_missing_in_osm(_world(sf)),
         "hnr_subarea_rows": lambda sf: ev.subarea_rows(_world(sf)),
+        "hnr_csv_import": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.import_list", fromlist=["csv_import"]
+        ).csv_import(_world(sf)),
+        "hnr_evaluation_delta": lambda sf: ev.evaluation_delta(_world(sf)),
         # theoretical pipeline (osm_addresses table of the world)
         "theo_muni_summary": lambda sf: __import__(
             "housenumbercore_ray.pipelines.theoretical", fromlist=["theo_muni_summary"]
@@ -305,9 +309,11 @@ def oracle_sql() -> dict[str, str]:
     from housenumbercore_ray.pipelines.oracle import queries_sql
     from housenumbercore_ray.sources.worldgen import ensure_world, world_dir_for
 
-    # the driver runs oracles at sf=0.01 — make sure that world exists before
-    # any SQL runs, and point the SQL at its absolute path
-    ensure_world(ORACLE_SF)
+    # the driver runs oracles at sf=0.01 — make sure that world (and the
+    # derived CSV export) exists before any SQL runs
+    from housenumbercore_ray.pipelines.import_list import ensure_list_csv
+
+    ensure_list_csv(ensure_world(ORACLE_SF))
     wd = world_dir_for(ORACLE_SF)
     out = queries_sql(wd)
     out.update(_corpus_oracles(wd))

@@ -272,6 +272,42 @@ def subarea_rows(world_dir: str) -> rd.Dataset:
     )
 
 
+def evaluation_delta(world_dir: str):
+    """K1/ST1: Workcache-style delta between the current evaluation and a
+    deterministic 'previous month' snapshot, classified
+    insert / update / delete / unchanged (Workcache state machine,
+    Workcache.java:243-608 — the full recomputation becomes a snapshot diff,
+    SURVEY.md ST1).
+
+    The previous snapshot is derived deterministically from the current one
+    (so the oracle can rebuild it in SQL):
+      - OSM_ONLY rows of municipalities divisible by 3 are absent in prev
+        → they classify as ``insert``;
+      - IDENTICAL rows of municipalities ≡ 2 (mod 4) were LIST_ONLY in prev
+        → ``update``;
+      - every municipality divisible by 5 had one extra key
+        ('weggefallene strasse', '0099') in prev → ``delete``.
+    """
+    from ..stages.boundaries import snapshot_diff
+
+    cur = evaluation(world_dir).to_pandas()
+    prev = cur.copy()
+    prev = prev[~((prev["muni_id"] % 3 == 0) & (prev["treffertyp"] == "o"))]
+    upd = (prev["muni_id"] % 4 == 2) & (prev["treffertyp"] == "i")
+    prev.loc[upd, "treffertyp"] = "l"
+    gone = pd.DataFrame({
+        "muni_id": sorted({int(m) for m in cur["muni_id"].unique() if m % 5 == 0}),
+    })
+    gone["street_key"] = "weggefallene strasse"
+    gone["hnr_norm"] = "0099"
+    gone["treffertyp"] = "l"
+    prev = pd.concat([prev[["muni_id", "street_key", "hnr_norm", "treffertyp"]],
+                      gone], ignore_index=True)
+    d = snapshot_diff(prev, cur[["muni_id", "street_key", "hnr_norm", "treffertyp"]],
+                      ["muni_id", "street_key", "hnr_norm"], ["treffertyp"])
+    return d.astype({"muni_id": np.int64})
+
+
 def run_join_rows_resumable(world_dir: str, out_dir: str) -> dict:
     """Resumable partitioned run of the join-rows output (north rule).
 

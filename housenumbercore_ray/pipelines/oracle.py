@@ -293,6 +293,34 @@ SELECT url, cand_seq, muni_id, sub_id FROM (
    AND a.lat >= s.sla - 1e-6 AND a.lat <= s.sha + 1e-6
 ) WHERE rn = 1
 """.replace("{world_dir}", world_dir),
+        "hnr_csv_import": f"""
+SELECT DISTINCT gemeindeid AS muni_ref, strasse AS street,
+       hausnummer AS housenumber, plz AS postcode,
+       CAST(lon AS DOUBLE) AS lon, CAST(lat AS DOUBLE) AS lat
+FROM read_csv('{world_dir}/derived/list_export.csv', delim=';', header=true, all_varchar=true)
+WHERE trim(strasse) <> '' AND trim(hausnummer) <> ''
+""",
+        "hnr_evaluation_delta": pre + """
+, cur AS (SELECT muni_id, street_key, hnr_norm, treffertyp FROM evaluation),
+prev AS (
+  SELECT muni_id, street_key, hnr_norm,
+         CASE WHEN muni_id % 4 = 2 AND treffertyp = 'i' THEN 'l' ELSE treffertyp END AS treffertyp
+  FROM cur WHERE NOT (muni_id % 3 = 0 AND treffertyp = 'o')
+  UNION ALL
+  SELECT DISTINCT muni_id, 'weggefallene strasse', '0099', 'l' FROM cur WHERE muni_id % 5 = 0
+)
+SELECT coalesce(p.muni_id, c.muni_id) AS muni_id,
+       coalesce(p.street_key, c.street_key) AS street_key,
+       coalesce(p.hnr_norm, c.hnr_norm) AS hnr_norm,
+       CASE WHEN p.muni_id IS NULL THEN 'insert'
+            WHEN c.muni_id IS NULL THEN 'delete'
+            WHEN p.treffertyp <> c.treffertyp THEN 'update'
+            ELSE 'unchanged' END AS change,
+       coalesce(c.treffertyp, p.treffertyp) AS treffertyp
+FROM prev p
+FULL OUTER JOIN cur c
+  ON p.muni_id = c.muni_id AND p.street_key = c.street_key AND p.hnr_norm = c.hnr_norm
+""",
         "hnr_street_summary": pre + """
 SELECT muni_id, street_key,
        CAST(sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_soll,

@@ -29,20 +29,28 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", [
     "hnr_extract_candidates", "hnr_join_rows", "hnr_evaluation",
-    "hnr_muni_summary", "hnr_street_summary",
+    "hnr_muni_summary", "hnr_street_summary", "hnr_streets_missing_in_osm",
+    "hnr_subarea_rows", "hnr_csv_import", "hnr_evaluation_delta",
 ])
 def test_query_matches_oracle(world, name):
     from housenumbercore_ray.pipelines import evaluation as ev
+    from housenumbercore_ray.pipelines import import_list
     from housenumbercore_ray.pipelines.oracle import queries_sql
 
+    import_list.ensure_list_csv(world)
     ray_fn = {
         "hnr_extract_candidates": ev.candidates,
         "hnr_join_rows": ev.join_rows,
         "hnr_evaluation": ev.evaluation,
         "hnr_muni_summary": ev.muni_summary,
         "hnr_street_summary": ev.street_summary,
+        "hnr_streets_missing_in_osm": ev.streets_missing_in_osm,
+        "hnr_subarea_rows": ev.subarea_rows,
+        "hnr_csv_import": import_list.csv_import,
+        "hnr_evaluation_delta": ev.evaluation_delta,
     }[name]
-    got = _normalize(ray_fn(world).to_pandas())
+    res = ray_fn(world)
+    got = _normalize(res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res))
     want = _normalize(duckdb.sql(queries_sql(world)[name]).df())
     assert got.shape == want.shape
     assert list(got.columns) == list(want.columns)
