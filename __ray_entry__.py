@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search (embeddings table)
         "ann_topk_cosine": corpus.ann_topk,
         "ann_lsh_buckets": corpus.ann_lsh_buckets,              # rows-only
+        "ann_lsh_topk": corpus.ann_lsh_topk,                    # rows-only (approximate)
+        "dedup_embedding_pairs": corpus.embedding_near_dup_pairs,
         # multimodal plumbing (binary column of pages)
         "media_features": lambda sf: corpus.media_features(_world(sf)),
         "media_frame_samples": lambda sf: corpus.frame_samples(_world(sf)),
@@ -158,6 +160,13 @@ FROM documents
 """,
         "text_fingerprint": """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS content_md5 FROM documents
+""",
+        "dedup_embedding_pairs": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id_a, CAST(b.vec_id AS BIGINT) AS vec_id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.45
 """,
         "ann_topk_cosine": """
 WITH q AS (

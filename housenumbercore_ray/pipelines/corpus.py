@@ -226,6 +226,100 @@ def ann_lsh_buckets(sf_dir: str) -> rd.Dataset:
     )
 
 
+def embedding_near_dup_pairs(sf_dir: str, tau: float = 0.45) -> rd.Dataset:
+    """Embedding-cosine near-dup pairs: all (a < b) with cosine ≥ tau.
+
+    Small-side broadcast of the normalized matrix (embeddings tables are the
+    dimension side here); each batch computes a (batch × all) matmul and
+    emits only qualifying pairs with a<b — per-batch output is bounded by
+    the true pair count. At 10^12 rows the same stage runs per LSH bucket
+    (SignedProjectionLSH) instead of against the full matrix."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    side_ref = ray.put((ids, Xn))
+
+    class Pairs:
+        def __init__(self):
+            self.ids, self.Xn = ray.get(side_ref)
+            self.pos = {int(v): i for i, v in enumerate(self.ids)}
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            rows_idx = np.asarray([self.pos[int(v)] for v in b["vec_id"]], dtype=np.int64)
+            sims = self.Xn[rows_idx] @ self.Xn.T
+            bi, bj = np.nonzero(sims >= tau)
+            gi = self.ids[rows_idx[bi]]
+            gj = self.ids[bj]
+            keep = gi < gj
+            return pd.DataFrame({
+                "vec_id_a": pd.Series(gi[keep], dtype=np.int64),
+                "vec_id_b": pd.Series(gj[keep], dtype=np.int64),
+                "cos_sim": np.round(sims[bi[keep], bj[keep]], 6),
+            })
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).map_batches(
+        Pairs, batch_format="pandas", batch_size=2048, concurrency=(1, 4), num_cpus=1,
+    )
+
+
+def ann_lsh_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK,
+                 max_hamming: int = 6) -> rd.Dataset:
+    """Approximate ANN (the scale path): signed-projection LSH buckets; a
+    query probes only vectors whose 16-bit signature is within
+    ``max_hamming`` of its own, then exact cosine top-k among candidates.
+    Rows-only (approximate by design); recall vs `ann_topk` is unit-tested."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    dim = len(emb["embedding"][0].as_py())
+    lsh = SignedProjectionLSH(dim)
+    qvecs = {int(v): np.asarray(e, dtype=np.float64)
+             for v, e in zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist())
+             if int(v) in set(query_ids)}
+    qids = np.asarray(sorted(qvecs), dtype=np.int64)
+    Q = np.stack([qvecs[int(q)] for q in qids])
+    qsig = lsh.signature(Q)
+    ref = ray.put((qids, Q / np.linalg.norm(Q, axis=1, keepdims=True), qsig, lsh.planes))
+
+    class Probe:
+        def __init__(self):
+            self.qids, self.Qn, self.qsig, planes = ray.get(ref)
+            self.lsh = SignedProjectionLSH.__new__(SignedProjectionLSH)
+            self.lsh.planes = planes
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            sig = self.lsh.signature(X)
+            vec_ids = b["vec_id"].to_numpy(dtype=np.int64)
+            out_q, out_v, out_s = [], [], []
+            for j, qid in enumerate(self.qids):
+                ham = np.bitwise_count((sig ^ self.qsig[j]).astype(np.uint32)) if hasattr(np, "bitwise_count") else np.array([bin(int(x)).count("1") for x in (sig ^ self.qsig[j])])
+                cand = (ham <= max_hamming) & (vec_ids != qid)
+                if not cand.any():
+                    continue
+                sims = Xn[cand] @ self.Qn[j]
+                cidx = np.flatnonzero(cand)
+                order = cidx[np.lexsort((vec_ids[cidx], -sims))][:k]
+                sel = {int(v): s for v, s in zip(vec_ids[cidx], sims)}
+                out_q.extend([qid] * len(order))
+                out_v.extend(vec_ids[order])
+                out_s.extend(sel[int(v)] for v in vec_ids[order])
+            return pd.DataFrame({
+                "qid": pd.Series(out_q, dtype=np.int64),
+                "vec_id": pd.Series(out_v, dtype=np.int64),
+                "sim": pd.Series(out_s, dtype=np.float64),
+            })
+
+    partials = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).map_batches(
+        Probe, batch_format="pandas", batch_size=4096, concurrency=(1, 4), num_cpus=1,
+    )
+    return partials.groupby("qid").map_groups(lambda g: topk_finalize(g, k), batch_format="pandas")
+
+
 def media_features(world_dir: str) -> rd.Dataset:
     """Multimodal plumbing over the binary html column: small batches sized
     for binary payloads, actor pool, typed metadata out."""

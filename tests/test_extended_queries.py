@@ -71,9 +71,18 @@ def test_extended_query_matches_oracle(entry, con, name):
 
 
 def test_rows_only_queries_nonempty(entry):
-    for name in ["dedup_simhash", "ann_lsh_buckets"]:
+    for name in ["dedup_simhash", "ann_lsh_buckets", "ann_lsh_topk"]:
         res = entry.queries()[name](SF)
         assert res.count() > 0, name
+
+
+def test_ann_lsh_recall(entry):
+    """Approximate LSH ANN must recover a reasonable share of the exact
+    top-k (weakly-similar random embeddings cap achievable recall)."""
+    exact = entry.queries()["ann_topk_cosine"](SF).to_pandas()
+    approx = entry.queries()["ann_lsh_topk"](SF).to_pandas()
+    hit = exact.merge(approx, on=["qid", "vec_id"], how="inner")
+    assert len(hit) / len(exact) >= 0.4
 
 
 def test_minhash_pairs_runs(entry):
