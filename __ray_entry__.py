@@ -187,11 +187,11 @@ QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) <= 5
         "media_features": f"""
 SELECT url, CAST(octet_length(html) AS BIGINT) AS n_bytes,
        md5(decode(html)) AS content_md5
-FROM read_parquet('{world_dir}/pages.parquet')
+FROM read_parquet('{world_dir}/pages/*.parquet')
 """,
         "media_frame_samples": f"""
 SELECT url, CAST(unnest(range(0, greatest(1, octet_length(html) // 4096), 10)) AS BIGINT) AS frame_idx
-FROM read_parquet('{world_dir}/pages.parquet')
+FROM read_parquet('{world_dir}/pages/*.parquet')
 """,
         "rel_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

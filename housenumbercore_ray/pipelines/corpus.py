@@ -12,7 +12,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from ..stages.dedup import MinHashLSH, add_content_hash, dup_groups, exact_dup_pairs_in_group, ngram_jaccard
+from ..stages.dedup import MinHashLSH, add_content_hash, exact_dup_pairs_in_group, ngram_jaccard
 from ..stages.multimodal import BinaryFeatureExtract, FrameSampleStub
 from ..stages.similarity import BruteForceTopK, SignedProjectionLSH, topk_finalize
 from ..stages.textops import fingerprint, lang_id, quality_scores, token_stats
@@ -323,14 +323,14 @@ def ann_lsh_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK,
 def media_features(world_dir: str) -> rd.Dataset:
     """Multimodal plumbing over the binary html column: small batches sized
     for binary payloads, actor pool, typed metadata out."""
-    return rd.read_parquet(f"{world_dir}/pages.parquet", columns=["url", "html"]).map_batches(
+    return rd.read_parquet(f"{world_dir}/pages", columns=["url", "html"]).map_batches(
         BinaryFeatureExtract, fn_constructor_args=("html", "url"),
         batch_format="pyarrow", batch_size=256, concurrency=(1, 4), num_cpus=1,
     )
 
 
 def frame_samples(world_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{world_dir}/pages.parquet", columns=["url", "html"]).map_batches(
+    return rd.read_parquet(f"{world_dir}/pages", columns=["url", "html"]).map_batches(
         FrameSampleStub, fn_constructor_args=(10, 4096, "html", "url"),
         batch_format="pyarrow", batch_size=256, concurrency=(1, 4), num_cpus=1,
     )

@@ -29,19 +29,28 @@ EXTRACT_BATCH = 512
 ROW_BATCH = 8192
 
 
-def _pool() -> tuple[int, int]:
-    """Actor-pool sizing per stage: AUTOSCALING (1, cpus//2) so the
-    bottleneck stage (usually extraction) can absorb idle CPUs while three
-    pools plus read/shuffle tasks still coexist — a fixed pool that reserves
-    every CPU starves the read stage and serializes the pipeline."""
+def _cpus() -> int:
     import ray
 
-    total = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return (1, max(2, total // 2))
+    return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+
+
+def _pool() -> tuple[int, int]:
+    """Extraction pool: AUTOSCALING (1, cpus//2) — extraction is the
+    CPU-dominant stage and absorbs idle CPUs; a fixed pool that reserves
+    every CPU starves the read stage and serializes the pipeline."""
+    return (1, max(2, _cpus() // 2))
+
+
+def _small_pool() -> tuple[int, int]:
+    """Post-extraction stages: their total CPU is ~10% of extraction's, so a
+    small cap avoids spawning dozens of actor processes whose startup is
+    pure fixed overhead on every run."""
+    return (1, max(2, min(4, _cpus() // 4)))
 
 
 def read_pages(world_dir: str, columns=("url", "html")) -> rd.Dataset:
-    return rd.read_parquet(f"{world_dir}/pages.parquet", columns=list(columns))
+    return rd.read_parquet(f"{world_dir}/pages", columns=list(columns))
 
 
 def extracted_text(world_dir: str) -> rd.Dataset:
@@ -64,7 +73,7 @@ def located(world_dir: str) -> rd.Dataset:
     ref = get_context_ref(world_dir)
     return candidates(world_dir).map_batches(
         SpatialStreetJoin, fn_constructor_args=(ref,),
-        batch_format="pandas", batch_size=ROW_BATCH, concurrency=_pool(), num_cpus=1,
+        batch_format="pandas", batch_size=ROW_BATCH, concurrency=_small_pool(), num_cpus=1,
     )
 
 
@@ -101,7 +110,7 @@ def join_rows(world_dir: str) -> rd.Dataset:
 
     return located(world_dir).map_batches(
         JoinRowsClassify, batch_format="pandas", batch_size=ROW_BATCH,
-        concurrency=_pool(), num_cpus=1,
+        concurrency=_small_pool(), num_cpus=1,
     )
 
 
@@ -126,9 +135,19 @@ def evaluation(world_dir: str) -> rd.Dataset:
     salted shard (all rows of a key share a shard by construction)."""
     ref = get_context_ref(world_dir)
     ctx = get_context(world_dir)
-    osm_partials = located(world_dir).map_batches(
-        ExplodeCombine, fn_constructor_args=(ref,),
-        batch_format="pandas", batch_size=ROW_BATCH, concurrency=_pool(), num_cpus=1,
+    # fused spatial-join + explode/partial-combine: one actor pool instead
+    # of two (each extra pool is pure spin-up overhead per run)
+    class SpatialExplodeCombine:
+        def __init__(self) -> None:
+            self.join = SpatialStreetJoin(ref)
+            self.combine = ExplodeCombine(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return self.combine(self.join(b))
+
+    osm_partials = candidates(world_dir).map_batches(
+        SpatialExplodeCombine,
+        batch_format="pandas", batch_size=ROW_BATCH, concurrency=_small_pool(), num_cpus=1,
     )
     lst = rd.from_pandas(list_side_partials(ctx))
     both = osm_partials.union(lst).map_batches(_add_shard, batch_format="pandas")
@@ -268,7 +287,7 @@ def subarea_rows(world_dir: str) -> rd.Dataset:
 
     return located(world_dir).map_batches(
         SubAssign, batch_format="pandas", batch_size=ROW_BATCH,
-        concurrency=_pool(), num_cpus=1,
+        concurrency=_small_pool(), num_cpus=1,
     )
 
 
@@ -344,7 +363,7 @@ def run_join_rows_resumable(world_dir: str, out_dir: str) -> dict:
             w = ResumableWriter(out_dir)
             row = w.write_partition(
                 key, pa.Table.from_pandas(g.reset_index(drop=True), preserve_index=False),
-                inputs=[f"{world_dir}/pages.parquet"],
+                inputs=[f"{world_dir}/pages"],
                 metrics={"n_rows": int(len(g)), "n_by_name": int(g["matched_by_name"].sum())},
             )
             return pd.DataFrame([{"part": key, "rows": np.int64(row["rows"])}])

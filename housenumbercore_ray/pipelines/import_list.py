@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 import ray.data as rd

@@ -49,7 +49,7 @@ def preamble(world_dir: str) -> str:
     sortable_hnr = _SORTABLE.format(h="e.hnr")
     return f"""
 WITH
-pages_w AS (SELECT * FROM read_parquet('{world_dir}/pages.parquet')),
+pages_w AS (SELECT * FROM read_parquet('{world_dir}/pages/*.parquet')),
 bounds AS (SELECT * FROM read_parquet('{world_dir}/boundaries.parquet') WHERE sub_id = '-1'),
 streets_raw AS (SELECT * FROM read_parquet('{world_dir}/osm_streets.parquet')),
 list_raw AS (SELECT * FROM read_parquet('{world_dir}/list_addresses.parquet')),

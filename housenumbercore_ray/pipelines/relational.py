@@ -10,7 +10,7 @@ import numpy as np
 import pandas as pd
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Sum
 
 
 def pricing_summary(sf_dir: str) -> rd.Dataset:

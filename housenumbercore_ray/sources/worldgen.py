@@ -59,7 +59,7 @@ import pyarrow.parquet as pq
 
 from ..geo.wkb import linestring_wkb, multipolygon_wkb, polygon_wkb
 
-WORLD_VERSION = "v4"
+WORLD_VERSION = "v6"
 WORLD_ROOT = "/tmp/hnr_world"
 
 LON0, LAT0 = 10.0, 50.0
@@ -152,6 +152,7 @@ class WorldParams:
             # per-run overhead (actor spin-up, small shuffles) amortizes,
             # as it would on any real multi-node run
             "bench": WorldParams(50, 14, 16, 800_000),
+            "bench4": WorldParams(50, 14, 16, 3_200_000),
         }
         if scale not in table:
             raise ValueError(f"unknown world scale {scale!r}")
@@ -510,15 +511,16 @@ def generate_world(scale: str, out_dir: str) -> dict:
                       ("osm_relations", osm_relations)]:
         pq.write_table(tbl, os.path.join(tmp, f"{name}.parquet"), row_group_size=100_000)
 
-    # pages streamed chunk-by-chunk through a ParquetWriter — bounded memory
-    # at any page count (accumulating millions of page strings thrashes the
-    # allocator); modest row groups give ray.data.read_parquet parallelism
+    # pages written chunk-by-chunk as a SHARDED directory of parquet files —
+    # bounded generator memory (accumulating millions of page strings thrashes
+    # the allocator) AND parallel reads: ray.data.read_parquet schedules one
+    # read task per file, like a real many-file Common-Crawl dump
     CHUNK = 20_000
     pages_schema = pa.schema([
         ("url", pa.string()), ("warc_ts", pa.timestamp("us")), ("html", pa.binary()),
         ("text", pa.string()), ("lang", pa.string()),
     ])
-    writer = pq.ParquetWriter(os.path.join(tmp, "pages.parquet"), pages_schema)
+    os.makedirs(os.path.join(tmp, "pages"), exist_ok=True)
     for start in range(0, n_pages, CHUNK):
         end = min(start + CHUNK, n_pages)
         texts, htmls = [], []
@@ -538,8 +540,8 @@ def generate_world(scale: str, out_dir: str) -> dict:
             "text": pa.array(texts, pa.string()),
             "lang": pa.array(langs[start:end], pa.string()),
         }, schema=pages_schema)
-        writer.write_table(chunk, row_group_size=5000)
-    writer.close()
+        pq.write_table(chunk, os.path.join(tmp, "pages", f"part-{start // CHUNK:05d}.parquet"),
+                       row_group_size=CHUNK)
     with open(os.path.join(tmp, ".done"), "w") as fh:
         fh.write(WORLD_VERSION)
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -64,7 +64,7 @@ def test_extracted_text_byte_identical(world):
     from housenumbercore_ray.pipelines import evaluation as ev
 
     got = ev.extracted_text(world).to_pandas().set_index("url")["extracted_text"]
-    want = pq.read_table(f"{world}/pages.parquet", columns=["url", "text"]).to_pandas()
+    want = pq.read_table(f"{world}/pages", columns=["url", "text"]).to_pandas()
     want = want.set_index("url")["text"]
     assert len(got) == len(want)
     joined = pd.DataFrame({"got": got, "want": want})

@@ -103,4 +103,4 @@ class TestPipelineResume:
         for m in read_manifest(out):
             assert m["rows"] > 0
             assert m["metrics"]["n_rows"] == m["rows"]
-            assert m["inputs"] and m["inputs"][0].endswith("pages.parquet")
+            assert m["inputs"] and m["inputs"][0].endswith("/pages")

@@ -18,13 +18,20 @@ class TestWorldgen:
     def test_deterministic(self, world, tmp_path):
         out2 = str(tmp_path / "again")
         generate_world("sf0.001", out2)
-        for t in ["pages", "boundaries", "osm_streets", "list_addresses", "osm_addresses"]:
+        import glob as _glob
+
+        for t in ["boundaries", "osm_streets", "list_addresses", "osm_addresses"]:
             h1 = hashlib.sha256(open(f"{world}/{t}.parquet", "rb").read()).hexdigest()
             h2 = hashlib.sha256(open(f"{out2}/{t}.parquet", "rb").read()).hexdigest()
             assert h1 == h2, f"{t} not byte-identical"
+        for f1 in sorted(_glob.glob(f"{world}/pages/*.parquet")):
+            f2 = f"{out2}/pages/{os.path.basename(f1)}"
+            h1 = hashlib.sha256(open(f1, "rb").read()).hexdigest()
+            h2 = hashlib.sha256(open(f2, "rb").read()).hexdigest()
+            assert h1 == h2, f"{f1} not byte-identical"
 
     def test_pages_schema(self, world):
-        s = pq.read_schema(f"{world}/pages.parquet")
+        s = pq.read_schema(next(iter(sorted(__import__("glob").glob(f"{world}/pages/*.parquet")))))
         assert s.names == ["url", "warc_ts", "html", "text", "lang"]
         assert str(s.field("html").type) == "binary"
         assert str(s.field("warc_ts").type) == "timestamp[us]"
@@ -32,7 +39,7 @@ class TestWorldgen:
     def test_text_matches_html(self, world):
         from housenumbercore_ray.stages.extract import extract_text
 
-        t = pq.read_table(f"{world}/pages.parquet", columns=["html", "text"])
+        t = pq.read_table(f"{world}/pages", columns=["html", "text"])
         for html, text in zip(t["html"].to_pylist()[:200], t["text"].to_pylist()[:200]):
             assert extract_text(html) == text  # byte-identical invariant
 
@@ -68,7 +75,7 @@ class TestWorldgen:
 
         monkeypatch.setattr(wg, "WORLD_ROOT", str(tmp_path / "cache"))
         d1 = ensure_world("/root/testdata/sf0.001")
-        mtime = os.path.getmtime(f"{d1}/pages.parquet")
+        mtime = os.path.getmtime(f"{d1}/pages/part-00000.parquet")
         d2 = ensure_world("/root/testdata/sf0.001")
         assert d1 == d2
-        assert os.path.getmtime(f"{d2}/pages.parquet") == mtime
+        assert os.path.getmtime(f"{d2}/pages/part-00000.parquet") == mtime
