@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the pure kernels."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from housenumbercore_ray.functions.housenumber import (
+    expand_range,
+    housenumber_normalized,
+    housenumber_sortable,
+    split_and_expand,
+)
+from housenumbercore_ray.functions.street import german_collation_fold
+from housenumbercore_ray.geo.cells import latlng_to_cell
+from housenumbercore_ray.geo.merge import merge_segments
+from housenumbercore_ray.geo.pip import points_in_polygon
+from housenumbercore_ray.geo.proj import utm_to_wgs84, wgs84_to_utm
+from housenumbercore_ray.geo.wkb import polygon_wkb
+
+
+class TestHousenumberProperties:
+    @given(st.integers(1, 9999), st.integers(1, 9999))
+    def test_sortable_preserves_numeric_order(self, a, b):
+        sa, sb = housenumber_sortable(str(a)), housenumber_sortable(str(b))
+        assert (sa < sb) == (str(a).zfill(4) < str(b).zfill(4))
+        if a < b and len(str(a)) <= 4 and len(str(b)) <= 4:
+            assert sa < sb
+
+    @given(st.integers(0, 500), st.integers(0, 500))
+    def test_expand_range_step2_and_bounds(self, a, b):
+        out = expand_range(f"{a}-{b}")
+        if b > a:
+            vals = [int(v) for v in out]
+            assert vals[0] == a and all(y - x == 2 for x, y in zip(vals, vals[1:]))
+            assert vals[-1] <= b and (vals[-1] + 2) > b
+        else:
+            assert out == []
+
+    @given(st.text(alphabet="0123456789abcdXYZ /-;,", max_size=20))
+    def test_expand_never_crashes_and_no_dashes_survive(self, s):
+        for v in split_and_expand(s):
+            assert "-" not in v  # every surviving value is dash-free or came from no-dash part
+            # (values from non-dash parts keep their text verbatim)
+
+    @given(st.text(max_size=30), st.booleans())
+    def test_normalized_is_sortable_modulo_case(self, s, exact):
+        n = housenumber_normalized(s, exact)
+        srt = housenumber_sortable(s)
+        assert n == (srt if exact else srt.lower())
+
+    @given(st.text(max_size=30))
+    def test_fold_idempotent(self, s):
+        f = german_collation_fold(s)
+        assert german_collation_fold(f) == f
+
+
+class TestGeoProperties:
+    @given(st.floats(-179.9, 179.9), st.floats(-89.9, 89.9))
+    def test_cell_contains_its_point(self, lon, lat):
+        from housenumbercore_ray.geo.cells import cell_bounds
+
+        c = int(latlng_to_cell([lat], [lon])[0])
+        lo, la, hi, ha = cell_bounds(c)
+        # float round-trip noise at exact cell edges is ~1e-14
+        assert lo - 1e-9 <= lon < hi + 1e-9
+        assert la - 1e-9 <= lat < ha + 1e-9
+
+    @given(st.floats(0.01, 10), st.floats(0.01, 10),
+           st.floats(-10, 10), st.floats(-10, 10))
+    @settings(max_examples=50)
+    def test_rect_pip_matches_bbox(self, w, h, x0, y0):
+        wkb = polygon_wkb([(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)])
+        rng = np.random.default_rng(0)
+        lon = rng.uniform(x0 - 1, x0 + w + 1, 50)
+        lat = rng.uniform(y0 - 1, y0 + h + 1, 50)
+        got = points_in_polygon(lon, lat, wkb)
+        want = (lon >= x0) & (lon <= x0 + w) & (lat >= y0) & (lat <= y0 + h)
+        assert (got == want).all()
+
+    @given(st.floats(6.1, 11.9), st.floats(47.1, 54.9))
+    @settings(max_examples=100)
+    def test_utm_roundtrip(self, lon, lat):
+        e, n = wgs84_to_utm([lon], [lat])
+        lon2, lat2 = utm_to_wgs84(e, n)
+        assert abs(lon2[0] - lon) < 1e-6
+        assert abs(lat2[0] - lat) < 1e-6
+
+    @given(st.integers(1, 12))
+    def test_merge_chain_always_single_line(self, n):
+        segs = [[(i, 0.0), (i + 1, 0.0)] for i in range(n)]
+        m = merge_segments(segs)
+        assert len(m) == 1
+        assert len(m[0]) == n + 1
+        # total length preserved
+        assert abs((m[0][-1][0] - m[0][0][0]) - n) < 1e-9
