@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hnr_join_rows": lambda sf: ev.join_rows(_world(sf)),
         "hnr_evaluation": lambda sf: ev.evaluation(_world(sf)),
         "hnr_muni_summary": lambda sf: ev.muni_summary(_world(sf)),
+        "hnr_muni_coverage": lambda sf: ev.muni_coverage(_world(sf)),
         "hnr_street_summary": lambda sf: ev.street_summary(_world(sf)),
         "hnr_streets_missing_in_osm": lambda sf: ev.streets_missing_in_osm(_world(sf)),
         "hnr_subarea_rows": lambda sf: ev.subarea_rows(_world(sf)),
@@ -93,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_mom_diff": relational.events_month_over_month,
         "rel_user_sessions": relational.user_sessions,
         "rel_distinct_segments": relational.distinct_mktsegments,
+        "rel_segment_revenue_bucketed": relational.segment_revenue_bucketed,
     }
     return q
 
@@ -242,6 +244,12 @@ FROM d GROUP BY user_id
 """,
         "rel_distinct_segments": """
 SELECT DISTINCT c_mktsegment FROM customer
+""",
+        "rel_segment_revenue_bucketed": """
+SELECT c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
 """,
         "theo_muni_summary": _theo_oracle(world_dir),
     }

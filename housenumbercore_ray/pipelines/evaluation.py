@@ -182,6 +182,39 @@ def muni_summary(world_dir: str) -> rd.Dataset:
     )
 
 
+def muni_coverage(world_dir: str) -> rd.Dataset:
+    """exportjobs2shape analog (dbstructure.sql:289-307): the street-level
+    coverage columns rolled up per municipality (A4)."""
+    ev = evaluation(world_dir)
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["treffertyp"]
+        return pd.DataFrame({
+            "muni_id": b["muni_id"].astype(np.int64),
+            "hnr_soll": (t != "o").astype(np.int64),
+            "hnr_osm": (t != "l").astype(np.int64),
+            "hnr_fhlosm": (t == "l").astype(np.int64),
+            "hnr_nurosm": (t == "o").astype(np.int64),
+        })
+
+    def abdeck(b: pd.DataFrame) -> pd.DataFrame:
+        identical = b["hnr_soll"] - b["hnr_fhlosm"]
+        b["hnr_abdeck"] = np.where(b["hnr_soll"] > 0, 100.0 * identical / b["hnr_soll"], 0.0)
+        return b
+
+    return (
+        ev.map_batches(flags, batch_format="pandas")
+        .groupby("muni_id")
+        .aggregate(
+            Sum("hnr_soll", alias_name="hnr_soll"),
+            Sum("hnr_osm", alias_name="hnr_osm"),
+            Sum("hnr_fhlosm", alias_name="hnr_fhlosm"),
+            Sum("hnr_nurosm", alias_name="hnr_nurosm"),
+        )
+        .map_batches(abdeck, batch_format="pandas")
+    )
+
+
 def street_summary(world_dir: str) -> rd.Dataset:
     """exporthnr2shape analog (dbstructure.sql:311-331): per (muni, street)
     hnr_soll / hnr_osm / hnr_fhlosm / hnr_nurosm / hnr_abdeck / hnr_liste."""

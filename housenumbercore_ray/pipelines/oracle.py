@@ -321,6 +321,18 @@ FROM prev p
 FULL OUTER JOIN cur c
   ON p.muni_id = c.muni_id AND p.street_key = c.street_key AND p.hnr_norm = c.hnr_norm
 """,
+        "hnr_muni_coverage": pre + """
+SELECT muni_id,
+       CAST(sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_soll,
+       CAST(sum(CASE WHEN treffertyp <> 'l' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_osm,
+       CAST(sum(CASE WHEN treffertyp = 'l' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_fhlosm,
+       CAST(sum(CASE WHEN treffertyp = 'o' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_nurosm,
+       CASE WHEN sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END) > 0
+            THEN 100.0 * sum(CASE WHEN treffertyp = 'i' THEN 1 ELSE 0 END)
+                 / sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END)
+            ELSE 0.0 END AS hnr_abdeck
+FROM evaluation GROUP BY muni_id
+""",
         "hnr_street_summary": pre + """
 SELECT muni_id, street_key,
        CAST(sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_soll,

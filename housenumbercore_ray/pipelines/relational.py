@@ -150,6 +150,26 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
 
 
+def segment_revenue_bucketed(sf_dir: str) -> rd.Dataset:
+    """Both-sides-large join demo: orders ⋈ customer via the explicit
+    bucketed hash join (no broadcast), then groupby mktsegment."""
+    from ..stages.join import bucketed_hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    joined = bucketed_hash_join(orders, cust, "o_custkey", "c_custkey", num_buckets=32)
+
+    def round2(b: pd.DataFrame) -> pd.DataFrame:
+        b["revenue"] = b["revenue"].round(2)
+        return b
+
+    return (
+        joined.groupby("c_mktsegment")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+        .map_batches(round2, batch_format="pandas")
+    )
+
+
 def distinct_mktsegments(sf_dir: str) -> rd.Dataset:
     """A6 analog (SELECT DISTINCT): distinct values via groupby-first."""
     return (

@@ -1,0 +1,62 @@
+"""Explicit partitioned (bucketed) hash join — the both-sides-large join.
+
+Small-side joins in this engine broadcast (``ray.put`` + per-batch lookup,
+SURVEY.md J3/J9). When BOTH sides are large, the portable Ray Data pattern
+is: add ``bucket = hash(key) % B`` to both sides, co-locate buckets with one
+``groupby(bucket)``, and run the per-bucket join as a vectorized pandas merge
+inside ``map_groups`` (ray_guide.md "Joins and lookups"). B is the shuffle
+fan-out knob; skewed keys salt into sub-buckets by raising B.
+
+Implementation detail: Ray's ``union`` requires identical schemas, so both
+sides are projected into one combined frame (other side's columns = NA) with
+a ``_side`` tag; the per-bucket merge strips the padding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+__all__ = ["bucketed_hash_join"]
+
+
+def bucketed_hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    num_buckets: int = 32,
+    how: str = "inner",
+) -> rd.Dataset:
+    """Hash-partitioned join of two Datasets on integer/string keys.
+
+    Returns the pandas-merge result per bucket (left columns + right
+    columns, pandas suffix rules apply to collisions)."""
+    lcols = left.schema().names
+    rcols = right.schema().names
+    all_cols = list(dict.fromkeys(lcols + rcols))
+
+    def pad(side: str, key: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(index=b.index)
+            for c in all_cols:
+                out[c] = b[c] if c in b.columns else pd.NA
+            out["_side"] = side
+            out["_bucket"] = (
+                pd.util.hash_array(b[key].to_numpy(dtype=object)) % num_buckets
+            ).astype(np.int64)
+            return out
+
+        return fn
+
+    both = left.map_batches(pad("L", left_on), batch_format="pandas").union(
+        right.map_batches(pad("R", right_on), batch_format="pandas")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == "L"][lcols]
+        rg = g[g["_side"] == "R"][rcols]
+        return lg.merge(rg, left_on=left_on, right_on=right_on, how=how)
+
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")

@@ -44,7 +44,7 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "text_quality", "text_lang_id", "text_fingerprint", "ann_topk_cosine",
             "media_features", "media_frame_samples", "rel_pricing_summary",
             "rel_top_customers", "rel_events_monthly", "rel_events_mom_diff",
-            "rel_user_sessions", "rel_distinct_segments"]
+            "rel_user_sessions", "rel_distinct_segments", "rel_segment_revenue_bucketed"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)

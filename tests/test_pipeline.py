@@ -29,7 +29,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", [
     "hnr_extract_candidates", "hnr_join_rows", "hnr_evaluation",
-    "hnr_muni_summary", "hnr_street_summary", "hnr_streets_missing_in_osm",
+    "hnr_muni_summary", "hnr_muni_coverage", "hnr_street_summary", "hnr_streets_missing_in_osm",
     "hnr_subarea_rows", "hnr_csv_import", "hnr_evaluation_delta",
 ])
 def test_query_matches_oracle(world, name):
@@ -43,6 +43,7 @@ def test_query_matches_oracle(world, name):
         "hnr_join_rows": ev.join_rows,
         "hnr_evaluation": ev.evaluation,
         "hnr_muni_summary": ev.muni_summary,
+        "hnr_muni_coverage": ev.muni_coverage,
         "hnr_street_summary": ev.street_summary,
         "hnr_streets_missing_in_osm": ev.streets_missing_in_osm,
         "hnr_subarea_rows": ev.subarea_rows,
