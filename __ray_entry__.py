@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": corpus.exact_dedup,
         "dedup_list_pairs": lambda sf: corpus.list_dup_pairs(_world(sf)),
         "dedup_minhash_pairs": corpus.minhash_near_dup_pairs,   # rows-only
+        "dedup_minhash_pages": lambda sf: corpus.minhash_page_pairs(_world(sf)),  # rows-only, recall-tested
         "dedup_simhash": corpus.doc_simhash,                    # rows-only
         # text analysis (documents table)
         "text_token_stats": corpus.doc_token_stats,

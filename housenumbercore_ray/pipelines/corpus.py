@@ -182,6 +182,69 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     )
 
 
+def minhash_page_pairs(world_dir: str, threshold: float = 0.7) -> pd.DataFrame:
+    """Near-duplicate PAGES via MinHash+LSH (the crawl-dedup use case; the
+    world plants ~0.2% near-copy pages, ground truth in
+    near_dup_pages.parquet).
+
+    Two streaming passes, both scale-shaped: (1) banding rows → bucket
+    groupby → candidate pairs (tiny); (2) re-scan pages fetching ONLY texts
+    of candidate ids (broadcast id set filter), then exact n-gram Jaccard
+    verification of the small candidate set."""
+
+    def with_ids(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["url"].str.rsplit("/", n=1).str[1].astype(np.int64),
+            "text": b["text"],
+        })
+
+    pages = rd.read_parquet(f"{world_dir}/pages", columns=["url", "text"]).map_batches(
+        with_ids, batch_format="pandas"
+    )
+    buckets = pages.map_batches(
+        MinHashLSH, batch_format="pandas", batch_size=1024, concurrency=(1, 4), num_cpus=1
+    )
+
+    def bucket_pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
+        from itertools import combinations
+
+        sizes = g.groupby(["band_id", "band_hash"])["doc_id"].transform("size")
+        out_a, out_b = [], []
+        for _, sub in g[sizes > 1].groupby(["band_id", "band_hash"], sort=True):
+            for a, b in combinations(sorted(set(sub["doc_id"])), 2):
+                out_a.append(a)
+                out_b.append(b)
+        return pd.DataFrame({"doc_id_a": pd.Series(out_a, dtype=np.int64),
+                             "doc_id_b": pd.Series(out_b, dtype=np.int64)})
+
+    pairs = (
+        buckets.map_batches(_shard_on(["band_hash"]), batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(bucket_pairs_shard, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(["doc_id_a", "doc_id_b"])
+    )
+    if len(pairs) == 0:
+        return pd.DataFrame({"page_a": pd.Series([], dtype=np.int64),
+                             "page_b": pd.Series([], dtype=np.int64),
+                             "jaccard": pd.Series([], dtype=np.float64)})
+    cand_ids = set(pairs["doc_id_a"]) | set(pairs["doc_id_b"])
+    texts_df = pages.map_batches(
+        lambda b: b[b["doc_id"].isin(cand_ids)], batch_format="pandas"
+    ).to_pandas()
+    texts = dict(zip(texts_df["doc_id"], texts_df["text"]))
+    jac = np.asarray([
+        ngram_jaccard(texts[a], texts[b])
+        for a, b in zip(pairs["doc_id_a"], pairs["doc_id_b"])
+    ])
+    out = pd.DataFrame({
+        "page_a": pairs["doc_id_a"].to_numpy(dtype=np.int64),
+        "page_b": pairs["doc_id_b"].to_numpy(dtype=np.int64),
+        "jaccard": jac,
+    })
+    return out[out["jaccard"] >= threshold].reset_index(drop=True)
+
+
 def doc_simhash(sf_dir: str) -> rd.Dataset:
     from ..stages.dedup import simhash64
 

@@ -59,7 +59,7 @@ import pyarrow.parquet as pq
 
 from ..geo.wkb import linestring_wkb, multipolygon_wkb, polygon_wkb
 
-WORLD_VERSION = "v6"
+WORLD_VERSION = "v7"
 WORLD_ROOT = "/tmp/hnr_world"
 
 LON0, LAT0 = 10.0, 50.0
@@ -521,13 +521,25 @@ def generate_world(scale: str, out_dir: str) -> dict:
         ("text", pa.string()), ("lang", pa.string()),
     ])
     os.makedirs(os.path.join(tmp, "pages"), exist_ok=True)
+    # crawl-style NEAR-DUPLICATE pages: ~0.2% of pages are a near-copy of
+    # their predecessor (same mentions + fillers, one filler sentence
+    # swapped) — ground truth recorded for near-dup recall tests
+    nd_pairs = {"page_a": [], "page_b": []}
     for start in range(0, n_pages, CHUNK):
         end = min(start + CHUNK, n_pages)
         texts, htmls = [], []
         for pg in range(start, end):
-            si = sidx[pg, : nfills[pg]]
+            src = pg
+            near_dup = pg > 0 and hi(25, pg) % 1000 < 2
+            if near_dup:
+                src = pg - 1
+                nd_pairs["page_a"].append(src)
+                nd_pairs["page_b"].append(pg)
+            si = list(sidx[src, : nfills[src]])
+            if near_dup:
+                si[-1] = hi(26, pg) % POOL_N    # one sentence differs
             fills = [sent_pool[j] for j in si]
-            mentions = page_lines[pg]
+            mentions = page_lines[src]
             lines = fills[:1] + mentions + fills[1:]
             texts.append("\n".join(lines))
             hparts = [sent_pool_p[j] for j in si]
@@ -542,6 +554,10 @@ def generate_world(scale: str, out_dir: str) -> dict:
         }, schema=pages_schema)
         pq.write_table(chunk, os.path.join(tmp, "pages", f"part-{start // CHUNK:05d}.parquet"),
                        row_group_size=CHUNK)
+    pq.write_table(
+        pa.table({"page_a": pa.array(nd_pairs["page_a"], pa.int64()),
+                  "page_b": pa.array(nd_pairs["page_b"], pa.int64())}),
+        os.path.join(tmp, "near_dup_pages.parquet"))
     with open(os.path.join(tmp, ".done"), "w") as fh:
         fh.write(WORLD_VERSION)
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -91,3 +91,21 @@ def test_minhash_pairs_runs(entry):
     # documents table has no near-dups by construction; just shape-stable
     if len(df):
         assert set(["doc_id_a", "doc_id_b", "jaccard"]).issubset(df.columns)
+
+
+def test_minhash_page_pairs_recall(entry):
+    """Near-dup page detection vs planted ground truth (worldgen v7)."""
+    import pyarrow.parquet as pq
+
+    import housenumbercore_ray.sources.worldgen as wg
+
+    wd = wg.ensure_world(SF)
+    got = entry.queries()["dedup_minhash_pages"](SF)
+    truth = pq.read_table(f"{wd}/near_dup_pages.parquet").to_pandas()
+    if len(truth) == 0:
+        return
+    got_pairs = set(zip(got["page_a"], got["page_b"]))
+    truth_pairs = set(zip(truth["page_a"], truth["page_b"]))
+    recall = len(got_pairs & truth_pairs) / len(truth_pairs)
+    assert recall >= 0.8, f"recall {recall}"
+    assert (got["jaccard"] >= 0.7).all()
