@@ -42,15 +42,33 @@ def split_multivalue(text: str) -> list[str]:
     return [p.strip() for p in text.replace(",", ";").split(";")]
 
 
+_INT_RE = None
+
+
+def _strict_int(text: str):
+    """Integer.parseInt-equivalent: ASCII digits with optional sign only.
+    Python ``int()`` alone accepts underscores and non-ASCII digits
+    ('1_0' → 10), which both the reference and the vectorized
+    ``explode_housenumbers`` regex reject — validate first so the scalar
+    and vectorized paths agree bit-for-bit."""
+    global _INT_RE
+    if _INT_RE is None:
+        import re
+
+        _INT_RE = re.compile(r"[+-]?[0-9]+")
+    if not _INT_RE.fullmatch(text):
+        return None
+    return int(text)
+
+
 def expand_range(text: str) -> list[str]:
     """M2: step-2 range expansion with the reference's failure semantics."""
     if "-" not in text:
         return [text]
     left, _, right = text.partition("-")
-    try:
-        start = int(left.strip())
-        end = int(right.strip())
-    except ValueError:
+    start = _strict_int(left.strip())
+    end = _strict_int(right.strip())
+    if start is None or end is None:
         return []
     if end > start:
         return [str(v) for v in range(start, end + 1, 2)]

@@ -37,7 +37,17 @@ def _ring_crossings(lon, lat, ring):
     return crossing.sum(axis=1)
 
 
-def _on_ring(lon, lat, ring, eps=1e-12):
+#: Squared-degree tolerance for the on-boundary test. 1e-18 ⇒ a point counts
+#: as "on" an edge only within ~1e-9° (≈0.1 mm) — tight enough that only
+#: float-exact boundary hits qualify (the ST_Covers edge-inclusion contract),
+#: never real-world points that merely sit near a shared admin border. This
+#: tolerance is part of :func:`points_in_rings`' contract; the DuckDB oracle
+#: (pipelines/oracle.py hnr_subarea_rows) uses NO tolerance, which agrees
+#: because both sides compare the identical parquet doubles.
+ON_RING_EPS2 = 1e-18
+
+
+def _on_ring(lon, lat, ring, eps=ON_RING_EPS2):
     """True where a point lies on a ring edge (so Covers counts it inside)."""
     x0, y0 = ring[:-1, 0], ring[:-1, 1]
     x1, y1 = ring[1:, 0], ring[1:, 1]

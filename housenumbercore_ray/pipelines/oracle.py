@@ -116,6 +116,10 @@ assigned AS (
          (n.nm_key IS NOT NULL) AS matched_by_name
   FROM name_matched n
   LEFT JOIN knn k ON k.url = n.url AND k.cand_seq = n.cand_seq AND k.rn = 1
+  -- street-less municipalities assign nothing: candidates dropped, matching
+  -- the engine's skip (stages/spatial.py) and the reference's street-less-job
+  -- skip (MunicipalityJobs.java:284-304)
+  WHERE coalesce(n.nm_key, k.knn_key) IS NOT NULL
 ),
 parts AS (
   SELECT a.*, trim(unnest(string_split(replace(a.hnr_raw, ',', ';'), ';'))) AS part
@@ -284,13 +288,16 @@ SELECT url, cand_seq, muni_id, sub_id FROM (
          row_number() OVER (PARTITION BY a.url, a.cand_seq
                             ORDER BY coalesce(s.sub_id, '~')) AS rn
   FROM assigned a
-  -- ±1e-6° tolerance mirrors the engine's ST_Covers-style boundary
-  -- inclusion (geo.pip._on_ring eps): a point one ulp past a shared
-  -- subarea edge still counts as inside that subarea
+  -- ±1e-9° (≈0.1 mm) mirrors the engine's ST_Covers-style boundary
+  -- inclusion (geo.pip.ON_RING_EPS2 = 1e-18 squared degrees): a point
+  -- float-exactly on a shared subarea edge — including the ~1-ulp
+  -- arithmetic slack of the edge's own computed coordinate — counts as
+  -- inside; genuinely near-boundary points (≥1 coordinate quantum away)
+  -- never qualify
   LEFT JOIN subs s
     ON s.muni_id = a.muni_id
-   AND a.lon >= s.slo - 1e-6 AND a.lon <= s.shi + 1e-6
-   AND a.lat >= s.sla - 1e-6 AND a.lat <= s.sha + 1e-6
+   AND a.lon >= s.slo - 1e-9 AND a.lon <= s.shi + 1e-9
+   AND a.lat >= s.sla - 1e-9 AND a.lat <= s.sha + 1e-9
 ) WHERE rn = 1
 """.replace("{world_dir}", world_dir),
         "hnr_csv_import": f"""

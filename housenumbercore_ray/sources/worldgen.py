@@ -59,7 +59,7 @@ import pyarrow.parquet as pq
 
 from ..geo.wkb import linestring_wkb, multipolygon_wkb, polygon_wkb
 
-WORLD_VERSION = "v7"
+WORLD_VERSION = "v8"
 WORLD_ROOT = "/tmp/hnr_world"
 
 LON0, LAT0 = 10.0, 50.0
@@ -539,7 +539,10 @@ def generate_world(scale: str, out_dir: str) -> dict:
             if near_dup:
                 si[-1] = hi(26, pg) % POOL_N    # one sentence differs
             fills = [sent_pool[j] for j in si]
-            mentions = page_lines[src]
+            # a near-dup page keeps its OWN coverage-pass mentions too —
+            # without this, observations assigned to the dup page index
+            # silently vanish from the corpus and their keys flip to 'l'
+            mentions = page_lines[src] + (page_lines[pg] if near_dup else [])
             lines = fills[:1] + mentions + fills[1:]
             texts.append("\n".join(lines))
             hparts = [sent_pool_p[j] for j in si]

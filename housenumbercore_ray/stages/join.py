@@ -33,15 +33,24 @@ def bucketed_hash_join(
 
     Returns the pandas-merge result per bucket (left columns + right
     columns, pandas suffix rules apply to collisions)."""
-    lcols = left.schema().names
-    rcols = right.schema().names
+    lschema, rschema = left.schema(), right.schema()
+    lcols = lschema.names
+    rcols = rschema.names
     all_cols = list(dict.fromkeys(lcols + rcols))
+    # Arrow type per column (either side) → typed padding for the absent
+    # side, so both sides union with IDENTICAL Arrow schemas rather than
+    # relying on null-type promotion (brittle across Ray/Arrow versions)
+    arrow_types = dict(zip(rschema.names, rschema.types))
+    arrow_types.update(zip(lschema.names, lschema.types))
 
     def pad(side: str, key: str):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
             out = pd.DataFrame(index=b.index)
             for c in all_cols:
-                out[c] = b[c] if c in b.columns else pd.NA
+                if c in b.columns:
+                    out[c] = b[c]
+                else:
+                    out[c] = pd.Series(pd.NA, index=b.index, dtype=pd.ArrowDtype(arrow_types[c]))
             out["_side"] = side
             out["_bucket"] = (
                 pd.util.hash_array(b[key].to_numpy(dtype=object)) % num_buckets

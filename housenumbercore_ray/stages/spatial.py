@@ -70,6 +70,12 @@ class SpatialStreetJoin:
             sid[pos[m]] = ids
             byname[pos[m]] = hit
         batch = batch.assign(street_key=skey, street_osm_id=sid, matched_by_name=byname)
+        # a municipality with ZERO valid streets can assign nothing — drop its
+        # candidates, matching the reference's skip of street-less jobs
+        # (MunicipalityJobs.java:284-304 finds no street rows → no inserts);
+        # also keeps the engine aligned with the oracle, whose name/kNN joins
+        # produce no row for such candidates
+        batch = batch[batch["street_key"] != ""]
         return batch.drop(columns=["street_key_raw"])
 
     @staticmethod

@@ -43,6 +43,14 @@ class TestHousenumber:
         assert expand_range("28d") == ["28d"]
         assert expand_range("47 1/2") == ["47 1/2"]
 
+    def test_expand_rejects_python_int_extensions(self):
+        # Python int() alone accepts underscores and non-ASCII digits;
+        # Integer.parseInt (and the vectorized regex path) rejects them —
+        # the scalar path must agree
+        assert expand_range("1_0-1_4") == []
+        assert expand_range("٢-٨") == []  # arabic-indic digits
+        assert expand_range(" 2 - 8 ") == ["2", "4", "6", "8"]
+
     def test_split_and_expand(self):
         assert split_and_expand("1,3") == ["1", "3"]
         assert split_and_expand("2-6;9") == ["2", "4", "6", "9"]

@@ -148,3 +148,31 @@ class TestStreetIndex:
         # the second point is nearer nebenweg when name doesn't pin it
         names2, ids2, _ = streets.assign(1, [10.05], [50.0095], ["unbekannt"])
         assert names2[0] == "nebenweg" and ids2[0] == 22
+
+
+class TestSpatialJoinStreetlessArea:
+    def test_candidates_in_streetless_area_dropped(self):
+        """A municipality with zero valid streets assigns nothing — its
+        candidates are dropped (MunicipalityJobs.java:284-304 skip), matching
+        the oracle's inner street-assignment join."""
+        import pandas as pd
+
+        from housenumbercore_ray.stages.spatial import SpatialStreetJoin
+
+        class Ctx:
+            boundary_index = BoundaryIndex(
+                [7], [polygon_wkb([(0, 0), (1, 0), (1, 1), (0, 1)])]
+            )
+            area_to_muni = {7: 3}
+            muni_exactly = {3: False}
+            street_index = StreetIndex([], [], [], [])  # no streets anywhere
+
+        join = SpatialStreetJoin.__new__(SpatialStreetJoin)
+        join.ctx = Ctx()
+        batch = pd.DataFrame({
+            "url": ["u"], "cand_seq": [0], "street_raw": ["Hauptstraße"],
+            "hnr_raw": ["1"], "plz": ["10000"], "muni_raw": ["X"],
+            "lat": [0.5], "lon": [0.5], "tags_text": [""],
+        })
+        out = join(batch)
+        assert len(out) == 0
