@@ -43,6 +43,15 @@ def bucketed_hash_join(
     arrow_types = dict(zip(rschema.names, rschema.types))
     arrow_types.update(zip(lschema.names, lschema.types))
 
+    def _pad_dtype(t):
+        import pyarrow as pa
+
+        if isinstance(t, pa.DataType):
+            return pd.ArrowDtype(t)
+        return object  # pandas-block schema (e.g. object column): untyped NA
+
+    pad_dtypes = {c: _pad_dtype(t) for c, t in arrow_types.items()}
+
     def pad(side: str, key: str):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
             out = pd.DataFrame(index=b.index)
@@ -50,7 +59,7 @@ def bucketed_hash_join(
                 if c in b.columns:
                     out[c] = b[c]
                 else:
-                    out[c] = pd.Series(pd.NA, index=b.index, dtype=pd.ArrowDtype(arrow_types[c]))
+                    out[c] = pd.Series(pd.NA, index=b.index, dtype=pad_dtypes[c])
             out["_side"] = side
             out["_bucket"] = (
                 pd.util.hash_array(b[key].to_numpy(dtype=object)) % num_buckets

@@ -75,6 +75,43 @@ def topk_finalize(group: pd.DataFrame, k: int = 5) -> pd.DataFrame:
     })
 
 
+class BandedProjectionLSH:
+    """Multi-band signed random projections for NEAR-DUP PAIR candidates
+    (the minhash-banding analog for cosine space): ``bands`` bands of
+    ``rowbits`` hyperplane bits each; vectors colliding in ANY band are
+    candidates. With 48×4 the collision probability at cos=0.45 per band is
+    ≈0.18 → miss probability (1−0.18)^48 ≈ 8e-5; on the test embeddings the
+    fixed planes give deterministic recall 1.0 (verified against the exact
+    all-pairs oracle at sf0.001/0.01/0.1).
+
+    map_batches stage emitting (band_id, bucket, vec_id) — embeddings are
+    NOT replicated through the banding shuffle; pair verification fetches
+    them afterwards via a hash-partitioned join."""
+
+    def __init__(self, dim: int, bands: int = 48, rowbits: int = 4, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.bands = bands
+        self.rowbits = rowbits
+        self.planes = rng.normal(size=(bands * rowbits, dim)).astype(np.float64)
+
+    def band_buckets(self, X: np.ndarray) -> np.ndarray:
+        """(n, bands) int64 bucket ids (the packed r bits of each band)."""
+        bits = ((X @ self.planes.T) > 0).astype(np.int64)
+        b3 = bits.reshape(len(X), self.bands, self.rowbits)
+        weights = (np.int64(1) << np.arange(self.rowbits, dtype=np.int64))
+        return (b3 * weights[None, None, :]).sum(axis=2)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        X = _to_matrix(batch["embedding"])
+        buckets = self.band_buckets(X)
+        n = len(batch)
+        return pd.DataFrame({
+            "band_id": np.tile(np.arange(self.bands, dtype=np.int64), n),
+            "bucket": buckets.ravel(),
+            "vec_id": np.repeat(batch["vec_id"].to_numpy(dtype=np.int64), self.bands),
+        })
+
+
 class SignedProjectionLSH:
     """Approximate path: 16-bit signed random projection signature per vector;
     vectors sharing the query's bucket (or hamming ≤ 1 neighbor buckets) are

@@ -85,6 +85,18 @@ def test_ann_lsh_recall(entry):
     assert len(hit) / len(exact) >= 0.4
 
 
+def test_embedding_pairs_bucketed_matches_exact(entry):
+    """The shipped LSH-bucketed near-dup path must reproduce the brute-force
+    all-pairs result exactly on the test embeddings (deterministic recall 1.0
+    with the fixed planes)."""
+    from housenumbercore_ray.pipelines import corpus
+
+    key = ["vec_id_a", "vec_id_b"]
+    got = corpus.embedding_near_dup_pairs(SF).to_pandas().sort_values(key).reset_index(drop=True)
+    want = corpus.embedding_near_dup_pairs_exact(SF).to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
 def test_minhash_pairs_runs(entry):
     res = entry.queries()["dedup_minhash_pairs"](SF)
     df = res.to_pandas()
@@ -101,6 +113,7 @@ def test_minhash_page_pairs_recall(entry):
 
     wd = wg.ensure_world(SF)
     got = entry.queries()["dedup_minhash_pages"](SF)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
     truth = pq.read_table(f"{wd}/near_dup_pages.parquet").to_pandas()
     if len(truth) == 0:
         return
