@@ -72,9 +72,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family (documents table)
         "dedup_exact": corpus.exact_dedup,
         "dedup_list_pairs": lambda sf: corpus.list_dup_pairs(_world(sf)),
-        "dedup_minhash_pairs": corpus.minhash_near_dup_pairs,   # rows-only
-        "dedup_minhash_pages": lambda sf: corpus.minhash_page_pairs(_world(sf)),  # rows-only, recall-tested
-        "dedup_simhash": corpus.doc_simhash,                    # rows-only
+        "dedup_minhash_pairs": corpus.minhash_near_dup_pairs,
+        "dedup_minhash_pages": lambda sf: corpus.minhash_page_pairs(_world(sf)),
+        "dedup_simhash": corpus.doc_simhash,
         # text analysis (documents table)
         "text_token_stats": corpus.doc_token_stats,
         "text_quality": corpus.doc_quality,
@@ -82,8 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": corpus.doc_fingerprint,
         # similarity search (embeddings table)
         "ann_topk_cosine": corpus.ann_topk,
-        "ann_lsh_buckets": corpus.ann_lsh_buckets,              # rows-only
-        "ann_lsh_topk": corpus.ann_lsh_topk,                    # rows-only (approximate)
+        "ann_lsh_buckets": corpus.ann_lsh_buckets,
+        "ann_lsh_topk": corpus.ann_lsh_topk,
         "dedup_embedding_pairs": corpus.embedding_near_dup_pairs,
         # multimodal plumbing (binary column of pages)
         "media_features": lambda sf: corpus.media_features(_world(sf)),
@@ -335,4 +335,16 @@ def oracle_sql() -> dict[str, str]:
     wd = world_dir_for(ORACLE_SF)
     out = queries_sql(wd)
     out.update(_corpus_oracles(wd))
+
+    # deterministic-approximate queries: full SQL recomputations (fixed
+    # hash/plane constants embedded as literals) — see pipelines/corpus_oracle
+    from housenumbercore_ray.pipelines import corpus_oracle as co
+    from housenumbercore_ray.pipelines.corpus import _embedding_dim
+
+    dim = _embedding_dim(ORACLE_SF)
+    out["dedup_simhash"] = co.simhash_sql()
+    out["dedup_minhash_pairs"] = co.minhash_pairs_sql()
+    out["dedup_minhash_pages"] = co.minhash_pages_sql(wd)
+    out["ann_lsh_buckets"] = co.lsh_buckets_sql(dim)
+    out["ann_lsh_topk"] = co.lsh_topk_sql(dim)
     return out

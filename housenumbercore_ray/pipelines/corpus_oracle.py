@@ -1,0 +1,211 @@
+"""DuckDB oracle SQL for the dedup / similarity pipelines.
+
+Every query here is an INDEPENDENT recomputation of the engine result in
+SQL — including the approximate ones, which are deterministic given their
+fixed hash/plane constants:
+
+  - ``dedup_simhash``: per-token md5-derived bit votes re-summed in SQL;
+  - ``dedup_minhash_pairs``: the FULL MinHash+LSH pipeline rebuilt in SQL
+    (shingles → 64 wrap-mod minhashes via HUGEINT arithmetic → band
+    equality → exact n-gram Jaccard ≥ threshold);
+  - ``dedup_minhash_pages``: planted ground truth (worldgen
+    near_dup_pages.parquet) joined with an exact SQL Jaccard — independent
+    of the engine's LSH entirely;
+  - ``ann_lsh_buckets`` / ``ann_lsh_topk``: the signed-projection planes are
+    embedded as SQL literals, signatures/hamming/cosine recomputed with
+    ``list_dot_product`` / ``bit_count`` / window top-k.
+
+The shared 64-bit base hash is ``('0x' || substr(md5(s),17,16))::UBIGINT``
+(bytes 8..16 of md5, big-endian), bit-identical to
+``stages.dedup._md5_hash64``. The minhash arithmetic deliberately models
+numpy's uint64 WRAPPING semantics: ``((a*x + b) % 2^64) % (2^61-1)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = "18446744073709551616"          # 2^64
+_P61 = "2305843009213693951"           # 2^61 - 1
+_SENTINEL = "CAST(18446744073709551615 AS UBIGINT)"  # empty-shingle signature
+
+_HASH64 = "('0x' || substr(md5({s}), 17, 16))::UBIGINT"
+
+
+def _tokens_cte(src: str, id_col: str, text_col: str) -> str:
+    """tokens list per doc — Python str.split() semantics (empty/whitespace
+    text → empty list)."""
+    return f"""
+tok AS (
+  SELECT {id_col} AS doc_id,
+         CASE WHEN trim({text_col}) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim({text_col}), '\\s+') END AS ts
+  FROM {src}
+)"""
+
+
+def _shingles_cte() -> str:
+    """word 3-shingles (distinct) — stages.dedup.shingles semantics."""
+    return """
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) END AS ss
+  FROM tok
+)"""
+
+
+_JACCARD = ("CASE WHEN len({a}) = 0 AND len({b}) = 0 THEN 1.0 "
+            "ELSE CAST(len(list_intersect({a}, {b})) AS DOUBLE) "
+            "/ len(list_distinct({a} || {b})) END")
+
+
+def simhash_sql(src: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    """dedup_simhash: bit i of the sketch is set iff the ±1 vote sum over all
+    token occurrences is > 0; published form drops bit 0 (>> 1)."""
+    return f"""
+WITH {_tokens_cte(src, id_col, text_col)},
+t1 AS (SELECT doc_id, unnest(ts) AS t FROM tok),
+th AS (SELECT doc_id, {_HASH64.format(s='t')} AS hv FROM t1),
+bits AS (
+  SELECT doc_id, r.i AS i,
+         sum(CASE WHEN (hv >> r.i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th, range(1, 64) r(i)
+  GROUP BY doc_id, r.i
+),
+sk AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT CAST(d.{id_col} AS BIGINT) AS doc_id, coalesce(sk.simhash, 0) AS simhash
+FROM {src} d LEFT JOIN sk ON sk.doc_id = d.{id_col}
+"""
+
+
+def _minhash_list_expr() -> str:
+    """The 64-element minhash list: per hash fn k,
+    min over shingle hashes x of ((a_k*x + b_k) mod 2^64) mod (2^61-1);
+    empty shingle set → uint64-max sentinel. a/b constants are the
+    RandomState(12345) draw of stages.dedup._MinHasher."""
+    rng = np.random.RandomState(12345)
+    prime = (1 << 61) - 1
+    a = rng.randint(1, prime, size=64, dtype=np.int64)
+    b = rng.randint(0, prime, size=64, dtype=np.int64)
+    parts = [
+        ("coalesce(list_min(list_transform(hs, x -> "
+         f"CAST((CAST({int(ak)} AS HUGEINT) * x + {int(bk)}) % {_U64} AS UBIGINT) % {_P61})), "
+         f"{_SENTINEL})")
+        for ak, bk in zip(a, b)
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+_BAND_COLLIDE = (
+    "len(list_filter(range(0, 16), bd -> "
+    "a.mh[4*bd+1] = b.mh[4*bd+1] AND a.mh[4*bd+2] = b.mh[4*bd+2] AND "
+    "a.mh[4*bd+3] = b.mh[4*bd+3] AND a.mh[4*bd+4] = b.mh[4*bd+4])) > 0"
+)
+
+
+def minhash_pairs_sql(src: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text", threshold: float = 0.8,
+                      out_a: str = "doc_id_a", out_b: str = "doc_id_b") -> str:
+    """dedup_minhash_pairs: full LSH pipeline rebuilt in SQL. A band
+    collision is modeled directly as equality of the band's 4 minhash values
+    (the engine's band hash is an injective fold of exactly those values)."""
+    jac = _JACCARD.format(a="c.ssa", b="c.ssb")
+    return f"""
+WITH {_tokens_cte(src, id_col, text_col)},
+{_shingles_cte()},
+hh AS (SELECT doc_id, ss, list_transform(ss, s -> {_HASH64.format(s='s')}) AS hs FROM sh),
+m AS (SELECT doc_id, ss, {_minhash_list_expr()} AS mh FROM hh),
+cand AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, a.ss AS ssa, b.ss AS ssb
+  FROM m a JOIN m b ON a.doc_id < b.doc_id
+  WHERE {_BAND_COLLIDE}
+)
+SELECT CAST(ida AS BIGINT) AS {out_a}, CAST(idb AS BIGINT) AS {out_b},
+       jac AS jaccard
+FROM (SELECT c.*, {jac} AS jac FROM cand c)
+WHERE jac >= {threshold}
+"""
+
+
+def minhash_pages_sql(world_dir: str, threshold: float = 0.7) -> str:
+    """dedup_minhash_pages: the planted near-dup ground truth
+    (near_dup_pages.parquet, written by worldgen INDEPENDENTLY of any engine
+    code) joined with an exact SQL 3-gram Jaccard — verifies both that the
+    engine finds exactly the planted pairs (recall AND precision) and that
+    its Jaccard values are exact."""
+    jac = _JACCARD.format(a="sa.ss", b="sb.ss")
+    return f"""
+WITH pages_src AS (
+  SELECT CAST(string_split(url, '/')[-1] AS BIGINT) AS pid, text
+  FROM read_parquet('{world_dir}/pages/*.parquet')
+),
+{_tokens_cte('pages_src', 'pid', 'text')},
+{_shingles_cte()},
+nd AS (SELECT page_a, page_b FROM read_parquet('{world_dir}/near_dup_pages.parquet'))
+SELECT CAST(nd.page_a AS BIGINT) AS page_a, CAST(nd.page_b AS BIGINT) AS page_b,
+       jac AS jaccard
+FROM (
+  SELECT nd.*, {jac} AS jac
+  FROM nd
+  JOIN sh sa ON sa.doc_id = nd.page_a
+  JOIN sh sb ON sb.doc_id = nd.page_b
+) nd
+WHERE jac >= {threshold}
+"""
+
+
+def _plane_literals(dim: int, bits: int = 16, seed: int = 7) -> list[str]:
+    """The SignedProjectionLSH planes as SQL double-list literals."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(bits, dim)).astype(np.float64)
+    return ["[" + ", ".join(repr(float(v)) for v in row) + "]" for row in planes]
+
+
+def _signature_expr(vec: str, dim: int) -> str:
+    planes = _plane_literals(dim)
+    terms = [
+        f"(CASE WHEN list_dot_product({vec}, {p}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_buckets_sql(dim: int) -> str:
+    """ann_lsh_buckets: the 16-bit signed-projection signature recomputed
+    with the seed-7 planes as literals."""
+    sig = _signature_expr("CAST(embedding AS DOUBLE[])", dim)
+    return f"""
+SELECT CAST({sig} AS BIGINT) AS bucket, CAST(vec_id AS BIGINT) AS vec_id
+FROM embeddings
+"""
+
+
+def lsh_topk_sql(dim: int, query_ids=(0, 1, 2, 3), k: int = 5,
+                 max_hamming: int = 6) -> str:
+    """ann_lsh_topk: deterministic approximate ANN fully recomputed —
+    signature hamming filter (bit_count of xor) then exact cosine top-k."""
+    qlist = ", ".join(str(q) for q in query_ids)
+    sig = _signature_expr("v", dim)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sg AS (SELECT vec_id, v, CAST({sig} AS BIGINT) AS s FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, s AS qs FROM sg WHERE vec_id IN ({qlist})),
+cand AS (
+  SELECT q.qid, sg.vec_id, list_cosine_similarity(sg.v, q.qv) AS sim
+  FROM sg CROSS JOIN q
+  WHERE sg.vec_id <> q.qid AND bit_count(xor(sg.s, q.qs)) <= {max_hamming}
+)
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) <= {k}
+"""

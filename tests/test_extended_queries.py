@@ -44,7 +44,9 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "text_quality", "text_lang_id", "text_fingerprint", "ann_topk_cosine",
             "media_features", "media_frame_samples", "rel_pricing_summary",
             "rel_top_customers", "rel_events_monthly", "rel_events_mom_diff",
-            "rel_user_sessions", "rel_distinct_segments", "rel_segment_revenue_bucketed"]
+            "rel_user_sessions", "rel_distinct_segments", "rel_segment_revenue_bucketed",
+            "dedup_simhash", "dedup_minhash_pairs", "dedup_minhash_pages",
+            "ann_lsh_buckets", "ann_lsh_topk"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
@@ -60,6 +62,15 @@ def test_extended_query_matches_oracle(entry, con, name):
     sqls.update(queries_sql(wd))
     sqls.update(_corpus_oracles(wd))
     sqls["theo_muni_summary"] = _theo_oracle(wd)
+    from housenumbercore_ray.pipelines import corpus_oracle as co
+    from housenumbercore_ray.pipelines.corpus import _embedding_dim
+
+    dim = _embedding_dim(SF)
+    sqls["dedup_simhash"] = co.simhash_sql()
+    sqls["dedup_minhash_pairs"] = co.minhash_pairs_sql()
+    sqls["dedup_minhash_pages"] = co.minhash_pages_sql(wd)
+    sqls["ann_lsh_buckets"] = co.lsh_buckets_sql(dim)
+    sqls["ann_lsh_topk"] = co.lsh_topk_sql(dim)
 
     got = entry.queries()[name](SF)
     got = got.to_pandas() if hasattr(got, "to_pandas") else pd.DataFrame(got)
@@ -70,10 +81,11 @@ def test_extended_query_matches_oracle(entry, con, name):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
-def test_rows_only_queries_nonempty(entry):
-    for name in ["dedup_simhash", "ann_lsh_buckets", "ann_lsh_topk"]:
-        res = entry.queries()[name](SF)
-        assert res.count() > 0, name
+def test_every_query_has_an_oracle(entry):
+    """Round-2 invariant: zero no_oracle rows — every queries() entry has a
+    matching oracle_sql() entry."""
+    missing = set(entry.queries()) - set(entry.oracle_sql())
+    assert not missing, f"queries without oracle: {sorted(missing)}"
 
 
 def test_ann_lsh_recall(entry):
