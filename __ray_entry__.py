@@ -64,6 +64,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hnr_csv_import": lambda sf: __import__(
             "housenumbercore_ray.pipelines.import_list", fromlist=["csv_import"]
         ).csv_import(_world(sf)),
+        "hnr_shape_import": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.import_list", fromlist=["shape_import"]
+        ).shape_import(_world(sf)),
+        "hnr_osm_import": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.import_list", fromlist=["osm_import"]
+        ).osm_import(_world(sf)),
+        "hnr_gml_import": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.import_list", fromlist=["gml_import"]
+        ).gml_import(_world(sf)),
         "hnr_evaluation_delta": lambda sf: ev.evaluation_delta(_world(sf)),
         # theoretical pipeline (osm_addresses table of the world)
         "theo_muni_summary": lambda sf: __import__(

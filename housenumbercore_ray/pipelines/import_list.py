@@ -47,6 +47,21 @@ def ensure_list_csv(world_dir: str) -> str:
     return out
 
 
+def _dedup_on_import_key(ds: rd.Dataset) -> rd.Dataset:
+    """Exact dedup on the import key (street + postcode + housenumber per
+    municipality, HousenumberList.java:117-158); duplicates carry identical
+    coordinates by construction, so key distinct == full-row distinct."""
+    from .corpus import _shard_on
+
+    key = ["muni_ref", "street", "housenumber", "postcode"]
+    return (
+        ds.map_batches(_shard_on(key), batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(lambda g: g.drop_duplicates(key).drop(columns=["_shard"]),
+                    batch_format="pandas")
+    )
+
+
 def csv_import(world_dir: str) -> rd.Dataset:
     """CSV file → canonical deduped rows (muni_ref, street, housenumber,
     postcode, lon, lat)."""
@@ -60,16 +75,249 @@ def csv_import(world_dir: str) -> rd.Dataset:
         return out
 
     projected = ds.map_batches(project, batch_format="pandas")
-    # exact dedup on the import key; duplicates carry identical coordinates
-    # (by construction), so full-row distinct == key distinct
+    return _dedup_on_import_key(projected)
+
+
+# ---------------------------------------------------------------------------
+# S2: ESRI shapefile list import (imports/ShapeListImport.java analog)
+
+def ensure_list_shapefile(world_dir: str) -> str:
+    """Serialize list_addresses → .shp/.dbf (cached); includes one reject row
+    (missing street) the import must drop. Coordinates live in the .shp as
+    binary float64 → exact round trip."""
+    base = os.path.join(world_dir, "derived", "list_export")
+    if os.path.exists(base + ".shp") and os.path.exists(base + ".dbf"):
+        return base
+    os.makedirs(os.path.dirname(base), exist_ok=True)
+    import numpy as np
+
+    from ..sources.shapefile import write_shapefile
+
+    la = pq.read_table(
+        f"{world_dir}/list_addresses.parquet",
+        columns=["muni_ref", "street", "housenumber", "postcode", "lon", "lat"],
+    ).to_pandas()
+    attrs = pd.DataFrame({
+        "gemeindeid": la["muni_ref"].tolist() + ["99999999"],
+        "strasse": la["street"].tolist() + [""],
+        "hausnummer": la["housenumber"].tolist() + ["9"],
+        "plz": la["postcode"].tolist() + ["10115"],
+    })
+    lon = np.concatenate([la["lon"].to_numpy(), [10.0]])
+    lat = np.concatenate([la["lat"].to_numpy(), [50.0]])
+    write_shapefile(base + ".tmp", lon, lat, attrs)
+    os.replace(base + ".tmp.shp", base + ".shp")
+    os.replace(base + ".tmp.dbf", base + ".dbf")
+    return base
+
+
+def shape_import(world_dir: str) -> rd.Dataset:
+    """S2 end-to-end: shapefile → sniffed dbf fields mapped to canonical
+    names (ShapeReader.java:174-235 configured-field analog) → reject rows
+    missing street/housenumber → import-key dedup. Same output relation as
+    :func:`csv_import`."""
+    from ..sources.shapefile import read_shapefile_dataset
+
+    base = ensure_list_shapefile(world_dir)
+    ds = read_shapefile_dataset(base, encoding="cp1252", field_mapping={
+        "gemeindeid": "muni_ref", "strasse": "street",
+        "hausnummer": "housenumber", "plz": "postcode",
+    })
+
+    def clean(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["street"].str.strip() != "") & (b["housenumber"].str.strip() != "")]
+        return b[["muni_ref", "street", "housenumber", "postcode", "lon", "lat"]]
+
+    return _dedup_on_import_key(ds.map_batches(clean, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# S3: OSM XML import (imports/OsmListImport.java analog)
+
+def _xml_esc(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            .replace('"', "&quot;").replace("'", "&apos;"))
+
+
+def ensure_osm_xml(world_dir: str) -> str:
+    """Serialize osm_addresses (+ associatedStreet relations) as OSM XML,
+    ONE FILE PER MUNICIPALITY (XML is unsplittable — per-file parallelism,
+    sources/osm_xml.py reader contract). Ways/relations get synthetic member
+    nodes at their own coordinate so the reader's mean-centroid reproduces
+    the parquet values exactly; associatedStreet relations carry their
+    members plus a role=street member the reader must skip."""
+    out = os.path.join(world_dir, "derived", "osm_xml")
+    done = os.path.join(out, ".done")
+    if os.path.exists(done):
+        return out
+    tmp = out + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    oa = pq.read_table(f"{world_dir}/osm_addresses.parquet").to_pandas()
+    rel_names = {}
+    rel_path = f"{world_dir}/osm_relations.parquet"
+    if os.path.exists(rel_path):
+        rt = pq.read_table(rel_path).to_pandas()
+        rel_names = dict(zip(rt["rel_id"].astype(int), rt["name"]))
+    for muni, g in oa.groupby("muni_id", sort=True):
+        nodes, ways, rels = [], [], []
+        assoc_members: dict[int, list[tuple[str, int]]] = {}
+
+        def tag_lines(r) -> list[str]:
+            t = [f"    <tag k='addr:housenumber' v='{_xml_esc(r.addr_housenumber)}' />"]
+            if r.addr_street is not None and not pd.isna(r.addr_street):
+                t.append(f"    <tag k='addr:street' v='{_xml_esc(r.addr_street)}' />")
+            if r.addr_place is not None and not pd.isna(r.addr_place):
+                t.append(f"    <tag k='addr:place' v='{_xml_esc(r.addr_place)}' />")
+            return t
+
+        for r in g.itertuples():
+            oid = int(r.osm_id)
+            if not pd.isna(r.assoc_rel_id):
+                assoc_members.setdefault(int(r.assoc_rel_id), []).append((r.osm_type, oid))
+            if r.osm_type == "node":
+                nodes.append(f"  <node id='{oid}' lat='{r.lat!r}' lon='{r.lon!r}'>")
+                nodes.extend(tag_lines(r))
+                nodes.append("  </node>")
+            elif r.osm_type == "way":
+                helper = -(oid * 10 + 1)
+                nodes.append(f"  <node id='{helper}' lat='{r.lat!r}' lon='{r.lon!r}' />")
+                ways.append(f"  <way id='{oid}'>")
+                ways.append(f"    <nd ref='{helper}' />")
+                ways.extend(tag_lines(r))
+                ways.append("  </way>")
+            else:  # relation: multipolygon carrying the address itself
+                helper_n = -(oid * 10 + 1)
+                helper_w = -(oid * 10 + 2)
+                nodes.append(f"  <node id='{helper_n}' lat='{r.lat!r}' lon='{r.lon!r}' />")
+                ways.append(f"  <way id='{helper_w}'>")
+                ways.append(f"    <nd ref='{helper_n}' />")
+                ways.append("  </way>")
+                rels.append(f"  <relation id='{oid}'>")
+                rels.append("    <tag k='type' v='multipolygon' />")
+                rels.append(f"    <member type='way' ref='{helper_w}' role='outer' />")
+                rels.extend(tag_lines(r))
+                rels.append("  </relation>")
+        for rid, members in sorted(assoc_members.items()):
+            name = rel_names.get(rid, "")
+            rels.append(f"  <relation id='{rid}'>")
+            rels.append("    <tag k='type' v='associatedStreet' />")
+            rels.append(f"    <tag k='name' v='{_xml_esc(name)}' />")
+            rels.append("    <member type='way' ref='-999999999' role='street' />")
+            for mtype, mid in members:
+                rels.append(f"    <member type='{mtype}' ref='{mid}' role='house' />")
+            rels.append("  </relation>")
+        body = "\n".join(["<?xml version='1.0' encoding='UTF-8'?>", "<osm version='0.6'>"]
+                         + nodes + ways + rels + ["</osm>"])
+        with open(os.path.join(tmp, f"muni-{int(muni):05d}.osm"), "w", encoding="utf-8") as fh:
+            fh.write(body)
+    with open(os.path.join(tmp, ".done"), "w") as fh:
+        fh.write("v1")
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    return out
+
+
+def osm_import(world_dir: str) -> rd.Dataset:
+    """S3 end-to-end: OSM XML extract directory → address rows through the
+    full reader (way/relation mean centroids, associatedStreet name
+    propagation, role=street skip — util/OsmReader.java:24-469 semantics)."""
+    import glob
+
+    from ..sources.osm_xml import read_osm_xml
+
+    d = ensure_osm_xml(world_dir)
+    paths = sorted(glob.glob(os.path.join(d, "*.osm")))
+    ds = read_osm_xml(paths)
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["osm_id", "osm_type", "lon", "lat", "addr_street",
+                  "addr_place", "addr_housenumber"]]
+
+    return ds.map_batches(project, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# S4: GML street-list import (imports/import_stadtstrassenGENERICGml.java)
+
+def ensure_gml(world_dir: str) -> str:
+    """Serialize the official street list (distinct muni_ref+street) as GML,
+    one file per municipality. Streets of every third municipality get a
+    planted 'Ulica ' prefix the PL regex-correction chain must strip; one
+    empty-street feature per file must be filtered."""
+    out = os.path.join(world_dir, "derived", "gml")
+    done = os.path.join(out, ".done")
+    if os.path.exists(done):
+        return out
+    import shutil
+
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    la = pq.read_table(f"{world_dir}/list_addresses.parquet",
+                       columns=["muni_ref", "street"]).to_pandas()
+    streets = la.drop_duplicates(["muni_ref", "street"]).sort_values(["muni_ref", "street"])
+    for i, (ref, g) in enumerate(streets.groupby("muni_ref", sort=True)):
+        feats = []
+        for j, street in enumerate(g["street"]):
+            label = ("Ulica " + street) if (i + j) % 3 == 0 else street
+            feats.append(
+                "  <gml:featureMember>\n"
+                "    <app:Strasse>\n"
+                f"      <app:gemeinde><app:id>{_xml_esc(ref)}</app:id></app:gemeinde>\n"
+                f"      <app:strasse><app:name>{_xml_esc(label)}</app:name></app:strasse>\n"
+                "    </app:Strasse>\n"
+                "  </gml:featureMember>"
+            )
+        feats.append(
+            "  <gml:featureMember>\n"
+            "    <app:Strasse>\n"
+            f"      <app:gemeinde><app:id>{_xml_esc(ref)}</app:id></app:gemeinde>\n"
+            "      <app:strasse><app:name></app:name></app:strasse>\n"
+            "    </app:Strasse>\n"
+            "  </gml:featureMember>"
+        )
+        body = ("<?xml version='1.0' encoding='UTF-8'?>\n"
+                "<gml:FeatureCollection xmlns:gml='http://www.opengis.net/gml' "
+                "xmlns:app='http://example.org/app'>\n"
+                + "\n".join(feats) + "\n</gml:FeatureCollection>")
+        with open(os.path.join(tmp, f"strassen-{ref}.gml"), "w", encoding="utf-8") as fh:
+            fh.write(body)
+    with open(os.path.join(tmp, ".done"), "w") as fh:
+        fh.write("v1")
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    return out
+
+
+def gml_import(world_dir: str) -> rd.Dataset:
+    """S4 end-to-end: GML directory → per-country field paths + ordered
+    regex corrections (PL chain strips the planted 'Ulica ' prefix) →
+    empty-street filter → distinct street list per municipality."""
+    import glob
+
+    from ..sources.gml import GmlCountryConfig, read_gml
     from .corpus import _shard_on
 
+    d = ensure_gml(world_dir)
+    paths = sorted(glob.glob(os.path.join(d, "*.gml")))
+    config = GmlCountryConfig(
+        countrycode="PL", feature_tag="Strasse",
+        paths={"muni_ref": "gemeinde/id", "street": "strasse/name"},
+        apply_corrections=True,
+    )
+    ds = read_gml(paths, config)
+
+    def clean(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["street"].str.strip() != ""][["muni_ref", "street"]]
+
+    key = ["muni_ref", "street"]
     return (
-        projected.map_batches(_shard_on(["muni_ref", "street", "housenumber", "postcode"]),
-                              batch_format="pandas")
+        ds.map_batches(clean, batch_format="pandas")
+        .map_batches(_shard_on(key), batch_format="pandas")
         .groupby("_shard")
-        .map_groups(
-            lambda g: g.drop_duplicates(["muni_ref", "street", "housenumber", "postcode"]).drop(columns=["_shard"]),
-            batch_format="pandas",
-        )
+        .map_groups(lambda g: g.drop_duplicates(key).drop(columns=["_shard"]),
+                    batch_format="pandas")
     )

@@ -307,6 +307,35 @@ SELECT DISTINCT gemeindeid AS muni_ref, strasse AS street,
 FROM read_csv('{world_dir}/derived/list_export.csv', delim=';', header=true, all_varchar=true)
 WHERE trim(strasse) <> '' AND trim(hausnummer) <> ''
 """,
+        # S2: the shapefile import must round-trip exactly back to the list
+        # relation (the .shp/.dbf rendition is derived from it; the reject
+        # row is engine-side only and must be dropped)
+        "hnr_shape_import": f"""
+SELECT DISTINCT muni_ref, street, housenumber, postcode, lon, lat
+FROM read_parquet('{world_dir}/list_addresses.parquet')
+""",
+        # S3: OSM XML reader semantics recomputed from the parquet ground
+        # truth: associatedStreet name propagation applies to node/way
+        # members only (OsmReader.java:400-426); relation-type members keep
+        # an empty street
+        "hnr_osm_import": f"""
+SELECT CAST(o.osm_id AS BIGINT) AS osm_id, o.osm_type, o.lon, o.lat,
+       CASE WHEN o.addr_street IS NOT NULL THEN o.addr_street
+            WHEN o.assoc_rel_id IS NOT NULL AND o.osm_type IN ('node', 'way') THEN r.name
+            ELSE '' END AS addr_street,
+       coalesce(o.addr_place, '') AS addr_place,
+       o.addr_housenumber
+FROM read_parquet('{world_dir}/osm_addresses.parquet') o
+LEFT JOIN read_parquet('{world_dir}/osm_relations.parquet') r
+  ON r.rel_id = o.assoc_rel_id
+""",
+        # S4: the GML street-list import strips the planted 'Ulica ' prefix
+        # via the PL correction chain and must recover exactly the distinct
+        # official street list
+        "hnr_gml_import": f"""
+SELECT DISTINCT muni_ref, street
+FROM read_parquet('{world_dir}/list_addresses.parquet')
+""",
         "hnr_evaluation_delta": pre + """
 , cur AS (SELECT muni_id, street_key, hnr_norm, treffertyp FROM evaluation),
 prev AS (

@@ -31,6 +31,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     "hnr_extract_candidates", "hnr_join_rows", "hnr_evaluation",
     "hnr_muni_summary", "hnr_muni_coverage", "hnr_street_summary", "hnr_streets_missing_in_osm",
     "hnr_subarea_rows", "hnr_csv_import", "hnr_evaluation_delta",
+    "hnr_shape_import", "hnr_osm_import", "hnr_gml_import",
 ])
 def test_query_matches_oracle(world, name):
     from housenumbercore_ray.pipelines import evaluation as ev
@@ -49,6 +50,9 @@ def test_query_matches_oracle(world, name):
         "hnr_subarea_rows": ev.subarea_rows,
         "hnr_csv_import": import_list.csv_import,
         "hnr_evaluation_delta": ev.evaluation_delta,
+        "hnr_shape_import": import_list.shape_import,
+        "hnr_osm_import": import_list.osm_import,
+        "hnr_gml_import": import_list.gml_import,
     }[name]
     res = ray_fn(world)
     got = _normalize(res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res))
