@@ -124,9 +124,15 @@ def sniff_file(path: str, encoding: str = "utf-8",
     return analyse_header(header, sep, column_overrides, extra_tag_columns)
 
 
-def parse_lines(lines: pd.Series, dialect: CsvDialect, source_srid: str = "4326") -> pd.DataFrame:
+def parse_lines(lines: pd.Series, dialect: CsvDialect, source_srid: str = "4326",
+                countrycode: str = "") -> pd.DataFrame:
     """Vectorized line → canonical address rows. Returns the canonical frame
-    plus a ``_reject`` column ('', 'Missing_Street', 'Missing_Housenumber')."""
+    plus a ``_reject`` column ('', 'Missing_Street', 'Missing_Housenumber').
+
+    Country hook M17 (CsvReader.java:473-478): for ``countrycode='LU'``,
+    rows with an empty municipality but a non-empty locality (subarea)
+    resolve the municipality through the Luxembourg locality→commune side
+    table (functions.lu_localities)."""
     parts = lines.str.split(dialect.separator)
 
     def col(fieldname: str) -> pd.Series:
@@ -149,10 +155,19 @@ def parse_lines(lines: pd.Series, dialect: CsvDialect, source_srid: str = "4326"
     lon = lon.where(ok, LON_UNSET)
     lat = lat.where(ok, LAT_UNSET)
 
+    municipality = col("municipality")
+    subarea = col("subarea")
+    if countrycode == "LU":
+        from ..functions.lu_localities import LU_LOCALITY_TO_COMMUNE
+
+        need = municipality.eq("") & subarea.ne("")
+        resolved = subarea[need].map(LU_LOCALITY_TO_COMMUNE).fillna("")
+        municipality = municipality.mask(need, resolved)
+
     out = pd.DataFrame({
-        "municipality": col("municipality"),
+        "municipality": municipality,
         "muni_ref": col("municipalityref"),
-        "subarea": col("subarea"),
+        "subarea": subarea,
         "street": street,
         "housenumber": hnr,
         "postcode": col("postcode"),
@@ -172,7 +187,8 @@ def parse_lines(lines: pd.Series, dialect: CsvDialect, source_srid: str = "4326"
 
 def read_csv_addresses(path: str, encoding: str = "utf-8", source_srid: str = "4326",
                        column_overrides: dict[int, str] | None = None,
-                       extra_tag_columns: dict[int, str] | None = None):
+                       extra_tag_columns: dict[int, str] | None = None,
+                       countrycode: str = ""):
     """→ (ray Dataset of canonical accepted rows, metrics dict).
 
     The header is sniffed driver-side (one line); the body parses inside
@@ -192,9 +208,9 @@ def read_csv_addresses(path: str, encoding: str = "utf-8", source_srid: str = "4
         lines = batch["text"]
         lines = lines[lines.str.rstrip("\r\n") != header_prefix]  # drop header line
         if len(lines) == 0:
-            empty = parse_lines(pd.Series(["x"], dtype=str), dialect, source_srid).iloc[:0]
+            empty = parse_lines(pd.Series(["x"], dtype=str), dialect, source_srid, countrycode).iloc[:0]
             return empty
-        return parse_lines(lines.str.rstrip("\r\n"), dialect, source_srid)
+        return parse_lines(lines.str.rstrip("\r\n"), dialect, source_srid, countrycode)
 
     parsed = ds.map_batches(parse, batch_format="pandas")
     accepted = parsed.map_batches(

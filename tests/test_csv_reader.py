@@ -104,3 +104,26 @@ class TestEndToEnd:
         ds, _ = read_csv_addresses(str(p), extra_tag_columns={2: "source"})
         df = ds.to_pandas()
         assert df.iloc[0]["tag:source"] == "kataster"
+
+
+class TestLuxembourgLocality:
+    def test_locality_resolves_commune(self):
+        """M17 (CsvReader.java:473-478, 683-1237): LU rows with empty
+        municipality but a known locality get the commune from the side
+        table; unknown localities stay empty."""
+        import pandas as pd
+
+        from housenumbercore_ray.sources.csv_reader import analyse_header, parse_lines
+
+        d = analyse_header("strasse;hausnummer;localite;commune", ";")
+        lines = pd.Series([
+            "Rue Principale;1;Dillingen;",      # locality → Beaufort
+            "Rue Neuve;2;Surré;",               # locality → Boulaide
+            "Grand-Rue;3;Niemandsland;",        # unknown → ''
+            "Rue Haute;4;Bech;Vorhanden",       # municipality already set → kept
+        ])
+        out = parse_lines(lines, d, countrycode="LU")
+        assert out["municipality"].tolist() == ["Beaufort", "Boulaide", "", "Vorhanden"]
+        # without the LU hook nothing resolves
+        out2 = parse_lines(lines, d)
+        assert out2["municipality"].tolist() == ["", "", "", "Vorhanden"]
