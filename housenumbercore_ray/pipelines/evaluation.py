@@ -182,10 +182,30 @@ def muni_summary(world_dir: str) -> rd.Dataset:
     )
 
 
+def _muni_geometry(world_dir: str) -> dict:
+    """muni_id → (polygon WKB hex, bbox) — the WMS-export geometry columns
+    (exportjobs2shape carries the polygon, dbstructure.sql:289-307). Small
+    side (one row per municipality), attached post-aggregate."""
+    import pyarrow.parquet as pq
+
+    b = pq.read_table(
+        f"{world_dir}/boundaries.parquet",
+        columns=["muni_id", "sub_id", "polygon_wkb", "minlon", "minlat", "maxlon", "maxlat"],
+    ).to_pandas()
+    b = b[b["sub_id"] == "-1"]
+    return {
+        int(r.muni_id): (r.polygon_wkb.hex(), float(r.minlon), float(r.minlat),
+                         float(r.maxlon), float(r.maxlat))
+        for r in b.itertuples()
+    }
+
+
 def muni_coverage(world_dir: str) -> rd.Dataset:
     """exportjobs2shape analog (dbstructure.sql:289-307): the street-level
-    coverage columns rolled up per municipality (A4)."""
+    coverage columns rolled up per municipality (A4), with the export
+    geometry (polygon WKB hex + bbox) attached."""
     ev = evaluation(world_dir)
+    geo = _muni_geometry(world_dir)
 
     def flags(b: pd.DataFrame) -> pd.DataFrame:
         t = b["treffertyp"]
@@ -200,6 +220,12 @@ def muni_coverage(world_dir: str) -> rd.Dataset:
     def abdeck(b: pd.DataFrame) -> pd.DataFrame:
         identical = b["hnr_soll"] - b["hnr_fhlosm"]
         b["hnr_abdeck"] = np.where(b["hnr_soll"] > 0, 100.0 * identical / b["hnr_soll"], 0.0)
+        g = b["muni_id"].map(geo)
+        b["polygon_wkb_hex"] = g.str[0]
+        b["minlon"] = g.str[1]
+        b["minlat"] = g.str[2]
+        b["maxlon"] = g.str[3]
+        b["maxlat"] = g.str[4]
         return b
 
     return (
@@ -215,10 +241,33 @@ def muni_coverage(world_dir: str) -> rd.Dataset:
     )
 
 
+def _street_geometry(world_dir: str) -> dict:
+    """(muni_id, street_key) → linestring WKB hex of the matched OSM street
+    (MIN osm_id among valid same-key streets — deterministic tie-break);
+    official-only streets have no geometry (inserted with NULL geometry,
+    MunicipalityJobs.storeStreets:878-931)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.context import VALID_HIGHWAYS, get_context, street_key_series
+
+    ctx = get_context(world_dir)
+    s = pq.read_table(f"{world_dir}/osm_streets.parquet").to_pandas()
+    s = s[s["highway"].isin(VALID_HIGHWAYS) & ~s["blacklisted"] & (s["name"] != "")]
+    area = ctx.boundary_index.locate(s["mid_lon"].to_numpy(), s["mid_lat"].to_numpy())
+    s = s.assign(muni_id=pd.Series(area, index=s.index).map(ctx.area_to_muni),
+                 street_key=street_key_series(s["name"]))
+    s = s.dropna(subset=["muni_id"]).sort_values("osm_id")
+    first = s.drop_duplicates(["muni_id", "street_key"], keep="first")
+    return {(int(r.muni_id), r.street_key): r.linestring_wkb.hex() for r in first.itertuples()}
+
+
 def street_summary(world_dir: str) -> rd.Dataset:
     """exporthnr2shape analog (dbstructure.sql:311-331): per (muni, street)
-    hnr_soll / hnr_osm / hnr_fhlosm / hnr_nurosm / hnr_abdeck / hnr_liste."""
+    hnr_soll / hnr_osm / hnr_fhlosm / hnr_nurosm / hnr_abdeck / hnr_liste,
+    with the matched street's linestring WKB hex ('' when the street exists
+    only in the official list)."""
     ev = evaluation(world_dir)
+    sgeo = _street_geometry(world_dir)
 
     def per_muni(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["street_key", "hnr_sortable", "hnr_display"], kind="mergesort")
@@ -240,9 +289,11 @@ def street_summary(world_dir: str) -> rd.Dataset:
             out["hnr_soll"] > 0, 100.0 * identical / out["hnr_soll"], 0.0
         )
         out = out.reset_index()
-        out.insert(0, "muni_id", np.int64(g["muni_id"].iloc[0]))
+        muni = int(g["muni_id"].iloc[0])
+        out.insert(0, "muni_id", np.int64(muni))
+        out["street_wkb_hex"] = [sgeo.get((muni, k), "") for k in out["street_key"]]
         return out[["muni_id", "street_key", "hnr_soll", "hnr_osm", "hnr_fhlosm",
-                    "hnr_nurosm", "hnr_abdeck", "hnr_liste"]]
+                    "hnr_nurosm", "hnr_abdeck", "hnr_liste", "street_wkb_hex"]]
 
     return ev.groupby("muni_id").map_groups(per_muni, batch_format="pandas")
 

@@ -77,7 +77,8 @@ candidates AS (
   FROM cand_lists
 ),
 valid_streets AS (
-  SELECT s.osm_id, s.name, s.street_lat, {_fold('s.name')} AS skey, b.muni_id
+  SELECT s.osm_id, s.name, s.street_lat, s.linestring_wkb,
+         {_fold('s.name')} AS skey, b.muni_id
   FROM streets_raw s
   JOIN bounds b
     ON s.mid_lon >= b.minlon AND s.mid_lon <= b.maxlon
@@ -358,29 +359,48 @@ FULL OUTER JOIN cur c
   ON p.muni_id = c.muni_id AND p.street_key = c.street_key AND p.hnr_norm = c.hnr_norm
 """,
         "hnr_muni_coverage": pre + """
-SELECT muni_id,
-       CAST(sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_soll,
-       CAST(sum(CASE WHEN treffertyp <> 'l' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_osm,
-       CAST(sum(CASE WHEN treffertyp = 'l' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_fhlosm,
-       CAST(sum(CASE WHEN treffertyp = 'o' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_nurosm,
-       CASE WHEN sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END) > 0
-            THEN 100.0 * sum(CASE WHEN treffertyp = 'i' THEN 1 ELSE 0 END)
-                 / sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END)
-            ELSE 0.0 END AS hnr_abdeck
-FROM evaluation GROUP BY muni_id
+, cov AS (
+  SELECT muni_id,
+         CAST(sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_soll,
+         CAST(sum(CASE WHEN treffertyp <> 'l' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_osm,
+         CAST(sum(CASE WHEN treffertyp = 'l' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_fhlosm,
+         CAST(sum(CASE WHEN treffertyp = 'o' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_nurosm,
+         CASE WHEN sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END) > 0
+              THEN 100.0 * sum(CASE WHEN treffertyp = 'i' THEN 1 ELSE 0 END)
+                   / sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END)
+              ELSE 0.0 END AS hnr_abdeck
+  FROM evaluation GROUP BY muni_id
+)
+-- export geometry (exportjobs2shape, dbstructure.sql:289-307): polygon +
+-- bbox of the municipality, hex-encoded WKB for cross-engine comparison
+SELECT cov.*, lower(hex(b.polygon_wkb)) AS polygon_wkb_hex,
+       b.minlon, b.minlat, b.maxlon, b.maxlat
+FROM cov JOIN bounds b USING (muni_id)
 """,
         "hnr_street_summary": pre + """
-SELECT muni_id, street_key,
-       CAST(sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_soll,
-       CAST(sum(CASE WHEN treffertyp <> 'l' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_osm,
-       CAST(sum(CASE WHEN treffertyp = 'l' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_fhlosm,
-       CAST(sum(CASE WHEN treffertyp = 'o' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_nurosm,
-       CASE WHEN sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END) > 0
-            THEN 100.0 * sum(CASE WHEN treffertyp = 'i' THEN 1 ELSE 0 END)
-                 / sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END)
-            ELSE 0.0 END AS hnr_abdeck,
-       coalesce(string_agg(CASE WHEN treffertyp = 'l' THEN hnr_display END, ','
-                           ORDER BY hnr_sortable, hnr_display), '') AS hnr_liste
-FROM evaluation GROUP BY muni_id, street_key
+, summ AS (
+  SELECT muni_id, street_key,
+         CAST(sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_soll,
+         CAST(sum(CASE WHEN treffertyp <> 'l' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_osm,
+         CAST(sum(CASE WHEN treffertyp = 'l' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_fhlosm,
+         CAST(sum(CASE WHEN treffertyp = 'o' THEN 1 ELSE 0 END) AS BIGINT) AS hnr_nurosm,
+         CASE WHEN sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END) > 0
+              THEN 100.0 * sum(CASE WHEN treffertyp = 'i' THEN 1 ELSE 0 END)
+                   / sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END)
+              ELSE 0.0 END AS hnr_abdeck,
+         coalesce(string_agg(CASE WHEN treffertyp = 'l' THEN hnr_display END, ','
+                             ORDER BY hnr_sortable, hnr_display), '') AS hnr_liste
+  FROM evaluation GROUP BY muni_id, street_key
+),
+-- street export geometry (exporthnr2shape, dbstructure.sql:311-331):
+-- the matched OSM street's linestring (min osm_id tie-break); streets only
+-- in the official list have no geometry
+street_geom AS (
+  SELECT muni_id, skey, lower(hex(min_by(linestring_wkb, osm_id))) AS wkb_hex
+  FROM valid_streets GROUP BY muni_id, skey
+)
+SELECT summ.*, coalesce(sg.wkb_hex, '') AS street_wkb_hex
+FROM summ LEFT JOIN street_geom sg
+  ON sg.muni_id = summ.muni_id AND sg.skey = summ.street_key
 """,
     }
