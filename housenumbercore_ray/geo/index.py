@@ -98,6 +98,14 @@ class StreetIndex:
     arrays; per-area dict is small and broadcast once.
     """
 
+    #: kNN cell-bucket resolution (degrees). Finer than the boundary-join
+    #: cells: a municipality spans a few dozen kNN cells so ring probing
+    #: touches O(streets-in-2-rows), not O(all area streets).
+    KNN_RES_DEG = 0.01
+    #: areas with at most this many streets skip the bucket machinery —
+    #: a single vectorized distance matrix is cheaper than ring bookkeeping.
+    BRUTE_FORCE_MAX = 6
+
     def __init__(self, area_ids, names_norm, linestring_wkbs, osm_ids=None):
         self.by_area: dict[int, dict] = {}
         osm_ids = osm_ids if osm_ids is not None else [-1] * len(area_ids)
@@ -109,6 +117,44 @@ class StreetIndex:
             entry["coords"].append(np.asarray(coords, dtype=np.float64))
             entry["osm_ids"].append(int(oid))
             entry["by_name"].setdefault(name, idx)  # first street with the name wins
+        for entry in self.by_area.values():
+            self._build_cells(entry)
+
+    def _build_cells(self, entry) -> None:
+        """Per-area street-cell map: cell (ix, iy) → sorted street indices
+        whose segments' bboxes intersect the cell. Built once (broadcast
+        state); probing is ring expansion with an exact stop bound."""
+        res = self.KNN_RES_DEG
+        cell_streets: dict[tuple[int, int], list[int]] = {}
+        max_abs_lat = 0.0
+        for j, coords in enumerate(entry["coords"]):
+            if len(coords) == 0:
+                continue
+            max_abs_lat = max(max_abs_lat, float(np.abs(coords[:, 1]).max()))
+            cells = set()
+            for s in range(len(coords) - 1):
+                x0, x1 = sorted((coords[s, 0], coords[s + 1, 0]))
+                y0, y1 = sorted((coords[s, 1], coords[s + 1, 1]))
+                for ix in range(int(np.floor(x0 / res)), int(np.floor(x1 / res)) + 1):
+                    for iy in range(int(np.floor(y0 / res)), int(np.floor(y1 / res)) + 1):
+                        cells.add((ix, iy))
+            for c in cells:
+                cell_streets.setdefault(c, []).append(j)
+        entry["cell_streets"] = {c: np.asarray(v, dtype=np.int64) for c, v in cell_streets.items()}
+        # conservative meters spanned by ONE cell step in ANY direction
+        # (lon cells span res·111320·cos(lat) m ≥ this; lat cells more)
+        from .pip import EARTH_R
+
+        entry["res_m_min"] = (np.deg2rad(self.KNN_RES_DEG) * EARTH_R
+                              * max(np.cos(np.deg2rad(max_abs_lat)), 1e-6))
+        if entry["cell_streets"]:
+            ixs = [c[0] for c in entry["cell_streets"]]
+            iys = [c[1] for c in entry["cell_streets"]]
+            entry["cell_bbox"] = (min(ixs), min(iys), max(ixs), max(iys))
+            entry["cell_span"] = max(max(ixs) - min(ixs), max(iys) - min(iys)) + 2
+        else:
+            entry["cell_bbox"] = (0, 0, 0, 0)
+            entry["cell_span"] = 0
 
     def assign(self, area_id: int, lon, lat, street_names_norm):
         """For points already located in ``area_id``: return (assigned street
@@ -134,12 +180,74 @@ class StreetIndex:
                 by_name_hit[i] = True
         misses = np.flatnonzero(~by_name_hit)
         if len(misses):
-            dists = np.full((len(misses), len(entry["names"])), np.inf)
-            for j, coords in enumerate(entry["coords"]):
-                dists[:, j] = point_segment_distance_m(lon[misses], lat[misses], coords)
-            best = dists.argmin(axis=1)
+            best = self._knn_top1(entry, lon[misses], lat[misses])
             for k, i in enumerate(misses):
                 j = int(best[k])
                 out_name[i] = entry["names"][j]
                 out_id[i] = entry["osm_ids"][j]
         return out_name, out_id, by_name_hit
+
+    def _knn_top1(self, entry, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+        """Nearest street index per point — EXACT, via cell-ring expansion:
+        points grouped by their kNN cell; candidate streets pulled ring by
+        ring; a ring stops once every point's best distance is within the
+        proven lower bound of all unseen rings ((k−1)·res_m_min). Ties break
+        to the LOWEST street index (identical to the dense argmin)."""
+        n_streets = len(entry["names"])
+        if n_streets <= self.BRUTE_FORCE_MAX or not entry["cell_streets"]:
+            dists = np.full((len(lon), n_streets), np.inf)
+            for j, coords in enumerate(entry["coords"]):
+                dists[:, j] = point_segment_distance_m(lon, lat, coords)
+            return dists.argmin(axis=1)
+        res = self.KNN_RES_DEG
+        cs = entry["cell_streets"]
+        res_m_min = entry["res_m_min"]
+        bx0, by0, bx1, by1 = entry["cell_bbox"]
+        out = np.zeros(len(lon), dtype=np.int64)
+        ix_all = np.floor(lon / res).astype(np.int64)
+        iy_all = np.floor(lat / res).astype(np.int64)
+        cell_key = ix_all * np.int64(1 << 32) + iy_all
+        order = np.argsort(cell_key, kind="stable")
+        starts = np.flatnonzero(np.r_[True, cell_key[order][1:] != cell_key[order][:-1]])
+        bounds = np.r_[starts, len(order)]
+        for s, e in zip(starts, bounds[1:]):
+            idx = order[s:e]
+            ix, iy = int(ix_all[idx[0]]), int(iy_all[idx[0]])
+            plon, plat = lon[idx], lat[idx]
+            d_best = np.full(len(idx), np.inf)
+            j_best = np.zeros(len(idx), dtype=np.int64)
+            # rings needed to reach the farthest street cell from this group
+            max_k = max(bx0 - ix, ix - bx1, 0) + max(by0 - iy, iy - by1, 0) \
+                + entry["cell_span"] + 2
+            seen: set[int] = set()
+            k = 0
+            while k <= max_k:
+                ring = []
+                if k == 0:
+                    ring = [(ix, iy)]
+                else:
+                    for dx in range(-k, k + 1):
+                        ring.append((ix + dx, iy - k))
+                        ring.append((ix + dx, iy + k))
+                    for dy in range(-k + 1, k):
+                        ring.append((ix - k, iy + dy))
+                        ring.append((ix + k, iy + dy))
+                new: set[int] = set()
+                for c in ring:
+                    arr = cs.get(c)
+                    if arr is not None:
+                        new.update(int(v) for v in arr)
+                new -= seen
+                # ascending street index + strict improvement ⇒ ties resolve
+                # to the lowest index, matching the dense-argmin contract
+                for j in sorted(new):
+                    d = point_segment_distance_m(plon, plat, entry["coords"][j])
+                    better = d < d_best
+                    d_best[better] = d[better]
+                    j_best[better] = j
+                seen |= new
+                k += 1
+                if seen and d_best.max() <= (k - 1) * res_m_min:
+                    break
+            out[idx] = j_best
+        return out

@@ -176,3 +176,36 @@ class TestSpatialJoinStreetlessArea:
         })
         out = join(batch)
         assert len(out) == 0
+
+
+class TestKnnCellBuckets:
+    def test_bucketed_knn_matches_dense_argmin(self):
+        """The ring-expansion kNN must reproduce the dense all-streets argmin
+        exactly (including lowest-index tie-breaks) on random geometry."""
+        rng = np.random.RandomState(42)
+        for trial in range(5):
+            n_streets = rng.randint(7, 25)  # above BRUTE_FORCE_MAX
+            wkbs, names = [], []
+            for j in range(n_streets):
+                x0, y0 = 10 + rng.rand() * 0.1, 50 + rng.rand() * 0.08
+                pts = [(x0, y0)]
+                for _ in range(rng.randint(1, 4)):
+                    x0 += (rng.rand() - 0.3) * 0.03
+                    y0 += (rng.rand() - 0.5) * 0.02
+                    pts.append((x0, y0))
+                wkbs.append(linestring_wkb(pts))
+                names.append(f"s{j}")
+            streets = StreetIndex([1] * n_streets, names, wkbs,
+                                  osm_ids=list(range(100, 100 + n_streets)))
+            n_pts = 200
+            lon = 10 + rng.rand(n_pts) * 0.14 - 0.02   # includes points outside bbox
+            lat = 50 + rng.rand(n_pts) * 0.12 - 0.02
+            entry = streets.by_area[1]
+            got = streets._knn_top1(entry, lon, lat)
+            from housenumbercore_ray.geo.pip import point_segment_distance_m
+
+            dists = np.full((n_pts, n_streets), np.inf)
+            for j, coords in enumerate(entry["coords"]):
+                dists[:, j] = point_segment_distance_m(lon, lat, coords)
+            want = dists.argmin(axis=1)
+            assert (got == want).all(), f"trial {trial}: {np.flatnonzero(got != want)[:5]}"
