@@ -445,12 +445,20 @@ def embedding_near_dup_pairs_exact(sf_dir: str, tau: float = 0.45) -> rd.Dataset
     )
 
 
-def ann_lsh_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK,
-                 max_hamming: int = 6) -> rd.Dataset:
-    """Approximate ANN (the scale path): signed-projection LSH buckets; a
-    query probes only vectors whose 16-bit signature is within
-    ``max_hamming`` of its own, then exact cosine top-k among candidates.
-    Rows-only (approximate by design); recall vs `ann_topk` is unit-tested."""
+def _ham16(sig: np.ndarray, qsig: int) -> np.ndarray:
+    x = (sig ^ qsig).astype(np.uint32)
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x)
+    return np.array([bin(int(v)).count("1") for v in x])
+
+
+def ann_lsh_candidates(sf_dir: str, query_ids=DEFAULT_QUERY_IDS,
+                       max_hamming: int = 6) -> rd.Dataset:
+    """Stage 1 of the approximate ANN: the cheap signature filter — each
+    batch computes 16-plane signatures and passes through ONLY rows within
+    ``max_hamming`` of at least one query signature. This is the IVF-style
+    partition prune: the expensive exact-cosine probe downstream never sees
+    non-matching rows (SCALING.md's r1 known limit resolved)."""
     import pyarrow.parquet as pq
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -464,7 +472,7 @@ def ann_lsh_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK,
     qsig = lsh.signature(Q)
     ref = ray.put((qids, Q / np.linalg.norm(Q, axis=1, keepdims=True), qsig, lsh.planes))
 
-    class Probe:
+    class SigFilter:
         def __init__(self):
             self.qids, self.Qn, self.qsig, planes = ray.get(ref)
             self.lsh = SignedProjectionLSH.__new__(SignedProjectionLSH)
@@ -472,13 +480,48 @@ def ann_lsh_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK,
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
             X = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
             sig = self.lsh.signature(X)
+            keep = np.zeros(len(b), dtype=bool)
+            for j in range(len(self.qids)):
+                keep |= _ham16(sig, int(self.qsig[j])) <= max_hamming
+            return pd.DataFrame({
+                "vec_id": b["vec_id"].to_numpy(np.int64)[keep],
+                "embedding": b["embedding"].to_numpy()[keep],
+                "sig": sig[keep],
+            })
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cands = ds.map_batches(SigFilter, batch_format="pandas", batch_size=4096,
+                           concurrency=(1, 4), num_cpus=1)
+    return cands, ref
+
+
+def ann_lsh_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK,
+                 max_hamming: int = 6) -> rd.Dataset:
+    """Approximate ANN (the scale path), two pruned stages:
+
+      1. signature filter (:func:`ann_lsh_candidates`) — only rows whose
+         16-bit signature is within ``max_hamming`` of SOME query survive;
+      2. exact-cosine probe over the surviving candidates (re-checking the
+         per-query hamming using the carried signature), per-batch partial
+         top-k → tiny groupby(qid) final reduce.
+
+    Deterministic given the fixed planes — oracle-checked in SQL
+    (corpus_oracle.lsh_topk_sql); recall vs `ann_topk` also unit-tested."""
+    cands, ref = ann_lsh_candidates(sf_dir, query_ids, max_hamming)
+
+    class Probe:
+        def __init__(self):
+            self.qids, self.Qn, self.qsig, _ = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            sig = b["sig"].to_numpy(np.int64)
             vec_ids = b["vec_id"].to_numpy(dtype=np.int64)
             out_q, out_v, out_s = [], [], []
             for j, qid in enumerate(self.qids):
-                ham = np.bitwise_count((sig ^ self.qsig[j]).astype(np.uint32)) if hasattr(np, "bitwise_count") else np.array([bin(int(x)).count("1") for x in (sig ^ self.qsig[j])])
-                cand = (ham <= max_hamming) & (vec_ids != qid)
+                cand = (_ham16(sig, int(self.qsig[j])) <= max_hamming) & (vec_ids != qid)
                 if not cand.any():
                     continue
                 sims = Xn[cand] @ self.Qn[j]
@@ -494,9 +537,8 @@ def ann_lsh_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK,
                 "sim": pd.Series(out_s, dtype=np.float64),
             })
 
-    partials = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).map_batches(
-        Probe, batch_format="pandas", batch_size=4096, concurrency=(1, 4), num_cpus=1,
-    )
+    partials = cands.map_batches(Probe, batch_format="pandas", batch_size=4096,
+                                 concurrency=(1, 4), num_cpus=1)
     return partials.groupby("qid").map_groups(lambda g: topk_finalize(g, k), batch_format="pandas")
 
 

@@ -134,3 +134,17 @@ def test_minhash_page_pairs_recall(entry):
     recall = len(got_pairs & truth_pairs) / len(truth_pairs)
     assert recall >= 0.8, f"recall {recall}"
     assert (got["jaccard"] >= 0.7).all()
+
+
+def test_ann_lsh_candidate_prune(entry):
+    """The signature filter must actually prune: candidate rows reaching the
+    exact-cosine probe are a strict subset of the table, and the final
+    result still matches the full-scan oracle (covered by the oracle test)."""
+    import pyarrow.parquet as pq
+
+    from housenumbercore_ray.pipelines import corpus
+
+    cands, _ = corpus.ann_lsh_candidates(SF)
+    n_cand = cands.count()
+    n_total = len(pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id"]))
+    assert 0 < n_cand < n_total, (n_cand, n_total)
