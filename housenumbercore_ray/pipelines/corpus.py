@@ -25,6 +25,15 @@ def _docs(sf_dir: str, columns=("doc_id", "text")) -> rd.Dataset:
 N_SHARDS = 64
 
 
+def _heavy_pool() -> tuple[int, int]:
+    """Autoscaling pool for CPU-dominant kernel stages (minhash banding,
+    simhash): (1, cpus//2) — a fixed small cap starves 32-cpu runs."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (1, max(2, cpus // 2))
+
+
 def _shard_on(cols):
     """Stable shard column over one or more key columns — the two-level
     groupby pattern: shuffle on ~N_SHARDS coarse shards, run the fine
@@ -119,7 +128,7 @@ def doc_fingerprint(sf_dir: str) -> rd.Dataset:
 def minhash_buckets(sf_dir: str) -> rd.Dataset:
     """MinHash+LSH banding rows (band_id, band_hash, doc_id)."""
     return _docs(sf_dir).map_batches(
-        MinHashLSH, batch_format="pandas", batch_size=1024, concurrency=(1, 4), num_cpus=1
+        MinHashLSH, batch_format="pandas", batch_size=1024, concurrency=_heavy_pool(), num_cpus=1
     )
 
 
@@ -161,7 +170,7 @@ def _lsh_candidate_pairs(docs: rd.Dataset) -> rd.Dataset:
     (doc_id_a < doc_id_b): banding rows → (band, band-hash) bucket groupby →
     pairwise within bucket → pair-key dedup shuffle."""
     buckets = docs.map_batches(
-        MinHashLSH, batch_format="pandas", batch_size=1024, concurrency=(1, 4), num_cpus=1
+        MinHashLSH, batch_format="pandas", batch_size=1024, concurrency=_heavy_pool(), num_cpus=1
     )
     return _pairs_from_buckets(buckets, ["band_id", "band_hash"], "doc_id", ["band_hash"])
 
@@ -191,8 +200,15 @@ def _verify_pairs_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
                                        b["doc_id_b"].to_numpy(np.int64)]).ravel(),
         })
 
+    import pyarrow as pa
+
     melted = pairs.map_batches(melt, batch_format="pandas")
-    with_text = bucketed_hash_join(melted, docs, "doc_id", "doc_id")
+    with_text = bucketed_hash_join(
+        melted, docs, "doc_id", "doc_id",
+        left_schema={"doc_id_a": pa.int64(), "doc_id_b": pa.int64(),
+                     "side": pa.string(), "doc_id": pa.int64()},
+        right_schema={"doc_id": pa.int64(), "text": pa.string()},
+    )
 
     def verify_shard(g: pd.DataFrame) -> pd.DataFrame:
         ga = g[g["side"] == "a"][["doc_id_a", "doc_id_b", "text"]].rename(columns={"text": "text_a"})
@@ -289,7 +305,7 @@ def doc_simhash(sf_dir: str) -> rd.Dataset:
             })
 
     return _docs(sf_dir).map_batches(SH, batch_format="pandas", batch_size=1024,
-                                     concurrency=(1, 4), num_cpus=1)
+                                     concurrency=_heavy_pool(), num_cpus=1)
 
 
 DEFAULT_QUERY_IDS = (0, 1, 2, 3)
@@ -379,8 +395,15 @@ def embedding_near_dup_pairs(sf_dir: str, tau: float = 0.45) -> rd.Dataset:
             "emb_bytes": [M[i].tobytes() for i in range(len(M))],
         })
 
+    import pyarrow as pa
+
     emb_b = emb.map_batches(to_bytes, batch_format="pandas", batch_size=4096)
-    with_vec = bucketed_hash_join(melted, emb_b, "vec_id", "vec_id")
+    with_vec = bucketed_hash_join(
+        melted, emb_b, "vec_id", "vec_id",
+        left_schema={"vec_id_a": pa.int64(), "vec_id_b": pa.int64(),
+                     "side": pa.string(), "vec_id": pa.int64()},
+        right_schema={"vec_id": pa.int64(), "emb_bytes": pa.binary()},
+    )
 
     def verify_shard(g: pd.DataFrame) -> pd.DataFrame:
         ga = g[g["side"] == "a"][["vec_id_a", "vec_id_b", "emb_bytes"]].rename(columns={"emb_bytes": "va"})

@@ -28,20 +28,32 @@ def bucketed_hash_join(
     right_on: str,
     num_buckets: int = 32,
     how: str = "inner",
+    left_schema: dict | None = None,
+    right_schema: dict | None = None,
 ) -> rd.Dataset:
     """Hash-partitioned join of two Datasets on integer/string keys.
 
     Returns the pandas-merge result per bucket (left columns + right
-    columns, pandas suffix rules apply to collisions)."""
-    lschema, rschema = left.schema(), right.schema()
-    lcols = lschema.names
-    rcols = rschema.names
+    columns, pandas suffix rules apply to collisions).
+
+    Pass ``left_schema`` / ``right_schema`` (column → pyarrow DataType)
+    whenever the caller knows them: ``Dataset.schema()`` EXECUTES the
+    upstream pipeline (a limit cannot short-circuit all-to-all stages), so
+    inferring the schema of a shuffled side doubles its work."""
+    if left_schema is None:
+        s = left.schema()
+        left_schema = dict(zip(s.names, s.types))
+    if right_schema is None:
+        s = right.schema()
+        right_schema = dict(zip(s.names, s.types))
+    lcols = list(left_schema)
+    rcols = list(right_schema)
     all_cols = list(dict.fromkeys(lcols + rcols))
     # Arrow type per column (either side) → typed padding for the absent
     # side, so both sides union with IDENTICAL Arrow schemas rather than
     # relying on null-type promotion (brittle across Ray/Arrow versions)
-    arrow_types = dict(zip(rschema.names, rschema.types))
-    arrow_types.update(zip(lschema.names, lschema.types))
+    arrow_types = dict(right_schema)
+    arrow_types.update(left_schema)
 
     def _pad_dtype(t):
         import pyarrow as pa
