@@ -75,6 +75,13 @@ class CandidateExtractor:
     work (decode, assembly) is batched and output is a single Arrow table
     per batch (no Python row dicts)."""
 
+    #: literal that every mention contains — a C-speed bytes containment
+    #: check on the RAW html skips decode + text-extract + regex for the
+    #: (majority of) pages with zero mentions. Sound because extract_text
+    #: removes tags but never splits text runs, so any text substring that
+    #: doesn't span a tag boundary is present verbatim in the html bytes.
+    PREFILTER = b"Adresse:"
+
     def __init__(self) -> None:
         self.mention = re.compile(MENTION_PATTERN)
 
@@ -83,6 +90,8 @@ class CandidateExtractor:
         htmls = batch["html"].to_pylist()
         out = {name: [] for name in CANDIDATE_SCHEMA.names}
         for url, html in zip(urls, htmls):
+            if self.PREFILTER not in html:
+                continue
             text = extract_text(html)
             for seq, m in enumerate(self.mention.finditer(text)):
                 out["url"].append(url)
