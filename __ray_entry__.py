@@ -141,6 +141,8 @@ JOIN read_parquet('{world_dir}/list_addresses.parquet') b
         "text_token_stats": f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST({ntok} AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-zÄÖÜäöüß]+|[0-9]+|[^\\sA-Za-z0-9ÄÖÜäöüß]')) AS BIGINT) AS n_tokens_bpe,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents
 """,

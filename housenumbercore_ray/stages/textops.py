@@ -29,13 +29,22 @@ LANG_ORDER = ["de", "en", "fr", "it"]
 PUNCT = ".,;:!?"
 
 
+#: BPE-style pre-tokenizer (GPT-2-ish): letter runs, digit runs, single
+#: other non-space chars. Explicit character classes (no \p{L}) so Python
+#: re and DuckDB RE2 count identically — the oracle uses the same pattern.
+BPE_TOKEN_PATTERN = r"[A-Za-zÄÖÜäöüß]+|[0-9]+|[^\sA-Za-z0-9ÄÖÜäöüß]"
+
+
 def token_stats(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
-    toks = batch[col].fillna("").str.strip().str.split()
+    text = batch[col].fillna("")
+    toks = text.str.strip().str.split()
     n_tokens = toks.str.len().fillna(0).astype(np.int64)
-    n_chars = batch[col].fillna("").str.len().astype(np.int64)
+    n_chars = text.str.len().astype(np.int64)
+    n_bpe = text.str.count(BPE_TOKEN_PATTERN).astype(np.int64)
     return pd.DataFrame({
         "doc_id": batch["doc_id"].astype(np.int64),
         "n_tokens": n_tokens,
+        "n_tokens_bpe": n_bpe,
         "n_chars": n_chars,
     })
 
