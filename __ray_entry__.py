@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": corpus.doc_quality,
         "text_lang_id": corpus.doc_lang_id,
         "text_fingerprint": corpus.doc_fingerprint,
+        "text_winnow": corpus.doc_winnow,
         # similarity search (embeddings table)
         "ann_topk_cosine": corpus.ann_topk,
         "ann_lsh_buckets": corpus.ann_lsh_buckets,
@@ -354,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
 
     dim = _embedding_dim(ORACLE_SF)
     out["dedup_simhash"] = co.simhash_sql()
+    out["text_winnow"] = co.winnow_sql()
     out["dedup_minhash_pairs"] = co.minhash_pairs_sql()
     out["dedup_minhash_pages"] = co.minhash_pages_sql(wd)
     out["ann_lsh_buckets"] = co.lsh_buckets_sql(dim)

@@ -125,6 +125,26 @@ def doc_fingerprint(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir).map_batches(fingerprint, batch_format="pandas")
 
 
+def doc_winnow(sf_dir: str) -> rd.Dataset:
+    """Winnowing fingerprints exploded to (doc_id, seq, fp) rows — the
+    shingle-level rolling-hash fingerprint as a first-class oracled query
+    (SQL recomputation in corpus_oracle.winnow_sql)."""
+    from ..stages.textops import winnowing_fingerprint
+
+    def rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids, seqs, fps = [], [], []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            for i, fp in enumerate(winnowing_fingerprint(text), start=1):
+                ids.append(doc_id)
+                seqs.append(i)
+                fps.append(fp)
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
+                             "seq": pd.Series(seqs, dtype=np.int64),
+                             "fp": pd.Series(fps, dtype=np.int64)})
+
+    return _docs(sf_dir).map_batches(rows, batch_format="pandas")
+
+
 def minhash_buckets(sf_dir: str) -> rd.Dataset:
     """MinHash+LSH banding rows (band_id, band_hash, doc_id)."""
     return _docs(sf_dir).map_batches(

@@ -162,6 +162,41 @@ WHERE jac >= {threshold}
 """
 
 
+def winnow_sql(src: str = "documents", id_col: str = "doc_id",
+               text_col: str = "text", k: int = 5, window: int = 4) -> str:
+    """text_winnow: winnowing fingerprints recomputed in SQL — k-gram md5
+    hashes (63-bit), sliding-window min, consecutive-dup drop, 1-based seq."""
+    gram = " || ' ' || ".join(f"ts[i+{j}]" for j in range(k)) \
+        .replace("ts[i+0]", "ts[i]")
+    return f"""
+WITH {_tokens_cte(src, id_col, text_col)},
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(ts) < {k} THEN [array_to_string(ts, ' ')]
+              ELSE list_transform(range(1, len(ts) - {k - 2}), i -> {gram}) END AS grams
+  FROM tok
+),
+h AS (
+  SELECT doc_id,
+         list_transform(grams, s -> CAST(({_HASH64.format(s='s')} >> 1) AS BIGINT)) AS hs
+  FROM g
+),
+w AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(1, len(hs) - {window - 1}) + 1),
+                        i -> list_min(hs[i:i+{window - 1}])) AS mins
+  FROM h WHERE len(hs) > 0
+),
+e AS (SELECT doc_id, unnest(mins) AS m, generate_subscripts(mins, 1) AS pos FROM w),
+d AS (SELECT doc_id, m, pos, lag(m) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM e)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS seq,
+       m AS fp
+FROM d WHERE prev IS NULL OR m <> prev
+"""
+
+
 def _plane_literals(dim: int, bits: int = 16, seed: int = 7) -> list[str]:
     """The SignedProjectionLSH planes as SQL double-list literals."""
     rng = np.random.RandomState(seed)

@@ -95,13 +95,15 @@ def fingerprint(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
 
 def winnowing_fingerprint(text: str, k: int = 5, window: int = 4) -> list[int]:
     """Rolling-hash winnowing (Schleimer et al.): k-gram token hashes, min per
-    window, dedup preserving order. Rows-only operator (unit-tested)."""
+    window, dedup preserving order. Gram hash is the md5-derived 63-bit value
+    (``stages.dedup._md5_hash64 >> 1``) so a DuckDB oracle recomputes the
+    fingerprints bit-for-bit (``text_winnow`` query)."""
     toks = text.split()
     if len(toks) < k:
         grams = [" ".join(toks)] if toks else []
     else:
         grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    hs = [int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little") >> 1
+    hs = [int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[8:16], "big") >> 1
           for g in grams]
     if not hs:
         return []
