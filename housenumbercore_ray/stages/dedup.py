@@ -102,14 +102,13 @@ class _HashCache:
         if len(self.cache) > self.max_size:
             self.cache.clear()
         c = self.cache
-        out = np.empty(len(strings), dtype=np.uint64)
-        for i, s in enumerate(strings):
-            v = c.get(s)
-            if v is None:
-                v = _md5_hash64(s)
-                c[s] = v
-            out[i] = v
-        return out
+        vals = list(map(c.get, strings))          # C-speed bulk lookup
+        if None in vals:
+            for i, v in enumerate(vals):
+                if v is None:
+                    s = strings[i]
+                    c[s] = vals[i] = _md5_hash64(s)
+        return np.fromiter(vals, dtype=np.uint64, count=len(vals))
 
 
 _PRIME = (1 << 61) - 1
@@ -214,10 +213,22 @@ class MinHashLSH:
         self._cache = _HashCache()
 
     def signatures(self, texts) -> np.ndarray:
-        """(n_docs, k) uint64 signature matrix for a sequence of texts."""
-        per_doc: list[list[str]] = [sorted(shingles(t, self.width)) for t in texts]
-        counts = np.fromiter((len(p) for p in per_doc), dtype=np.int64, count=len(per_doc))
-        flat: list[str] = [s for p in per_doc for s in p]
+        """(n_docs, k) uint64 signature matrix for a sequence of texts.
+
+        Shingle construction stays in C (zip of shifted token views + mapped
+        join); set order doesn't matter — min() is order-independent."""
+        width = self.width
+        counts = np.empty(len(texts), dtype=np.int64)
+        flat: list[str] = []
+        join = " ".join
+        for d, t in enumerate(texts):
+            toks = t.split()
+            if len(toks) < width:
+                sset = {join(toks)} if toks else ()
+            else:
+                sset = set(map(join, zip(*(toks[i:] for i in range(width)))))
+            counts[d] = len(sset)
+            flat.extend(sset)
         if flat:
             # the md5 cache dict dedups cheaper than an np.unique string sort
             base = self._cache.hash_unique(flat)
