@@ -49,3 +49,30 @@ class TestRegistry:
         # lineage combination
         states = reg2.job_states({"00000"})
         assert states[j1.job_id] == "done" and states[j2.job_id] == "queued"
+
+
+class TestJobsWithLineage:
+    def test_jobs_flip_done_via_resumable_run(self, ray_session, tmp_path):
+        """Jobs generated from the world's boundaries report 'done' exactly
+        for municipalities whose partitions the resumable run committed."""
+        import pyarrow.parquet as pq
+
+        from housenumbercore_ray.pipelines.evaluation import run_join_rows_resumable
+        from housenumbercore_ray.sources.worldgen import ensure_world
+        from housenumbercore_ray.state.lineage import read_manifest
+
+        wd = ensure_world("/root/testdata/sf0.001")
+        b = pq.read_table(f"{wd}/boundaries.parquet",
+                          columns=["muni_id", "sub_id", "name", "area_id"]).to_pandas()
+        b = b[b["sub_id"] == "-1"]
+        reg = JobRegistry(str(tmp_path / "jobs.json"))
+        for r in b.itertuples():
+            reg.generate_job(r.name, "Deutschland", int(r.muni_id), int(r.area_id),
+                             "2026-08-01T00:00:00", schedule=["Mon 03:00:00"])
+        out = str(tmp_path / "parts")
+        res = run_join_rows_resumable(wd, out)
+        done_parts = {row["part"] for row in read_manifest(out)}
+        states = reg.job_states(done_parts)
+        by_muni = {j.muni_id: states[j.job_id] for j in reg.jobs.values()}
+        assert set(by_muni) == set(int(m) for m in b["muni_id"])
+        assert all(v == "done" for v in by_muni.values()), by_muni
