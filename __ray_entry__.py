@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": corpus.minhash_near_dup_pairs,
         "dedup_minhash_pages": lambda sf: corpus.minhash_page_pairs(_world(sf)),
         "dedup_simhash": corpus.doc_simhash,
+        "dedup_simhash_pairs": corpus.simhash_near_dup_pairs,
         # text analysis (documents table)
         "text_token_stats": corpus.doc_token_stats,
         "text_quality": corpus.doc_quality,
@@ -356,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
     dim = _embedding_dim(ORACLE_SF)
     out["dedup_simhash"] = co.simhash_sql()
     out["text_winnow"] = co.winnow_sql()
+    out["dedup_simhash_pairs"] = co.simhash_pairs_sql()
     out["dedup_minhash_pairs"] = co.minhash_pairs_sql()
     out["dedup_minhash_pages"] = co.minhash_pages_sql(wd)
     out["ann_lsh_buckets"] = co.lsh_buckets_sql(dim)

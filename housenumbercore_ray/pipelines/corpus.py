@@ -328,6 +328,76 @@ def doc_simhash(sf_dir: str) -> rd.Dataset:
                                      concurrency=_heavy_pool(), num_cpus=1)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for int64 arrays (numpy<2 has no bitwise_count)."""
+    b = x.astype("<i8").view(np.uint8).reshape(len(x), 8)
+    return np.unpackbits(b, axis=1).sum(axis=1).astype(np.int64)
+
+
+def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
+    """SimHash near-dup pairs via Hamming-banded buckets: sketch → 4 bands of
+    the 63-bit sketch (3×16 + 1×15 bits) → pairwise within bucket → exact
+    hamming verify → global pair dedup.
+
+    EXACT for ``max_hamming ≤ 3``: with 4 bands and ≤3 differing bits, some
+    band is identical (pigeonhole), so banding loses nothing vs the all-pairs
+    filter — which is precisely what the SQL oracle computes."""
+    from ..stages.dedup import SimHasher
+
+    SHIFTS = (0, 16, 32, 48)
+    MASKS = (0xFFFF, 0xFFFF, 0xFFFF, 0x7FFF)
+
+    class Bands:
+        def __init__(self):
+            self.hasher = SimHasher()
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            sk = self.hasher.sketch_shifted(b["text"].tolist())
+            ids = b["doc_id"].to_numpy(np.int64)
+            n = len(b)
+            band_vals = np.column_stack([(sk >> s) & m for s, m in zip(SHIFTS, MASKS)])
+            return pd.DataFrame({
+                "band_id": np.tile(np.arange(4, dtype=np.int64), n),
+                "band_val": band_vals.ravel(),
+                "doc_id": np.repeat(ids, 4),
+                "sketch": np.repeat(sk, 4),
+            })
+
+    def pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        sizes = g.groupby(["band_id", "band_val"])["doc_id"].transform("size")
+        for _, sub in g[sizes > 1].groupby(["band_id", "band_val"], sort=True):
+            u = sub.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = u["doc_id"].to_numpy(np.int64)
+            sk = u["sketch"].to_numpy(np.int64)
+            ai, bi = np.triu_indices(len(ids), k=1)
+            ham = _popcount64(sk[ai] ^ sk[bi])
+            keep = ham <= max_hamming
+            if keep.any():
+                out.append(pd.DataFrame({"doc_id_a": ids[ai[keep]],
+                                         "doc_id_b": ids[bi[keep]],
+                                         "hamming": ham[keep]}))
+        if not out:
+            return pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
+                                 "doc_id_b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    bands = _docs(sf_dir).map_batches(Bands, batch_format="pandas", batch_size=1024,
+                                      concurrency=_heavy_pool(), num_cpus=1)
+    pairs = (
+        bands.map_batches(_shard_on(["band_id", "band_val"]), batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(lambda g: pairs_shard(g.drop(columns=["_shard"])), batch_format="pandas")
+    )
+    return (
+        pairs.map_batches(_shard_on(["doc_id_a", "doc_id_b"]), batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(lambda g: g.drop_duplicates(["doc_id_a", "doc_id_b"]).drop(columns=["_shard"]),
+                    batch_format="pandas")
+    )
+
+
 DEFAULT_QUERY_IDS = (0, 1, 2, 3)
 TOPK = 5
 

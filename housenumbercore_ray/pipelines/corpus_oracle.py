@@ -86,6 +86,29 @@ FROM {src} d LEFT JOIN sk ON sk.doc_id = d.{id_col}
 """
 
 
+def simhash_pairs_sql(src: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text", max_hamming: int = 3) -> str:
+    """dedup_simhash_pairs: sketches recomputed in SQL, candidate pairs via
+    the same 4-band equality the engine uses (EXACT for max_hamming ≤ 3 by
+    pigeonhole — the banded join equals the all-pairs hamming filter), then
+    the exact popcount filter."""
+    band_joins = []
+    for shift, mask in [(0, 0xFFFF), (16, 0xFFFF), (32, 0xFFFF), (48, 0x7FFF)]:
+        band_joins.append(
+            f"SELECT a.doc_id AS ida, b.doc_id AS idb, a.simhash AS sa, b.simhash AS sb "
+            f"FROM sk a JOIN sk b ON a.doc_id < b.doc_id "
+            f"AND ((a.simhash >> {shift}) & {mask}) = ((b.simhash >> {shift}) & {mask})"
+        )
+    cand = " UNION ".join(band_joins)
+    return f"""
+WITH sk AS ({simhash_sql(src, id_col, text_col)}),
+cand AS ({cand})
+SELECT CAST(ida AS BIGINT) AS doc_id_a, CAST(idb AS BIGINT) AS doc_id_b,
+       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
 def _minhash_list_expr() -> str:
     """The 64-element minhash list: per hash fn k,
     min over shingle hashes x of ((a_k*x + b_k) mod 2^64) mod (2^61-1);
