@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_cosine": corpus.ann_topk,
         "ann_lsh_buckets": corpus.ann_lsh_buckets,
         "ann_lsh_topk": corpus.ann_lsh_topk,
+        "ann_ivf_topk": corpus.ann_ivf_topk,
         "dedup_embedding_pairs": corpus.embedding_near_dup_pairs,
         # multimodal plumbing (binary column of pages)
         "media_features": lambda sf: corpus.media_features(_world(sf)),
@@ -358,6 +359,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_simhash"] = co.simhash_sql()
     out["text_winnow"] = co.winnow_sql()
     out["dedup_simhash_pairs"] = co.simhash_pairs_sql()
+    out["ann_ivf_topk"] = co.ivf_topk_sql()
     out["dedup_minhash_pairs"] = co.minhash_pairs_sql()
     out["dedup_minhash_pages"] = co.minhash_pages_sql(wd)
     out["ann_lsh_buckets"] = co.lsh_buckets_sql(dim)

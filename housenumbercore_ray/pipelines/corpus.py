@@ -655,6 +655,69 @@ def ann_lsh_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK,
     return partials.groupby("qid").map_groups(lambda g: topk_finalize(g, k), batch_format="pandas")
 
 
+def ann_ivf_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK,
+                 nlist: int = 16, nprobe: int = 4) -> rd.Dataset:
+    """IVF-flat approximate ANN (the coarse-quantizer scale path alongside
+    the LSH one): ``nlist`` centroid vectors (deterministically the first
+    nlist vec_ids — an arbitrary-coarse-quantizer IVF, no iterative k-means,
+    so the SQL oracle can recompute EVERYTHING from the table), each vector
+    assigned to its max-cosine centroid (ties → lower centroid id); a query
+    probes only the ``nprobe`` centroid lists nearest to it, exact cosine
+    top-k within. At 10⁹ vectors the assignment is the partition key and a
+    probe touches nprobe/nlist of the data."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {int(v): np.asarray(e, dtype=np.float64)
+            for v, e in zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist())
+            if int(v) < nlist or int(v) in set(query_ids)}
+    C = np.stack([vecs[i] for i in range(nlist)])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    qids = np.asarray(sorted(set(query_ids)), dtype=np.int64)
+    Q = np.stack([vecs[int(q)] for q in qids])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # centroid lists probed per query: nprobe highest-cosine centroids
+    # (stable argsort on -cos ⇒ ties resolve to the lower centroid id,
+    # matching the oracle's ORDER BY s DESC, cid)
+    qc = Qn @ Cn.T                      # (nq, nlist)
+    probe_lists = np.argsort(-qc, axis=1, kind="stable")[:, :nprobe]
+    ref = ray.put((qids, Qn, Cn, probe_lists))
+
+    class Probe:
+        def __init__(self):
+            self.qids, self.Qn, self.Cn, self.probe = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            # IVF assignment: max cosine, ties to the LOWER centroid id
+            sims_c = Xn @ self.Cn.T
+            assign = sims_c.argmax(axis=1)          # argmax returns first max
+            vec_ids = b["vec_id"].to_numpy(np.int64)
+            out_q, out_v, out_s = [], [], []
+            for j, qid in enumerate(self.qids):
+                cand = np.isin(assign, self.probe[j]) & (vec_ids != qid)
+                if not cand.any():
+                    continue
+                sims = Xn[cand] @ self.Qn[j]
+                cidx = np.flatnonzero(cand)
+                order = cidx[np.lexsort((vec_ids[cidx], -sims))][:TOPK]
+                sel = {int(v): s for v, s in zip(vec_ids[cidx], sims)}
+                out_q.extend([qid] * len(order))
+                out_v.extend(vec_ids[order])
+                out_s.extend(sel[int(v)] for v in vec_ids[order])
+            return pd.DataFrame({
+                "qid": pd.Series(out_q, dtype=np.int64),
+                "vec_id": pd.Series(out_v, dtype=np.int64),
+                "sim": pd.Series(out_s, dtype=np.float64),
+            })
+
+    partials = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).map_batches(
+        Probe, batch_format="pandas", batch_size=4096, concurrency=(1, 4), num_cpus=1,
+    )
+    return partials.groupby("qid").map_groups(lambda g: topk_finalize(g, k), batch_format="pandas")
+
+
 def media_features(world_dir: str) -> rd.Dataset:
     """Multimodal plumbing over the binary html column: small batches sized
     for binary payloads, actor pool, typed metadata out."""

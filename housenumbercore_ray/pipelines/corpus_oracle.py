@@ -246,6 +246,47 @@ FROM embeddings
 """
 
 
+def ivf_topk_sql(query_ids=(0, 1, 2, 3), k: int = 5, nlist: int = 16,
+                 nprobe: int = 4) -> str:
+    """ann_ivf_topk: the IVF-flat path fully recomputed — centroids are the
+    first ``nlist`` vectors (deterministic coarse quantizer), assignment =
+    max-cosine centroid (ties → lower id), probes = ``nprobe`` nearest
+    centroid lists per query, exact cosine top-k within."""
+    qlist = ", ".join(str(q) for q in query_ids)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {nlist}),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qlist})),
+ac AS (
+  SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.cv) AS s
+  FROM e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM ac
+  ) WHERE rn = 1
+),
+qp AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT q.qid, a.vec_id, list_cosine_similarity(a.v, q.qv) AS sim
+  FROM assign a JOIN qp ON qp.cid = a.cid JOIN q ON q.qid = qp.qid
+  WHERE a.vec_id <> q.qid
+)
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) <= {k}
+"""
+
+
 def lsh_topk_sql(dim: int, query_ids=(0, 1, 2, 3), k: int = 5,
                  max_hamming: int = 6) -> str:
     """ann_lsh_topk: deterministic approximate ANN fully recomputed —

@@ -46,7 +46,7 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "rel_top_customers", "rel_events_monthly", "rel_events_mom_diff",
             "rel_user_sessions", "rel_distinct_segments", "rel_segment_revenue_bucketed",
             "dedup_simhash", "dedup_minhash_pairs", "dedup_minhash_pages",
-            "ann_lsh_buckets", "ann_lsh_topk", "text_winnow", "dedup_simhash_pairs"]
+            "ann_lsh_buckets", "ann_lsh_topk", "text_winnow", "dedup_simhash_pairs", "ann_ivf_topk"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
@@ -69,6 +69,7 @@ def test_extended_query_matches_oracle(entry, con, name):
     sqls["dedup_simhash"] = co.simhash_sql()
     sqls["text_winnow"] = co.winnow_sql()
     sqls["dedup_simhash_pairs"] = co.simhash_pairs_sql()
+    sqls["ann_ivf_topk"] = co.ivf_topk_sql()
     sqls["dedup_minhash_pairs"] = co.minhash_pairs_sql()
     sqls["dedup_minhash_pages"] = co.minhash_pages_sql(wd)
     sqls["ann_lsh_buckets"] = co.lsh_buckets_sql(dim)
