@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_monthly": relational.events_monthly,
         "rel_events_mom_diff": relational.events_month_over_month,
         "rel_user_sessions": relational.user_sessions,
+        "rel_events_asof_order": relational.events_last_order_asof,
+        "rel_events_rolling7": relational.events_rolling_7d,
         "rel_distinct_segments": relational.distinct_mktsegments,
         "rel_segment_revenue_bucketed": relational.segment_revenue_bucketed,
     }
@@ -259,6 +261,20 @@ FROM d GROUP BY user_id
 """,
         "rel_distinct_segments": """
 SELECT DISTINCT c_mktsegment FROM customer
+""",
+        "rel_events_asof_order": """
+SELECT CAST(e.event_id AS BIGINT) AS event_id, CAST(e.user_id AS BIGINT) AS user_id,
+       e.ts, o.o_orderdate AS last_order_date
+FROM events e ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+        "rel_events_rolling7": """
+SELECT CAST(event_id AS BIGINT) AS event_id, event_type, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_7d,
+       round(sum(value) OVER w, 2) AS sum_value_7d
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
 """,
         "rel_segment_revenue_bucketed": """
 SELECT c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue,

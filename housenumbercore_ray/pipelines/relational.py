@@ -177,3 +177,80 @@ def distinct_mktsegments(sf_dir: str) -> rd.Dataset:
         .groupby("c_mktsegment")
         .map_groups(lambda g: g.head(1), batch_format="pandas")
     )
+
+
+def events_last_order_asof(sf_dir: str) -> rd.Dataset:
+    """AS-OF JOIN (an operator Ray Data lacks, composed per the custom-op
+    rule): for each event, the most recent order date of the same customer
+    at or before the event timestamp (NULL when none).
+
+    Shape: both sides co-partitioned by user via ONE bucketed shuffle, then
+    a vectorized ``pd.merge_asof`` per bucket — sorted-merge within the
+    partition, never a cross product. Partitioning assumption: the as-of
+    key (user) is the shuffle key; time ordering is established per bucket.
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+    NB = 32
+
+    def tag_ev(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": b["user_id"].astype(np.int64), "t": b["ts"],
+            "event_id": b["event_id"].astype(np.int64), "side": "e",
+            "_bucket": (pd.util.hash_array(b["user_id"].to_numpy(np.int64)) % NB).astype(np.int64),
+        })
+
+    def tag_od(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": b["o_custkey"].astype(np.int64), "t": b["o_orderdate"],
+            "event_id": np.int64(-1), "side": "o",
+            "_bucket": (pd.util.hash_array(b["o_custkey"].to_numpy(np.int64)) % NB).astype(np.int64),
+        })
+
+    both = ev.map_batches(tag_ev, batch_format="pandas").union(
+        od.map_batches(tag_od, batch_format="pandas"))
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == "e"][["key", "t", "event_id"]].sort_values("t", kind="mergesort")
+        o = g[g["side"] == "o"][["key", "t"]].sort_values("t", kind="mergesort")
+        o = o.rename(columns={"t": "last_order_date"})
+        if len(e) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                                 "user_id": pd.Series([], dtype=np.int64),
+                                 "ts": pd.Series([], dtype="datetime64[us]"),
+                                 "last_order_date": pd.Series([], dtype="datetime64[us]")})
+        m = pd.merge_asof(e, o, left_on="t", right_on="last_order_date",
+                          by="key", direction="backward")
+        return pd.DataFrame({"event_id": m["event_id"].astype(np.int64),
+                             "user_id": m["key"].astype(np.int64),
+                             "ts": m["t"], "last_order_date": m["last_order_date"]})
+
+    return both.groupby("_bucket").map_groups(asof_bucket, batch_format="pandas")
+
+
+def events_rolling_7d(sf_dir: str) -> rd.Dataset:
+    """Range-windowed aggregate (streaming-window shape): per event, the
+    count and value sum of same-type events in [ts − 7 days, ts] INCLUSIVE
+    of boundary and peers — exactly SQL's RANGE BETWEEN INTERVAL 7 DAY
+    PRECEDING AND CURRENT ROW. One shuffle on event_type; inside each group
+    a sorted searchsorted + cumsum computes every window in O(n log n)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "ts", "value"])
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        val = g["value"].to_numpy(np.float64)
+        lo = np.searchsorted(ts, ts - 7 * 24 * 3600 * 1_000_000, side="left")
+        hi = np.searchsorted(ts, ts, side="right")   # include same-ts peers
+        csum = np.concatenate([[0.0], np.cumsum(val)])
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype(np.int64),
+            "event_type": g["event_type"],
+            "ts": g["ts"],
+            "n_7d": (hi - lo).astype(np.int64),
+            "sum_value_7d": np.round(csum[hi] - csum[lo], 2),
+        })
+
+    return ds.groupby("event_type").map_groups(win, batch_format="pandas")
