@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_user_sessions": relational.user_sessions,
         "rel_events_asof_order": relational.events_last_order_asof,
         "rel_events_rolling7": relational.events_rolling_7d,
+        "rel_orders_event_window": relational.orders_event_window,
         "rel_distinct_segments": relational.distinct_mktsegments,
         "rel_segment_revenue_bucketed": relational.segment_revenue_bucketed,
     }
@@ -275,6 +276,15 @@ SELECT CAST(event_id AS BIGINT) AS event_id, event_type, ts,
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY ts
              RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+""",
+        "rel_orders_event_window": """
+SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o.o_custkey AS BIGINT) AS o_custkey, o.o_orderdate,
+       CAST(count(e.ts) AS BIGINT) AS n_events_3d
+FROM orders o LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate AND e.ts <= o.o_orderdate + INTERVAL 3 DAY
+GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate
 """,
         "rel_segment_revenue_bucketed": """
 SELECT c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue,

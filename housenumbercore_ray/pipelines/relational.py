@@ -254,3 +254,69 @@ def events_rolling_7d(sf_dir: str) -> rd.Dataset:
         })
 
     return ds.groupby("event_type").map_groups(win, batch_format="pandas")
+
+
+def orders_event_window(sf_dir: str) -> rd.Dataset:
+    """RANGE JOIN (interval join — another operator Ray Data lacks): per
+    order, the number of same-customer events inside
+    [o_orderdate, o_orderdate + 3 days] (both bounds inclusive).
+
+    Shape: ONE bucketed co-shuffle on the customer key; within each bucket
+    events are sorted per user once and every order's window resolves with
+    two binary searches — no cross product, O((n+m) log n) per bucket.
+    Partitioning assumption: the equality key (customer) is the shuffle key;
+    the range predicate is resolved inside the partition."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    NB = 32
+    WIN_US = 3 * 24 * 3600 * 1_000_000
+
+    def tag_ev(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": b["user_id"].astype(np.int64), "t": b["ts"],
+            "o_orderkey": np.int64(-1), "side": "e",
+            "_bucket": (pd.util.hash_array(b["user_id"].to_numpy(np.int64)) % NB).astype(np.int64),
+        })
+
+    def tag_od(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": b["o_custkey"].astype(np.int64), "t": b["o_orderdate"],
+            "o_orderkey": b["o_orderkey"].astype(np.int64), "side": "o",
+            "_bucket": (pd.util.hash_array(b["o_custkey"].to_numpy(np.int64)) % NB).astype(np.int64),
+        })
+
+    both = ev.map_batches(tag_ev, batch_format="pandas").union(
+        od.map_batches(tag_od, batch_format="pandas"))
+
+    def window_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == "o"]
+        if len(o) == 0:
+            return pd.DataFrame({"o_orderkey": pd.Series([], dtype=np.int64),
+                                 "o_custkey": pd.Series([], dtype=np.int64),
+                                 "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                                 "n_events_3d": pd.Series([], dtype=np.int64)})
+        e = g[g["side"] == "e"].sort_values(["key", "t"], kind="mergesort")
+        ek = e["key"].to_numpy(np.int64)
+        et = e["t"].to_numpy("datetime64[us]").astype(np.int64)
+        # per-user slices of the sorted event array
+        uk, starts = np.unique(ek, return_index=True)
+        ends = np.r_[starts[1:], len(ek)]
+        slices = {int(k): (s, x) for k, s, x in zip(uk, starts, ends)}
+        okeys = o["o_orderkey"].to_numpy(np.int64)
+        ocust = o["key"].to_numpy(np.int64)
+        odate = o["t"].to_numpy("datetime64[us]")
+        ot = odate.astype(np.int64)
+        n = np.zeros(len(o), dtype=np.int64)
+        for i in range(len(o)):
+            sl = slices.get(int(ocust[i]))
+            if sl is None:
+                continue
+            s, x = sl
+            lo = np.searchsorted(et[s:x], ot[i], side="left")
+            hi = np.searchsorted(et[s:x], ot[i] + WIN_US, side="right")
+            n[i] = hi - lo
+        return pd.DataFrame({"o_orderkey": okeys, "o_custkey": ocust,
+                             "o_orderdate": odate, "n_events_3d": n})
+
+    return both.groupby("_bucket").map_groups(window_bucket, batch_format="pandas")
