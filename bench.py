@@ -79,6 +79,16 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         theoretical.theo_muni_summary(wd).count()
         queries["theo_summary"] = round(time.time() - t, 3)
 
+        from housenumbercore_ray.pipelines import relational
+
+        t = time.time()
+        relational.events_last_order_asof(sf_dir).count()
+        queries["asof_join"] = round(time.time() - t, 3)
+
+        t = time.time()
+        relational.events_rolling_7d(sf_dir).count()
+        queries["rolling_window_7d"] = round(time.time() - t, 3)
+
     headline = queries["evaluation_full"]
     result = {
         "metric": "housenumber evaluation pipeline wall-clock (pages->extract->spatial join->street kNN->treffertyp merge->aggregate)",
