@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (binary column of pages)
         "media_features": lambda sf: corpus.media_features(_world(sf)),
         "media_frame_samples": lambda sf: corpus.frame_samples(_world(sf)),
+        "media_resize_plan": lambda sf: corpus.media_resize_plan(_world(sf)),
         # generic relational operator suite (TPC-H-ish tables)
         "rel_pricing_summary": relational.pricing_summary,
         "rel_top_customers": relational.top_customers,
@@ -212,6 +213,18 @@ FROM read_parquet('{world_dir}/pages/*.parquet')
         "media_frame_samples": f"""
 SELECT url, CAST(unnest(range(0, greatest(1, octet_length(html) // 4096), 10)) AS BIGINT) AS frame_idx
 FROM read_parquet('{world_dir}/pages/*.parquet')
+""",
+        "media_resize_plan": f"""
+WITH d AS (
+  SELECT url,
+         CAST(640 + octet_length(html) % 1024 AS BIGINT) AS src_w,
+         CAST(360 + octet_length(html) % 768 AS BIGINT) AS src_h
+  FROM read_parquet('{world_dir}/pages/*.parquet')
+)
+SELECT url, src_w, src_h,
+       CAST(CASE WHEN src_w >= src_h THEN 256 ELSE (src_w * 256) // src_h END AS BIGINT) AS dst_w,
+       CAST(CASE WHEN src_w >= src_h THEN (src_h * 256) // src_w ELSE 256 END AS BIGINT) AS dst_h
+FROM d
 """,
         "rel_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

@@ -13,7 +13,7 @@ import ray
 import ray.data as rd
 
 from ..stages.dedup import MinHashLSH, add_content_hash, exact_dup_pairs_in_group, ngram_jaccard
-from ..stages.multimodal import BinaryFeatureExtract, FrameSampleStub
+from ..stages.multimodal import BinaryFeatureExtract, FrameSampleStub, ResizePlan
 from ..stages.similarity import BruteForceTopK, SignedProjectionLSH, topk_finalize
 from ..stages.textops import fingerprint, lang_id, quality_scores, token_stats
 
@@ -723,6 +723,16 @@ def media_features(world_dir: str) -> rd.Dataset:
     for binary payloads, actor pool, typed metadata out."""
     return rd.read_parquet(f"{world_dir}/pages", columns=["url", "html"]).map_batches(
         BinaryFeatureExtract, fn_constructor_args=("html", "url"),
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4), num_cpus=1,
+    )
+
+
+def media_resize_plan(world_dir: str) -> rd.Dataset:
+    """Resize-plumbing stage over the binary column: deterministic fake
+    decode + real integer resize arithmetic and typed output (decode itself
+    stubbed — no codecs in this container)."""
+    return rd.read_parquet(f"{world_dir}/pages", columns=["url", "html"]).map_batches(
+        ResizePlan, fn_constructor_args=(256, "html", "url"),
         batch_format="pyarrow", batch_size=256, concurrency=(1, 4), num_cpus=1,
     )
 

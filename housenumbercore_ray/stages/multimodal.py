@@ -84,3 +84,45 @@ class FrameSampleStub:
 def resize_stub(batch: pd.DataFrame) -> pd.DataFrame:
     """Image resize stage signature; raises until a codec exists."""
     raise NotImplementedError("image resize requires PIL/opencv; not in this container")
+
+
+class ResizePlan:
+    """Image-resize plumbing with the pixel work stubbed: the 'decode' is a
+    deterministic fake (source dims derived from payload length — a real
+    build swaps in PIL), the aspect-preserving integer resize arithmetic and
+    the typed Arrow output layout are real and oracle-checked
+    (``media_resize_plan``): long side → ``target``, short side →
+    floor(short · target / long)."""
+
+    def __init__(self, target: int = 256, col: str = "payload", id_col: str = "url"):
+        self.target = target
+        self.col = col
+        self.id_col = id_col
+
+    def _fake_dims(self, n_bytes: int) -> tuple[int, int]:
+        # stands in for decode; replace with PIL.Image.open(...).size
+        return 640 + n_bytes % 1024, 360 + n_bytes % 768
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        payloads = batch[self.col].to_pylist()
+        src_w, src_h, dst_w, dst_h = [], [], [], []
+        t = self.target
+        for data in payloads:
+            n = len(data if isinstance(data, bytes) else bytes(data))
+            w, h = self._fake_dims(n)
+            if w >= h:
+                dw, dh = t, (h * t) // w
+            else:
+                dw, dh = (w * t) // h, t
+            src_w.append(w)
+            src_h.append(h)
+            dst_w.append(dw)
+            dst_h.append(dh)
+        return pa.table({
+            self.id_col: pa.array(ids),
+            "src_w": pa.array(src_w, pa.int64()),
+            "src_h": pa.array(src_h, pa.int64()),
+            "dst_w": pa.array(dst_w, pa.int64()),
+            "dst_h": pa.array(dst_h, pa.int64()),
+        })

@@ -42,7 +42,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 # hnr_* oracles are sf0.01-pinned (driver contract); covered by test_pipeline.py
 EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_stats",
             "text_quality", "text_lang_id", "text_fingerprint", "ann_topk_cosine",
-            "media_features", "media_frame_samples", "rel_pricing_summary",
+            "media_features", "media_frame_samples", "media_resize_plan", "rel_pricing_summary",
             "rel_top_customers", "rel_events_monthly", "rel_events_mom_diff",
             "rel_user_sessions", "rel_distinct_segments", "rel_segment_revenue_bucketed",
             "dedup_simhash", "dedup_minhash_pairs", "dedup_minhash_pages",
