@@ -43,8 +43,16 @@ def _shard_on(cols):
 
     def add(b: pd.DataFrame) -> pd.DataFrame:
         h = np.zeros(len(b), dtype=np.uint64)
-        for c in cols:
-            h = h * np.uint64(1099511628211) + pd.util.hash_array(b[c].to_numpy(dtype=object))
+        with np.errstate(over="ignore"):
+            for c in cols:
+                # keep native numeric dtypes: boxing int64 into object for
+                # hashing is ~100× slower and dominated the 51M-row banding
+                # shuffle (hash values only pick the shard, so the dtype
+                # distinction never affects results)
+                arr = b[c].to_numpy()
+                if arr.dtype.kind not in "iuf":
+                    arr = arr.astype(object)
+                h = h * np.uint64(1099511628211) + pd.util.hash_array(arr)
         return b.assign(_shard=(h % N_SHARDS).astype(np.int64))
 
     return add
@@ -146,7 +154,7 @@ def doc_winnow(sf_dir: str) -> rd.Dataset:
 
 
 def minhash_buckets(sf_dir: str) -> rd.Dataset:
-    """MinHash+LSH banding rows (band_id, band_hash, doc_id)."""
+    """MinHash+LSH banding rows (band_hash, doc_id); band index folded into the hash."""
     return _docs(sf_dir).map_batches(
         MinHashLSH, batch_format="pandas", batch_size=1024, concurrency=_heavy_pool(), num_cpus=1
     )
@@ -192,7 +200,7 @@ def _lsh_candidate_pairs(docs: rd.Dataset) -> rd.Dataset:
     buckets = docs.map_batches(
         MinHashLSH, batch_format="pandas", batch_size=1024, concurrency=_heavy_pool(), num_cpus=1
     )
-    return _pairs_from_buckets(buckets, ["band_id", "band_hash"], "doc_id", ["band_hash"])
+    return _pairs_from_buckets(buckets, ["band_hash"], "doc_id", ["band_hash"])
 
 
 def _verify_pairs_jaccard(pairs: rd.Dataset, docs: rd.Dataset,

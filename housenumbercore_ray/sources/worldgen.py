@@ -59,7 +59,7 @@ import pyarrow.parquet as pq
 
 from ..geo.wkb import linestring_wkb, multipolygon_wkb, polygon_wkb
 
-WORLD_VERSION = "v8"
+WORLD_VERSION = "v9"
 WORLD_ROOT = "/tmp/hnr_world"
 
 LON0, LAT0 = 10.0, 50.0
@@ -474,7 +474,13 @@ def generate_world(scale: str, out_dir: str) -> dict:
     # deterministic filler-sentence pool (Common-Crawl-ish page bulk) built
     # once; pages reference sentences by hashed index — keeps generation
     # vectorized while giving each page KBs of text to scan
-    POOL_N, MAXW = 4096, 16
+    # pool size grows with the corpus (real crawl text diversity scales with
+    # corpus size): a FIXED pool makes multi-million-page worlds
+    # unrealistically self-similar — at 3.2M pages over 4096 sentences the
+    # quadratic pair space produced ~6M accidental MinHash band collisions,
+    # a fixture artifact, not an engine property. sf scales (≤200k pages)
+    # keep POOL_N=4096, so their bytes (and all oracle hashes) are unchanged.
+    POOL_N, MAXW = max(4096, n_pages // 64), 16
     wkeys = (
         np.arange(POOL_N, dtype=np.uint64)[:, None] * np.uint64(64)
         + np.arange(MAXW, dtype=np.uint64)[None, :]

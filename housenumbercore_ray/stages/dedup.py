@@ -191,11 +191,15 @@ def minhash_signature(text: str, width: int = 3, k: int = 64) -> np.ndarray:
 
 
 class MinHashLSH:
-    """map_batches actor: documents → (band_id, band_hash, doc_id) rows.
+    """map_batches actor: documents → (band_hash, doc_id) rows.
 
     Banding: k=64 minhashes → bands of r=4 rows → 16 bands; docs sharing any
-    full band collide into a bucket. Downstream: groupby(band_id, band_hash)
-    → candidate pairs → exact Jaccard verification.
+    full band collide into a bucket. The BAND INDEX is folded into the hash
+    seed, so one int64 identifies the bucket (one fewer column through the
+    all-to-all — the shuffle is the scale cost of LSH dedup); cross-band
+    equality would need a 2^-63 hash collision, same caveat as the band hash
+    itself. Downstream: groupby(band_hash) → candidate pairs → exact Jaccard
+    verification.
 
     Vectorized: unique shingles across the batch hashed once (md5 cache kept
     across batches), one reduceat for all signatures, numpy-mixed band
@@ -238,11 +242,13 @@ class MinHashLSH:
         return self.hasher.signatures_concat(base, offsets, counts)
 
     def band_hashes(self, sig: np.ndarray) -> np.ndarray:
-        """(n_docs, bands) int64 band hashes: splitmix-fold of each band's r
-        minhash values (>> 1 to fit int64)."""
+        """(n_docs, bands) int64 band hashes: splitmix-fold of the band INDEX
+        then each band's r minhash values (>> 1 to fit int64). Folding the
+        index in makes the single hash a complete bucket id."""
         n = sig.shape[0]
         s3 = sig.reshape(n, self.bands, self.rows)
-        acc = np.full((n, self.bands), np.uint64(0x51AF2B4D9E8C7F63), dtype=np.uint64)
+        seed = _mix64(np.uint64(0x51AF2B4D9E8C7F63) ^ np.arange(self.bands, dtype=np.uint64))
+        acc = np.broadcast_to(seed, (n, self.bands)).copy()
         for j in range(self.rows):
             acc = _mix64(acc ^ s3[:, :, j])
         return (acc >> np.uint64(1)).astype(np.int64)
@@ -250,14 +256,12 @@ class MinHashLSH:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         n = len(batch)
         if n == 0:
-            return pd.DataFrame({"band_id": pd.Series([], dtype=np.int64),
-                                 "band_hash": pd.Series([], dtype=np.int64),
+            return pd.DataFrame({"band_hash": pd.Series([], dtype=np.int64),
                                  "doc_id": pd.Series([], dtype=np.int64)})
         sig = self.signatures(batch[self.text_col].tolist())
         bh = self.band_hashes(sig)
         doc_ids = batch[self.id_col].to_numpy(dtype=np.int64)
         return pd.DataFrame({
-            "band_id": np.tile(np.arange(self.bands, dtype=np.int64), n),
             "band_hash": bh.ravel(),
             "doc_id": np.repeat(doc_ids, self.bands),
         })

@@ -73,9 +73,10 @@ def bucketed_hash_join(
                 else:
                     out[c] = pd.Series(pd.NA, index=b.index, dtype=pad_dtypes[c])
             out["_side"] = side
-            out["_bucket"] = (
-                pd.util.hash_array(b[key].to_numpy(dtype=object)) % num_buckets
-            ).astype(np.int64)
+            karr = b[key].to_numpy()
+            if karr.dtype.kind not in "iuf":   # avoid boxing numeric keys
+                karr = karr.astype(object)
+            out["_bucket"] = (pd.util.hash_array(karr) % num_buckets).astype(np.int64)
             return out
 
         return fn

@@ -40,9 +40,9 @@ class TestMinHash:
         lsh = MinHashLSH()
         df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [BASE, NEAR, FAR]})
         rows = lsh(df)
-        b1 = set(map(tuple, rows[rows.doc_id == 1][["band_id", "band_hash"]].values.tolist()))
-        b2 = set(map(tuple, rows[rows.doc_id == 2][["band_id", "band_hash"]].values.tolist()))
-        b3 = set(map(tuple, rows[rows.doc_id == 3][["band_id", "band_hash"]].values.tolist()))
+        b1 = set(rows[rows.doc_id == 1]["band_hash"].tolist())
+        b2 = set(rows[rows.doc_id == 2]["band_hash"].tolist())
+        b3 = set(rows[rows.doc_id == 3]["band_hash"].tolist())
         assert b1 & b2      # near-dups share ≥1 band
         assert not (b1 & b3)
 
