@@ -694,6 +694,7 @@ def ann_ivf_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK,
     class Probe:
         def __init__(self):
             self.qids, self.Qn, self.Cn, self.probe = ray.get(ref)
+            self.k = k
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
             X = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
@@ -709,7 +710,7 @@ def ann_ivf_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK,
                     continue
                 sims = Xn[cand] @ self.Qn[j]
                 cidx = np.flatnonzero(cand)
-                order = cidx[np.lexsort((vec_ids[cidx], -sims))][:TOPK]
+                order = cidx[np.lexsort((vec_ids[cidx], -sims))][:self.k]
                 sel = {int(v): s for v, s in zip(vec_ids[cidx], sims)}
                 out_q.extend([qid] * len(order))
                 out_v.extend(vec_ids[order])
