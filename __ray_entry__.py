@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pages": lambda sf: corpus.minhash_page_pairs(_world(sf)),
         "dedup_simhash": corpus.doc_simhash,
         "dedup_simhash_pairs": corpus.simhash_near_dup_pairs,
+        "dedup_winnow_pairs": corpus.winnow_dup_pairs,
         # text analysis (documents table)
         "text_token_stats": corpus.doc_token_stats,
         "text_quality": corpus.doc_quality,
@@ -112,11 +113,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_orders_event_window": relational.orders_event_window,
         "rel_distinct_segments": relational.distinct_mktsegments,
         "rel_segment_revenue_bucketed": relational.segment_revenue_bucketed,
+        "rel_top_suppliers_per_nation": relational.top_suppliers_per_nation,
+        "rel_price_quantiles": relational.price_quantiles,
     }
     return q
 
 
 def _corpus_oracles(world_dir: str) -> dict[str, str]:
+    from housenumbercore_ray.pipelines import corpus_oracle as co
     from housenumbercore_ray.stages.textops import LANG_ORDER, STOPWORDS
 
     all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
@@ -304,6 +308,35 @@ SELECT c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY c.c_mktsegment
+""",
+        "dedup_winnow_pairs": co.winnow_pairs_sql(),
+        "rel_top_suppliers_per_nation": """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT n.n_name, s.s_suppkey, s.s_name, r.revenue,
+         row_number() OVER (PARTITION BY n.n_name
+                            ORDER BY r.revenue DESC, s.s_suppkey) AS rank
+  FROM rev r
+  JOIN supplier s ON s.s_suppkey = r.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+)
+SELECT n_name, CAST(rank AS BIGINT) AS rank, CAST(s_suppkey AS BIGINT) AS s_suppkey,
+       s_name, revenue
+FROM ranked WHERE rank <= 5
+""",
+        "rel_price_quantiles": """
+WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+n AS (SELECT count(*) AS total FROM c),
+h AS (SELECT cents, count(*) AS k FROM c GROUP BY cents),
+cum AS (SELECT cents, sum(k) OVER (ORDER BY cents) AS ck FROM h),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS quantile)
+SELECT q.quantile,
+       round(min(cum.cents) FILTER (WHERE cum.ck >= ceil(q.quantile * n.total)) / 100.0, 2) AS value
+FROM qs q, n, cum
+GROUP BY q.quantile
 """,
         "theo_muni_summary": _theo_oracle(world_dir),
     }

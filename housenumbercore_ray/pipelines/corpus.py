@@ -25,13 +25,17 @@ def _docs(sf_dir: str, columns=("doc_id", "text")) -> rd.Dataset:
 N_SHARDS = 64
 
 
-def _heavy_pool() -> tuple[int, int]:
-    """Autoscaling pool for CPU-dominant kernel stages (minhash banding,
-    simhash): (1, cpus//2) — a fixed small cap starves 32-cpu runs."""
+def _heavy_pool() -> int:
+    """FIXED-size pool for CPU-dominant kernel stages (minhash banding,
+    simhash): cpus//2 actors start immediately. The autoscaling (1, cap)
+    variant ramped up too slowly on multi-minute inputs — the 3.2M-page
+    banding stage ran ~4× under its aggregate kernel throughput while the
+    pool crept up from 1; actor startup (~1 s, parallel) is noise next to
+    that."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return (1, max(2, cpus // 2))
+    return max(2, cpus // 2)
 
 
 def _shard_on(cols):
@@ -151,6 +155,64 @@ def doc_winnow(sf_dir: str) -> rd.Dataset:
                              "fp": pd.Series(fps, dtype=np.int64)})
 
     return _docs(sf_dir).map_batches(rows, batch_format="pandas")
+
+
+def winnow_dup_pairs(sf_dir: str, min_shared: int = 3,
+                     max_fp_docs: int = 64) -> rd.Dataset:
+    """Substring-level near-dup pairs: docs sharing >= ``min_shared``
+    winnowing fingerprints (Schleimer et al. MOSS scheme — the fingerprint
+    family used for overlap-dedup of crawl corpora). Fully SQL-oracled via
+    corpus_oracle.winnow_pairs_sql (wraps the text_winnow recomputation).
+
+    Scale shape: fingerprints with more than ``max_fp_docs`` docs are
+    boilerplate (nav text, license blurbs) and are dropped BEFORE pair
+    expansion — the cap bounds the quadratic blowup per fingerprint group.
+    Shard key is hash(fp), so each shard sees complete fp groups and the
+    cap is exact-global, not per-partition. Two shuffles total: O(doc x
+    fingerprint) membership rows, then O(candidate pair) count rows.
+    """
+    from itertools import combinations
+
+    from ..stages.textops import winnowing_fingerprint
+
+    def fp_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids, fps = [], []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            for fp in set(winnowing_fingerprint(text)):
+                ids.append(doc_id)
+                fps.append(fp)
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
+                             "fp": pd.Series(fps, dtype=np.int64)})
+
+    def fp_group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("fp")["doc_id"].transform("size")
+        g = g[(sizes > 1) & (sizes <= max_fp_docs)]
+        out_a, out_b = [], []
+        for _, sub in g.groupby("fp", sort=True):
+            for a, b in combinations(sorted(sub["doc_id"]), 2):
+                out_a.append(a)
+                out_b.append(b)
+        return pd.DataFrame({"doc_id_a": pd.Series(out_a, dtype=np.int64),
+                             "doc_id_b": pd.Series(out_b, dtype=np.int64)})
+
+    def count_shard(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["doc_id_a", "doc_id_b"]).size()
+             .reset_index(name="shared_fps"))
+        c["shared_fps"] = c["shared_fps"].astype(np.int64)
+        return c[c["shared_fps"] >= min_shared]
+
+    shared = (
+        _docs(sf_dir)
+        .map_batches(fp_rows, batch_format="pandas")
+        .map_batches(_shard_on(["fp"]), batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(fp_group_pairs, batch_format="pandas")
+    )
+    return (
+        shared.map_batches(_shard_on(["doc_id_a", "doc_id_b"]), batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(count_shard, batch_format="pandas")
+    )
 
 
 def minhash_buckets(sf_dir: str) -> rd.Dataset:

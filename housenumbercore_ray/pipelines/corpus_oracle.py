@@ -220,6 +220,26 @@ FROM d WHERE prev IS NULL OR m <> prev
 """
 
 
+def winnow_pairs_sql(min_shared: int = 3, max_fp_docs: int = 64) -> str:
+    """dedup_winnow_pairs: docs sharing >= min_shared winnowing fingerprints,
+    recomputed end-to-end in SQL by wrapping the text_winnow recomputation
+    (winnow_sql) in a CTE: distinct (doc, fp) membership, boilerplate cap
+    (fingerprints in more than max_fp_docs docs dropped), self-join on fp,
+    pair count filter — independently exercising the same cap semantics the
+    engine applies before pair expansion."""
+    return f"""
+WITH wfull AS ({winnow_sql()}),
+u AS (SELECT DISTINCT doc_id, fp FROM wfull),
+ok AS (SELECT fp FROM u GROUP BY fp HAVING count(*) BETWEEN 2 AND {max_fp_docs}),
+uf AS (SELECT u.doc_id, u.fp FROM u JOIN ok USING (fp))
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id_a, CAST(b.doc_id AS BIGINT) AS doc_id_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM uf a JOIN uf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""
+
+
 def _plane_literals(dim: int, bits: int = 16, seed: int = 7) -> list[str]:
     """The SignedProjectionLSH planes as SQL double-list literals."""
     rng = np.random.RandomState(seed)

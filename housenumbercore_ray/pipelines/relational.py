@@ -320,3 +320,92 @@ def orders_event_window(sf_dir: str) -> rd.Dataset:
                              "o_orderdate": odate, "n_events_3d": n})
 
     return both.groupby("_bucket").map_groups(window_bucket, batch_format="pandas")
+
+
+def top_suppliers_per_nation(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """Group-wise top-k (window-rank shape): top ``k`` suppliers by lineitem
+    revenue within each nation. Scale shape: the 100-TB fact table is
+    pre-aggregated by supplier key FIRST (Ray partial+final aggregate, one
+    shuffle of O(suppliers) rows); the supplier→nation dimension is
+    broadcast (``ray.put`` once, read per actor); the per-nation rank runs
+    in ``map_groups`` over ~25 nation groups of bounded size. The big side
+    never joins row-level."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    ).to_pandas()
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    dim_ref = ray.put(sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey"))
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_suppkey": b["l_suppkey"],
+            "rev": b["l_extendedprice"] * (1 - b["l_discount"]),
+        })
+
+    class AttachNation:
+        def __init__(self):
+            self.dim = ray.get(dim_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return b.merge(self.dim, left_on="l_suppkey", right_on="s_suppkey",
+                           how="inner")[["n_name", "s_suppkey", "s_name", "revenue"]]
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        # round BEFORE ranking so near-ties order identically to the oracle
+        # (which ranks on the rounded sum)
+        g = g.assign(revenue=g["revenue"].round(2))
+        g = g.sort_values(["revenue", "s_suppkey"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["n_name", "rank", "s_suppkey", "s_name", "revenue"]]
+
+    return (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(prep, batch_format="pandas")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .map_batches(AttachNation, batch_format="pandas", concurrency=(1, 4), num_cpus=1)
+        .groupby("n_name")
+        .map_groups(rank_group, batch_format="pandas")
+    )
+
+
+def price_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> pd.DataFrame:
+    """EXACT distributed quantiles of l_extendedprice without a global sort:
+    per-batch value-count partials over integer cents (bounded domain), one
+    O(distinct values) shuffle to combine, then the selection rule — the
+    smallest value whose cumulative count reaches ceil(q*N) — applied to the
+    combined histogram. The histogram is O(distinct cents), independent of
+    row count, so the driver-side finish is bounded at any input scale (the
+    same reason Spark/BigQuery do histogram/sketch quantiles; here the
+    bounded integer domain keeps it exact instead of approximate). Oracle
+    states the identical rule in SQL window form."""
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(b["l_extendedprice"].to_numpy(np.float64) * 100).astype(np.int64)
+        v, c = np.unique(cents, return_counts=True)
+        return pd.DataFrame({"cents": v, "k": c.astype(np.int64)})
+
+    hist = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+        .map_batches(counts, batch_format="pandas")
+        .groupby("cents")
+        .aggregate(Sum("k", alias_name="k"))
+        .to_pandas()  # O(distinct cents) — bounded-domain histogram, not row data
+        .sort_values("cents")
+    )
+    total = int(hist["k"].sum())
+    cum = hist["k"].cumsum().to_numpy(np.int64)
+    vals = hist["cents"].to_numpy(np.int64)
+    rows = []
+    for q in qs:
+        need = int(np.ceil(q * total))
+        idx = int(np.searchsorted(cum, need, side="left"))
+        rows.append({"quantile": float(q), "value": round(vals[idx] / 100.0, 2)})
+    return pd.DataFrame(rows)
