@@ -265,20 +265,79 @@ def _lsh_candidate_pairs(docs: rd.Dataset) -> rd.Dataset:
     return _pairs_from_buckets(buckets, ["band_hash"], "doc_id", ["band_hash"])
 
 
+SEMI_FILTER_MAX_IDS = 5_000_000
+
+
+def _candidate_id_array(pairs: rd.Dataset, a_col: str = "doc_id_a",
+                        b_col: str = "doc_id_b") -> np.ndarray:
+    """Distributed-unique candidate ids as ONE sorted int64 driver array.
+    Per-batch unique first, so the driver concat sees near-duplicate-free
+    fragments; the result is O(candidate docs) × 8 B — the adaptive
+    semi-join bound (SEMI_FILTER_MAX_IDS) caps it at 40 MB."""
+
+    def batch_ids(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(np.concatenate([b[a_col].to_numpy(np.int64),
+                                      b[b_col].to_numpy(np.int64)]))
+        return pd.DataFrame({"id": u})
+
+    parts = pairs.map_batches(batch_ids, batch_format="pandas").to_pandas()
+    return np.unique(parts["id"].to_numpy(np.int64))
+
+
+def _semi_filter(ds: rd.Dataset, id_col: str, ids: np.ndarray) -> rd.Dataset:
+    """Filter ``ds`` to rows whose ``id_col`` is in the sorted broadcast
+    ``ids`` array (vectorized searchsorted membership) — the broadcast side
+    of the broadcast-vs-shuffle join selection in the verify stages."""
+    import ray
+
+    ids_ref = ray.put(ids)
+
+    class SemiFilter:
+        def __init__(self):
+            self.ids = ray.get(ids_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if len(self.ids) == 0:
+                return b.iloc[0:0]
+            v = b[id_col].to_numpy(np.int64)
+            pos = np.searchsorted(self.ids, v)
+            pos[pos == len(self.ids)] = 0
+            return b[self.ids[pos] == v]
+
+    return ds.map_batches(SemiFilter, batch_format="pandas",
+                          concurrency=(1, 8), num_cpus=1)
+
+
 def _verify_pairs_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
                           threshold: float) -> rd.Dataset:
     """Exact n-gram-Jaccard verification of candidate pairs with ZERO
     driver-side text materialization — the 100-TB shape:
 
-      1. melt each pair into two (pair, side, doc_id) rows;
-      2. fetch texts by a hash-partitioned ``bucketed_hash_join`` on doc_id
-         (ONE full-corpus text shuffle, no broadcast text dict);
-      3. reassemble pairs with a pair-key shuffle (bounded by the candidate
-         count — ~0.2% of a crawl) and verify vectorized per shard.
+      1. materialize the candidate pairs ONCE into the object store (they
+         are O(~0.2% of corpus) rows of two int64s; spillable) — they feed
+         both the id semi-join and the melt;
+      2. broadcast-vs-shuffle join selection: when the unique candidate-id
+         set is small (≤ SEMI_FILTER_MAX_IDS), broadcast the sorted id
+         array and semi-join-FILTER the corpus scan (vectorized
+         searchsorted), so the text-fetch shuffle carries only candidate
+         docs; above the cutoff, fall back to shuffling the full corpus —
+         the same size-based plan choice a SQL engine makes;
+      3. melt each pair into two (pair, side, doc_id) rows and fetch texts
+         by a hash-partitioned ``bucketed_hash_join`` on doc_id (no
+         broadcast text dict);
+      4. reassemble pairs with a pair-key shuffle and verify vectorized
+         per shard.
 
     Returns Dataset (doc_id_a, doc_id_b, jaccard) with jaccard ≥ threshold.
     """
     from ..stages.join import bucketed_hash_join
+
+    # one execution of the LSH chain; consumed twice below
+    pairs = pairs.materialize()
+
+    ids = _candidate_id_array(pairs)
+    if len(ids) <= SEMI_FILTER_MAX_IDS:
+        docs = _semi_filter(docs, "doc_id", ids)
 
     def melt(b: pd.DataFrame) -> pd.DataFrame:
         n = len(b)
@@ -533,6 +592,12 @@ def embedding_near_dup_pairs(sf_dir: str, tau: float = 0.45) -> rd.Dataset:
         batch_format="pandas", batch_size=4096, concurrency=(1, 4), num_cpus=1,
     )
     pairs = _pairs_from_buckets(bands, ["band_id", "bucket"], "vec_id", ["band_id", "bucket"])
+
+    # one execution of the banding chain; feeds both the id semi-join and melt
+    pairs = pairs.materialize()
+    cand_ids = _candidate_id_array(pairs, "vec_id_a", "vec_id_b")
+    if len(cand_ids) <= SEMI_FILTER_MAX_IDS:
+        emb = _semi_filter(emb, "vec_id", cand_ids)
 
     def melt(b: pd.DataFrame) -> pd.DataFrame:
         n = len(b)
