@@ -153,3 +153,24 @@ def test_ann_lsh_candidate_prune(entry):
     n_cand = cands.count()
     n_total = len(pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id"]))
     assert 0 < n_cand < n_total, (n_cand, n_total)
+
+
+def test_semi_join_fallback_matches_broadcast_path(entry):
+    """The verify stage's broadcast-vs-shuffle join selection must return
+    identical pairs on both sides of the SEMI_FILTER_MAX_IDS cutoff (the
+    fallback full-corpus shuffle join is the 10^9-candidate path)."""
+    import housenumbercore_ray.pipelines.corpus as corpus
+    import housenumbercore_ray.sources.worldgen as wg
+
+    wd = wg.ensure_world(SF)
+    fast = entry.queries()["dedup_minhash_pages"](SF).to_pandas()
+    orig = corpus.SEMI_FILTER_MAX_IDS
+    corpus.SEMI_FILTER_MAX_IDS = 0  # force the full shuffle join
+    try:
+        slow = corpus.minhash_page_pairs(wd).to_pandas()
+    finally:
+        corpus.SEMI_FILTER_MAX_IDS = orig
+    key = ["page_a", "page_b"]
+    fast = fast.sort_values(key).reset_index(drop=True)
+    slow = slow.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
