@@ -86,6 +86,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": corpus.doc_simhash,
         "dedup_simhash_pairs": corpus.simhash_near_dup_pairs,
         "dedup_winnow_pairs": corpus.winnow_dup_pairs,
+        # training-data curation (documents table)
+        "text_decontaminate": corpus.decontaminate,
+        "corpus_domain_cap": corpus.source_quality_cap,
+        "corpus_sample_stratified": corpus.stratified_sample,
         # text analysis (documents table)
         "text_token_stats": corpus.doc_token_stats,
         "text_quality": corpus.doc_quality,
@@ -175,6 +179,25 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        ELSE 0.0 END AS mean_token_len
 FROM documents
 """,
+        "corpus_domain_cap": f"""
+WITH q AS (
+  SELECT doc_id, source,
+         CASE WHEN {ntok} > 0 THEN
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> lower(x) IN ({stop_in}))) AS DOUBLE) / {ntok}
+         ELSE 0.0 END AS stop_ratio,
+         CAST({ntok} AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT source, CAST(rn AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
+       stop_ratio, n_tokens
+FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY stop_ratio DESC, doc_id) AS rn
+      FROM q)
+WHERE rn <= 3
+""",
+        "text_decontaminate": co.decontaminate_sql(),
+        "corpus_sample_stratified": co.stratified_sample_sql(),
         "text_lang_id": f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id, {lang_case} AS lang_pred,
        CAST({hits['de']} AS BIGINT) AS hits_de,

@@ -215,6 +215,122 @@ def winnow_dup_pairs(sf_dir: str, min_shared: int = 3,
     )
 
 
+def decontaminate(sf_dir: str, n: int = 4, bench_mod: int = 25) -> rd.Dataset:
+    """Benchmark decontamination (the GPT-3 appendix-C / Gopher eval-overlap
+    filter): flag corpus docs sharing any word ``n``-gram with the benchmark
+    set. The benchmark here is the deterministic carve-out
+    ``doc_id % bench_mod == 0`` of the documents table — at deployment it
+    would be a separate small eval-suite table.
+
+    Scale shape: pass 1 streams ONLY benchmark docs' gram hashes to the
+    driver (an eval suite is small by premise — this is the canonical
+    broadcast side); pass 2 streams the full corpus through a stateless
+    membership kernel (``ray.put`` once, actor ``__init__`` get) — zero
+    shuffles, no full-corpus materialization anywhere."""
+    from ..stages.dedup import _HashCache
+    from ..stages.textops import NGramContamination, ngram_flat
+
+    def bench_gram_hashes(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        texts = b["text"].fillna("").to_numpy()[(ids % bench_mod) == 0]
+        flat, _ = ngram_flat(texts, n)
+        if not flat:
+            return pd.DataFrame({"gram_hash": pd.Series([], dtype=np.uint64)})
+        _, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+        return pd.DataFrame({"gram_hash": _HashCache().hash_unique(uniques)})
+
+    bench_rows = (
+        _docs(sf_dir)
+        .map_batches(bench_gram_hashes, batch_format="pandas")
+        .take_all()
+    )
+    bench = np.unique(np.array([r["gram_hash"] for r in bench_rows], dtype=np.uint64))
+    bench_ref = ray.put(bench)
+    return _docs(sf_dir).map_batches(
+        NGramContamination,
+        fn_constructor_kwargs=dict(bench_ref=bench_ref, n=n, bench_mod=bench_mod),
+        batch_format="pandas",
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
+def source_quality_cap(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Domain-balancing cap (CCNet/Gopher-style "max N docs per domain"):
+    keep the top ``k`` docs per source/domain ranked by stopword-ratio
+    quality score (ties → lower doc_id). Scale shape: the per-batch partial
+    top-k bounds the shuffle at k × sources rows per batch; the final rank
+    runs in ``map_groups`` over bounded per-source groups — the corpus never
+    sorts globally."""
+    from ..stages.textops import quality_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        qs = quality_scores(b)
+        return pd.DataFrame({
+            "doc_id": qs["doc_id"].to_numpy(),
+            "source": b["source"].to_numpy(),
+            "stop_ratio": qs["stop_ratio"].to_numpy(),
+            "n_tokens": qs["n_tokens"].to_numpy(),
+        })
+
+    def partial_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["stop_ratio", "doc_id"], ascending=[False, True],
+                          kind="mergesort")
+        return b.groupby("source", sort=False).head(k)
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["stop_ratio", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["source", "rank", "doc_id", "stop_ratio", "n_tokens"]]
+
+    return (
+        ds.map_batches(score, batch_format="pandas")
+        .map_batches(partial_topk, batch_format="pandas")
+        .groupby("source")
+        .map_groups(rank_group, batch_format="pandas")
+    )
+
+
+#: per-language keep rates (out of 100 hash buckets) — the low-resource
+#: upsampling shape: downsample the dominant language, keep more of the rest.
+SAMPLE_RATES = {"en": 30}
+SAMPLE_RATE_DEFAULT = 60
+
+
+def stratified_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic hash-stratified subsampling: keep a doc iff
+    ``md5_hash64(str(doc_id)) % 100 < rate[lang]``. Content-independent and
+    seedless — any node (or a rerun, or the SQL oracle) decides membership
+    identically, which is what makes the sample resumable and auditable at
+    100 TB. Stateless streaming filter, zero shuffles."""
+    from ..stages.dedup import _HashCache
+
+    cache = _HashCache()
+
+    def sample(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        langs = b["lang"].to_numpy()
+        hv = cache.hash_unique([str(i) for i in ids])
+        bucket = (hv % np.uint64(100)).astype(np.int64)
+        rates = np.array([SAMPLE_RATES.get(l, SAMPLE_RATE_DEFAULT) for l in langs],
+                         dtype=np.int64)
+        keep = bucket < rates
+        return pd.DataFrame({
+            "doc_id": ids[keep],
+            "lang": langs[keep],
+            "bucket": bucket[keep],
+        })
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+        .map_batches(sample, batch_format="pandas")
+    )
+
+
 def minhash_buckets(sf_dir: str) -> rd.Dataset:
     """MinHash+LSH banding rows (band_hash, doc_id); band index folded into the hash."""
     return _docs(sf_dir).map_batches(

@@ -185,6 +185,55 @@ WHERE jac >= {threshold}
 """
 
 
+def decontaminate_sql(src: str = "documents", n: int = 4,
+                      bench_mod: int = 25) -> str:
+    """text_decontaminate: benchmark n-gram overlap recomputed in SQL on the
+    RAW GRAM STRINGS (no hashes) — agreement with the engine's md5-hash-set
+    membership also confirms the hash path is collision-free on this input."""
+    gram = " || ' ' || ".join(f"ts[i+{j}]" for j in range(n)) \
+        .replace("ts[i+0]", "ts[i]")
+    return f"""
+WITH {_tokens_cte(src, 'doc_id', 'text')},
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) < {n} THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(list_transform(range(1, len(ts) - {n - 2}), i -> {gram})) END AS grams
+  FROM tok
+),
+e AS (SELECT doc_id, unnest(grams) AS gm FROM g),
+bg AS (SELECT DISTINCT gm FROM e WHERE doc_id % {bench_mod} = 0),
+hits AS (
+  SELECT e.doc_id, count(bg.gm) AS nh
+  FROM e LEFT JOIN bg USING (gm)
+  WHERE e.doc_id % {bench_mod} <> 0
+  GROUP BY e.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hit_grams,
+       CAST(CASE WHEN coalesce(h.nh, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM {src} d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {bench_mod} <> 0
+"""
+
+
+def stratified_sample_sql(src: str = "documents", rates: dict | None = None,
+                          default_rate: int = 60) -> str:
+    """corpus_sample_stratified: the md5-derived bucket recomputed in SQL
+    (same base hash as _HASH64, over the doc_id rendered as a string)."""
+    rates = rates or {"en": 30}
+    cases = " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(rates.items()))
+    bucket = _HASH64.format(s="CAST(doc_id AS VARCHAR)") + " % 100"
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang, CAST({bucket} AS BIGINT) AS bucket,
+         CASE {cases} ELSE {default_rate} END AS rate
+  FROM {src}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, bucket
+FROM b WHERE bucket < rate
+"""
+
+
 def winnow_sql(src: str = "documents", id_col: str = "doc_id",
                text_col: str = "text", k: int = 5, window: int = 4) -> str:
     """text_winnow: winnowing fingerprints recomputed in SQL — k-gram md5

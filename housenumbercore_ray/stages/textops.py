@@ -93,6 +93,77 @@ def fingerprint(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     })
 
 
+def ngram_flat(texts, n: int) -> tuple[list, np.ndarray]:
+    """All word n-grams of each text, concatenated, plus per-doc counts.
+    Docs with fewer than ``n`` tokens yield ZERO grams (a 3-token doc cannot
+    contain a 4-gram — decontamination semantics, unlike ``dedup.shingles``
+    which falls back to the whole text). Construction stays in C (zip of
+    shifted token views + mapped join)."""
+    counts = np.empty(len(texts), dtype=np.int64)
+    flat: list[str] = []
+    join = " ".join
+    for d, t in enumerate(texts):
+        toks = t.split()
+        if len(toks) < n:
+            counts[d] = 0
+            continue
+        g = list(map(join, zip(*(toks[i:] for i in range(n)))))
+        counts[d] = len(g)
+        flat.extend(g)
+    return flat, counts
+
+
+class NGramContamination:
+    """map_batches actor for benchmark decontamination (the GPT-3/Gopher
+    eval-set overlap filter): per corpus doc, count how many of its DISTINCT
+    word n-grams appear in a broadcast benchmark gram-hash set, and flag the
+    doc as contaminated if any do.
+
+    Scale shape: the benchmark side is an eval suite — small by premise —
+    so its gram hashes are the canonical broadcast side (``ray.put`` once,
+    ``ray.get`` per actor in ``__init__``); the 100-TB corpus side streams
+    through this kernel with no shuffle at all. Per batch: factorize gram
+    instances at C speed, md5 only the uniques (cached across batches),
+    one sorted-array membership test, one bincount."""
+
+    def __init__(self, bench_ref, n: int = 4, bench_mod: int = 25,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        import ray
+
+        from .dedup import _HashCache
+
+        self.bench = ray.get(bench_ref)  # SORTED unique uint64 gram hashes
+        self.n = n
+        self.bench_mod = bench_mod
+        self.id_col = id_col
+        self.text_col = text_col
+        self._cache = _HashCache()
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[self.id_col].to_numpy(dtype=np.int64)
+        corpus_mask = (ids % self.bench_mod) != 0  # benchmark docs are not corpus
+        ids = ids[corpus_mask]
+        texts = batch[self.text_col].fillna("").to_numpy()[corpus_mask]
+        n_docs = len(ids)
+        n_hits = np.zeros(n_docs, dtype=np.int64)
+        flat, counts = ngram_flat(texts, self.n)
+        if flat:
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+            hv = self._cache.hash_unique(uniques)
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+            # distinct (doc, gram) membership — duplicates inside a doc count once
+            key = np.unique(doc_idx * np.int64(len(uniques)) + codes)
+            d = key // len(uniques)
+            c = key % len(uniques)
+            hit = np.isin(hv[c], self.bench)
+            n_hits += np.bincount(d[hit], minlength=n_docs).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "n_hit_grams": n_hits,
+            "contaminated": (n_hits > 0).astype(np.int64),
+        })
+
+
 def winnowing_fingerprint(text: str, k: int = 5, window: int = 4) -> list[int]:
     """Rolling-hash winnowing (Schleimer et al.): k-gram token hashes, min per
     window, dedup preserving order. Gram hash is the md5-derived 63-bit value
