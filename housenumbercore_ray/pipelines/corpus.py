@@ -331,6 +331,154 @@ def stratified_sample(sf_dir: str) -> rd.Dataset:
     )
 
 
+def line_dedup(world_dir: str, min_pages: int = 100) -> rd.Dataset:
+    """CCNet-style line-level boilerplate removal over the crawl pages:
+    drop every line that occurs in more than ``min_pages`` distinct pages
+    (nav bars, footers, cookie banners), emit per-page
+    (url, n_lines, n_boilerplate, clean_md5) where clean_md5 fingerprints
+    the text rebuilt from the kept lines.
+
+    Scale shape: pass 1 streams pages into per-batch PARTIAL
+    (line_hash, n_pages) counts (a line repeated within one page counts
+    once), then one sharded groupby sums them — shuffle volume is
+    O(distinct lines per batch), never O(line instances). The boilerplate
+    set is bounded by total_lines / min_pages by construction (a line must
+    repeat to qualify), so it is broadcast (``ray.put`` once); at crawl
+    scale raise ``min_pages`` with corpus size, or swap pass 2's membership
+    test for a bucketed anti-join on line_hash if a deployment's set
+    outgrows worker heap. Pass 2 is a stateless zero-shuffle stream."""
+    import hashlib
+
+    from ..stages.dedup import _HashCache
+
+    pages = rd.read_parquet(f"{world_dir}/pages", columns=["url", "text"])
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        cache = _HashCache()
+        per_page = [
+            np.unique(cache.hash_unique(t.split("\n")))
+            for t in b["text"].fillna("").tolist()
+        ]
+        if not per_page:
+            return pd.DataFrame({"line_hash": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        allh = np.concatenate(per_page)
+        uniq, counts = np.unique(allh, return_counts=True)
+        return pd.DataFrame({"line_hash": uniq.view(np.int64),
+                             "n": counts.astype(np.int64)})
+
+    def sum_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("line_hash", sort=True)["n"].sum().reset_index()
+        s = s[s["n"] > min_pages]
+        return s.astype({"line_hash": np.int64, "n": np.int64})
+
+    bp_rows = (
+        pages.map_batches(partial_counts, batch_format="pandas")
+        .map_batches(_shard_on(["line_hash"]), batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(sum_shard, batch_format="pandas")
+        .take_all()
+    )
+    boilerplate = np.sort(np.array([r["line_hash"] for r in bp_rows],
+                                   dtype=np.int64).view(np.uint64))
+    bp_ref = ray.put(boilerplate)
+
+    class CleanPages:
+        def __init__(self):
+            self.bp = ray.get(bp_ref)
+            self._cache = _HashCache()
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            urls, n_lines, n_bp, md5s = [], [], [], []
+            for url, t in zip(b["url"], b["text"].fillna("")):
+                lines = t.split("\n")
+                hv = self._cache.hash_unique(lines)
+                bp = np.isin(hv, self.bp)
+                kept = [ln for ln, drop in zip(lines, bp) if not drop]
+                urls.append(url)
+                n_lines.append(len(lines))
+                n_bp.append(int(bp.sum()))
+                md5s.append(hashlib.md5("\n".join(kept).encode("utf-8")).hexdigest())
+            return pd.DataFrame({
+                "url": urls,
+                "n_lines": pd.Series(n_lines, dtype=np.int64),
+                "n_boilerplate": pd.Series(n_bp, dtype=np.int64),
+                "clean_md5": md5s,
+            })
+
+    return pages.map_batches(CleanPages, batch_format="pandas",
+                             concurrency=(1, 4), num_cpus=1)
+
+
+def host_stats(world_dir: str) -> rd.Dataset:
+    """Per-host crawl aggregate (the webtext 'group by domain' primitive):
+    pages per host, distinct languages, total text chars. Per-batch partial
+    combine on (host, lang) — shuffle volume is O(hosts × langs × batches),
+    never O(pages)."""
+    pages = rd.read_parquet(f"{world_dir}/pages", columns=["url", "text", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        host = b["url"].str.split("/").str[2]
+        g = (pd.DataFrame({"host": host, "lang": b["lang"],
+                           "chars": b["text"].fillna("").str.len().astype(np.int64)})
+             .groupby(["host", "lang"], sort=False)
+             .agg(n_pages=("chars", "size"), sum_chars=("chars", "sum"))
+             .reset_index())
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "host": [g["host"].iloc[0]],
+            "n_pages": pd.Series([g["n_pages"].sum()], dtype=np.int64),
+            "n_langs": pd.Series([g["lang"].nunique()], dtype=np.int64),
+            "sum_chars": pd.Series([g["sum_chars"].sum()], dtype=np.int64),
+        })
+
+    return (
+        pages.map_batches(partial, batch_format="pandas")
+        .groupby("host")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def top_ngrams(sf_dir: str, n: int = 3, k: int = 20) -> pd.DataFrame:
+    """Corpus-wide top-k word n-grams by total occurrence count (the n-gram
+    LM / contamination-audit primitive). Scale shape: per-batch partial
+    counts (factorize + bincount — no per-gram Python), sharded exact sum,
+    per-shard top-k (each shard owns its grams' COMPLETE totals, so the
+    global top-k is a subset of the per-shard winners), tiny driver-side
+    final merge of <= k × shards rows."""
+    from ..stages.textops import ngram_flat
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        flat, _ = ngram_flat(b["text"].fillna("").tolist(), n)
+        if not flat:
+            return pd.DataFrame({"gram": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+        counts = np.bincount(codes, minlength=len(uniques))
+        return pd.DataFrame({"gram": uniques, "n": counts.astype(np.int64)})
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("gram", sort=False)["n"].sum().reset_index()
+        s = s.sort_values(["n", "gram"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return s.astype({"n": np.int64})
+
+    winners = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pandas")
+        .map_batches(_shard_on(["gram"]), batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(shard_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out = winners.sort_values(["n", "gram"], ascending=[False, True],
+                              kind="mergesort").head(k).reset_index(drop=True)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out[["rank", "gram", "n"]]
+
+
 def minhash_buckets(sf_dir: str) -> rd.Dataset:
     """MinHash+LSH banding rows (band_hash, doc_id); band index folded into the hash."""
     return _docs(sf_dir).map_batches(

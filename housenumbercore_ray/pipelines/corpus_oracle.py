@@ -234,6 +234,61 @@ FROM b WHERE bucket < rate
 """
 
 
+def line_dedup_sql(world_dir: str, min_pages: int = 100) -> str:
+    """web_line_dedup: boilerplate lines and the cleaned-text md5 recomputed
+    in SQL on the RAW LINE STRINGS (the engine works on line hashes —
+    agreement also confirms the hash path collision-free)."""
+    return f"""
+WITH p AS (SELECT url, text FROM read_parquet('{world_dir}/pages/*.parquet')),
+ls AS (SELECT url, string_split(text, chr(10)) AS lls FROM p),
+l AS (SELECT url, unnest(lls) AS line, generate_subscripts(lls, 1) AS ord FROM ls),
+d AS (SELECT line, count(DISTINCT url) AS np FROM l GROUP BY line),
+bp AS (SELECT line FROM d WHERE np > {min_pages}),
+k AS (SELECT l.url, l.ord, l.line, (bp.line IS NOT NULL) AS is_bp
+      FROM l LEFT JOIN bp USING (line))
+SELECT url,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       md5(coalesce(string_agg(CASE WHEN NOT is_bp THEN line END, chr(10) ORDER BY ord), '')) AS clean_md5
+FROM k GROUP BY url
+"""
+
+
+def host_stats_sql(world_dir: str) -> str:
+    """web_host_stats: host = third '/'-separated url segment."""
+    return f"""
+SELECT string_split(url, '/')[3] AS host,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM read_parquet('{world_dir}/pages/*.parquet')
+GROUP BY 1
+"""
+
+
+def top_ngrams_sql(src: str = "documents", n: int = 3, k: int = 20) -> str:
+    """corpus_top_ngrams: total n-gram occurrence counts (NOT per-doc
+    distinct), deterministic (count DESC, gram ASC) top-k."""
+    gram = " || ' ' || ".join(f"ts[i+{j}]" for j in range(n)) \
+        .replace("ts[i+0]", "ts[i]")
+    return f"""
+WITH {_tokens_cte(src, 'doc_id', 'text')},
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) < {n} THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(range(1, len(ts) - {n - 2}), i -> {gram}) END AS grams
+  FROM tok
+),
+e AS (SELECT unnest(grams) AS gm FROM g),
+c AS (SELECT gm, count(*) AS cnt FROM e GROUP BY gm)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, gm) AS BIGINT) AS rank,
+       gm AS gram, CAST(cnt AS BIGINT) AS n
+FROM c
+ORDER BY cnt DESC, gm
+LIMIT {k}
+"""
+
+
 def winnow_sql(src: str = "documents", id_col: str = "doc_id",
                text_col: str = "text", k: int = 5, window: int = 4) -> str:
     """text_winnow: winnowing fingerprints recomputed in SQL — k-gram md5

@@ -49,7 +49,8 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "ann_lsh_buckets", "ann_lsh_topk", "text_winnow", "dedup_simhash_pairs", "ann_ivf_topk",
             "rel_events_asof_order", "rel_events_rolling7", "rel_orders_event_window",
             "dedup_winnow_pairs", "rel_top_suppliers_per_nation", "rel_price_quantiles",
-            "text_decontaminate", "corpus_domain_cap", "corpus_sample_stratified"]
+            "text_decontaminate", "corpus_domain_cap", "corpus_sample_stratified",
+            "corpus_top_ngrams", "web_line_dedup", "web_host_stats"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
