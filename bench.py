@@ -89,6 +89,10 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         relational.events_rolling_7d(sf_dir).count()
         queries["rolling_window_7d"] = round(time.time() - t, 3)
 
+        t = time.time()
+        corpus.line_dedup(wd).count()
+        queries["line_dedup"] = round(time.time() - t, 3)
+
     headline = queries["evaluation_full"]
     result = {
         "metric": "housenumber evaluation pipeline wall-clock (pages->extract->spatial join->street kNN->treffertyp merge->aggregate)",

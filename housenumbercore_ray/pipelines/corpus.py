@@ -353,19 +353,33 @@ def line_dedup(world_dir: str, min_pages: int = 100) -> rd.Dataset:
 
     pages = rd.read_parquet(f"{world_dir}/pages", columns=["url", "text"])
 
-    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
-        cache = _HashCache()
-        per_page = [
-            np.unique(cache.hash_unique(t.split("\n")))
-            for t in b["text"].fillna("").tolist()
-        ]
-        if not per_page:
+    def _split_flat(texts):
+        """All pages' lines concatenated + per-page counts (split stays in C)."""
+        counts = np.empty(len(texts), dtype=np.int64)
+        flat: list[str] = []
+        for i, t in enumerate(texts):
+            ls = t.split("\n")
+            counts[i] = len(ls)
+            flat.extend(ls)
+        return flat, counts
+
+    def line_counter(b: pd.DataFrame) -> pd.DataFrame:
+        """Per-batch PARTIAL (line_hash, n_pages) counts: factorize all line
+        instances at C speed, md5 only the uniques, distinct (page, line)
+        membership via one np.unique. Plain task (not an actor pool): the
+        factorize dominates and a cross-batch hash cache saves ~10 ms/batch
+        — not worth per-call actor startup at bench scale."""
+        flat, counts = _split_flat(b["text"].fillna("").tolist())
+        if not flat:
             return pd.DataFrame({"line_hash": pd.Series([], dtype=np.int64),
                                  "n": pd.Series([], dtype=np.int64)})
-        allh = np.concatenate(per_page)
-        uniq, counts = np.unique(allh, return_counts=True)
-        return pd.DataFrame({"line_hash": uniq.view(np.int64),
-                             "n": counts.astype(np.int64)})
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+        hv = _HashCache().hash_unique(uniques)
+        page_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        key = np.unique(page_idx * np.int64(len(uniques)) + codes)
+        ucodes, n = np.unique(key % len(uniques), return_counts=True)
+        return pd.DataFrame({"line_hash": hv[ucodes].view(np.int64),
+                             "n": n.astype(np.int64)})
 
     def sum_shard(g: pd.DataFrame) -> pd.DataFrame:
         s = g.groupby("line_hash", sort=True)["n"].sum().reset_index()
@@ -373,7 +387,7 @@ def line_dedup(world_dir: str, min_pages: int = 100) -> rd.Dataset:
         return s.astype({"line_hash": np.int64, "n": np.int64})
 
     bp_rows = (
-        pages.map_batches(partial_counts, batch_format="pandas")
+        pages.map_batches(line_counter, batch_format="pandas", batch_size=4096)
         .map_batches(_shard_on(["line_hash"]), batch_format="pandas")
         .groupby("_shard")
         .map_groups(sum_shard, batch_format="pandas")
@@ -383,31 +397,42 @@ def line_dedup(world_dir: str, min_pages: int = 100) -> rd.Dataset:
                                    dtype=np.int64).view(np.uint64))
     bp_ref = ray.put(boilerplate)
 
-    class CleanPages:
-        def __init__(self):
-            self.bp = ray.get(bp_ref)
-            self._cache = _HashCache()
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            urls, n_lines, n_bp, md5s = [], [], [], []
-            for url, t in zip(b["url"], b["text"].fillna("")):
-                lines = t.split("\n")
-                hv = self._cache.hash_unique(lines)
-                bp = np.isin(hv, self.bp)
-                kept = [ln for ln, drop in zip(lines, bp) if not drop]
-                urls.append(url)
-                n_lines.append(len(lines))
-                n_bp.append(int(bp.sum()))
-                md5s.append(hashlib.md5("\n".join(kept).encode("utf-8")).hexdigest())
+    def clean_pages(b: pd.DataFrame) -> pd.DataFrame:
+        bp = ray.get(bp_ref)  # zero-copy plasma read per task
+        texts = b["text"].fillna("").tolist()
+        flat, counts = _split_flat(texts)
+        n_pages_in_batch = len(texts)
+        if not flat:
             return pd.DataFrame({
-                "url": urls,
-                "n_lines": pd.Series(n_lines, dtype=np.int64),
-                "n_boilerplate": pd.Series(n_bp, dtype=np.int64),
-                "clean_md5": md5s,
+                "url": b["url"],
+                "n_lines": pd.Series(np.zeros(n_pages_in_batch), dtype=np.int64),
+                "n_boilerplate": pd.Series(np.zeros(n_pages_in_batch), dtype=np.int64),
+                "clean_md5": [hashlib.md5(b"").hexdigest()] * n_pages_in_batch,
             })
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+        hv = _HashCache().hash_unique(uniques)
+        bad = np.isin(hv, bp)[codes]  # one membership test per batch
+        n_bp = np.zeros(n_pages_in_batch, dtype=np.int64)
+        page_idx = np.repeat(np.arange(n_pages_in_batch, dtype=np.int64), counts)
+        np.add.at(n_bp, page_idx, bad)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        md5s = []
+        for i in range(n_pages_in_batch):
+            lo, hi = offsets[i], offsets[i + 1]
+            keep = ~bad[lo:hi]
+            if keep.all():
+                kept = flat[lo:hi]
+            else:
+                kept = [ln for ln, k in zip(flat[lo:hi], keep) if k]
+            md5s.append(hashlib.md5("\n".join(kept).encode("utf-8")).hexdigest())
+        return pd.DataFrame({
+            "url": b["url"].to_numpy(),
+            "n_lines": pd.Series(counts, dtype=np.int64),
+            "n_boilerplate": pd.Series(n_bp, dtype=np.int64),
+            "clean_md5": md5s,
+        })
 
-    return pages.map_batches(CleanPages, batch_format="pandas",
-                             concurrency=(1, 4), num_cpus=1)
+    return pages.map_batches(clean_pages, batch_format="pandas", batch_size=4096)
 
 
 def host_stats(world_dir: str) -> rd.Dataset:
