@@ -517,19 +517,41 @@ def _pairs_from_buckets(rows: rd.Dataset, bucket_cols: list[str],
     (<id>_a < <id>_b): shard on the bucket hash → pairwise within each
     (bucket_cols) group → pair-key dedup shuffle. The two-level shard
     pattern keeps one Ray group per ~N_SHARDS, not per bucket."""
-    from itertools import combinations
-
     a_col, b_col = f"{id_col}_a", f"{id_col}_b"
 
     def bucket_pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
-        sizes = g.groupby(bucket_cols)[id_col].transform("size")
+        """Vectorized within-bucket pair expansion: distinct (bucket, id)
+        rows sorted into contiguous bucket blocks, then — batched by bucket
+        SIZE — one triu_indices gather emits every bucket's ordered id pairs
+        at numpy speed (the per-bucket itertools loop was the hot spot of
+        the candidate-generation leg at crawl scale)."""
+        g = g.drop_duplicates(subset=bucket_cols + [id_col])
+        if len(g) == 0:
+            return pd.DataFrame({a_col: pd.Series([], dtype=np.int64),
+                                 b_col: pd.Series([], dtype=np.int64)})
+        if len(bucket_cols) == 1:
+            codes = pd.factorize(g[bucket_cols[0]].to_numpy(), sort=False)[0]
+        else:
+            codes = g.groupby(bucket_cols, sort=False).ngroup().to_numpy()
+        ids = g[id_col].to_numpy(np.int64)
+        order = np.lexsort((ids, codes))
+        codes, ids = codes[order], ids[order]
+        sizes = np.bincount(codes)
+        offsets = np.concatenate([[0], np.cumsum(sizes)])
         out_a, out_b = [], []
-        for _, sub in g[sizes > 1].groupby(bucket_cols, sort=True):
-            for a, b in combinations(sorted(set(sub[id_col])), 2):
-                out_a.append(a)
-                out_b.append(b)
-        return pd.DataFrame({a_col: pd.Series(out_a, dtype=np.int64),
-                             b_col: pd.Series(out_b, dtype=np.int64)})
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            starts = offsets[:-1][sizes == s]
+            mat = ids[starts[:, None] + np.arange(s)[None, :]]  # (n_buckets, s)
+            iu, ju = np.triu_indices(s, 1)
+            out_a.append(mat[:, iu].ravel())
+            out_b.append(mat[:, ju].ravel())
+        if not out_a:
+            return pd.DataFrame({a_col: pd.Series([], dtype=np.int64),
+                                 b_col: pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({a_col: np.concatenate(out_a),
+                             b_col: np.concatenate(out_b)})
 
     pairs = (
         rows.map_batches(_shard_on(shard_cols), batch_format="pandas")
@@ -597,6 +619,87 @@ def _semi_filter(ds: rd.Dataset, id_col: str, ids: np.ndarray) -> rd.Dataset:
                           concurrency=(1, 8), num_cpus=1)
 
 
+def _melt_pairs(b: pd.DataFrame) -> pd.DataFrame:
+    """Each (doc_id_a, doc_id_b) pair → two (pair, side, doc_id) rows — the
+    fetch-side shape for hash-partitioned payload joins."""
+    n = len(b)
+    return pd.DataFrame({
+        "doc_id_a": np.repeat(b["doc_id_a"].to_numpy(np.int64), 2),
+        "doc_id_b": np.repeat(b["doc_id_b"].to_numpy(np.int64), 2),
+        "side": np.tile(np.array(["a", "b"], dtype=object), n),
+        "doc_id": np.column_stack([b["doc_id_a"].to_numpy(np.int64),
+                                   b["doc_id_b"].to_numpy(np.int64)]).ravel(),
+    })
+
+
+def _sig_estimate_filter(pairs: rd.Dataset, docs: rd.Dataset,
+                         est_cutoff: float) -> rd.Dataset:
+    """OPT-IN scale path for crawl-size corpora (SCALING.md known limit):
+    cheap signature-estimate rejection of false LSH candidates BEFORE the
+    text-fetch shuffle. Random 1-band collisions dominate candidates at
+    10^9 pages while true pairs grow linearly; the minhash agreement
+    fraction estimates Jaccard, so pairs with estimate < ``est_cutoff``
+    (default threshold − 0.25) are dropped without fetching text.
+
+    NOT exact: a true pair at J == threshold survives with
+    P(Bin(64, J)/64 ≥ cutoff) — ~1 − 6e-6 at J=0.7/cutoff=0.45 and
+    astronomically closer to 1 for clearer dups — which is why the default
+    pipelines keep it off and the sf0.01 identity test pins the behavior.
+
+    Cost: one extra scan of the SEMI-FILTERED candidate docs (signatures
+    recomputed; ~0.2% of the corpus) + a pair-payload join carrying 512 B
+    signatures instead of full texts."""
+    import pyarrow as pa
+
+    from ..stages.dedup import MinHashLSH
+    from ..stages.join import bucketed_hash_join
+
+    pairs = pairs.materialize()
+    ids = _candidate_id_array(pairs)
+    if len(ids) <= SEMI_FILTER_MAX_IDS:
+        docs = _semi_filter(docs, "doc_id", ids)
+
+    class Sigs:
+        def __init__(self):
+            self.lsh = MinHashLSH()
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            sig = self.lsh.signatures(b["text"].fillna("").tolist())
+            return pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "sig": [s.tobytes() for s in sig],
+            })
+
+    sig_ds = docs.map_batches(Sigs, batch_format="pandas", batch_size=1024,
+                              concurrency=_heavy_pool(), num_cpus=1)
+    melted = pairs.map_batches(_melt_pairs, batch_format="pandas")
+    with_sig = bucketed_hash_join(
+        melted, sig_ds, "doc_id", "doc_id",
+        left_schema={"doc_id_a": pa.int64(), "doc_id_b": pa.int64(),
+                     "side": pa.string(), "doc_id": pa.int64()},
+        right_schema={"doc_id": pa.int64(), "sig": pa.binary()},
+    )
+
+    def est_shard(g: pd.DataFrame) -> pd.DataFrame:
+        ga = g[g["side"] == "a"][["doc_id_a", "doc_id_b", "sig"]].rename(columns={"sig": "sig_a"})
+        gb = g[g["side"] == "b"][["doc_id_a", "doc_id_b", "sig"]].rename(columns={"sig": "sig_b"})
+        m = ga.merge(gb, on=["doc_id_a", "doc_id_b"])
+        if len(m) == 0:
+            return pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
+                                 "doc_id_b": pd.Series([], dtype=np.int64)})
+        sa = np.frombuffer(b"".join(m["sig_a"]), dtype=np.uint64).reshape(len(m), -1)
+        sb = np.frombuffer(b"".join(m["sig_b"]), dtype=np.uint64).reshape(len(m), -1)
+        est = (sa == sb).mean(axis=1)
+        m = m[est >= est_cutoff]
+        return m[["doc_id_a", "doc_id_b"]].astype(np.int64)
+
+    return (
+        with_sig.map_batches(_shard_on(["doc_id_a", "doc_id_b"]), batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(est_shard, batch_format="pandas")
+    )
+
+
 def _verify_pairs_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
                           threshold: float) -> rd.Dataset:
     """Exact n-gram-Jaccard verification of candidate pairs with ZERO
@@ -628,19 +731,9 @@ def _verify_pairs_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
     if len(ids) <= SEMI_FILTER_MAX_IDS:
         docs = _semi_filter(docs, "doc_id", ids)
 
-    def melt(b: pd.DataFrame) -> pd.DataFrame:
-        n = len(b)
-        return pd.DataFrame({
-            "doc_id_a": np.repeat(b["doc_id_a"].to_numpy(np.int64), 2),
-            "doc_id_b": np.repeat(b["doc_id_b"].to_numpy(np.int64), 2),
-            "side": np.tile(np.array(["a", "b"], dtype=object), n),
-            "doc_id": np.column_stack([b["doc_id_a"].to_numpy(np.int64),
-                                       b["doc_id_b"].to_numpy(np.int64)]).ravel(),
-        })
-
     import pyarrow as pa
 
-    melted = pairs.map_batches(melt, batch_format="pandas")
+    melted = pairs.map_batches(_melt_pairs, batch_format="pandas")
     with_text = bucketed_hash_join(
         melted, docs, "doc_id", "doc_id",
         left_schema={"doc_id_a": pa.int64(), "doc_id_b": pa.int64(),
@@ -688,18 +781,25 @@ def _verify_pairs_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
     )
 
 
-def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.8,
+                           sig_prefilter: bool = False) -> rd.Dataset:
     """LSH candidate pairs verified with exact n-gram Jaccard ≥ threshold.
 
     End-to-end streaming: banding → bucket pairs → pair dedup → text fetch
     via hash-partitioned join → vectorized verify. No broadcast text dict,
-    no driver-side materialization (VERDICT r1 finding #1 resolved)."""
+    no driver-side materialization (VERDICT r1 finding #1 resolved).
+    ``sig_prefilter=True`` inserts the signature-estimate candidate
+    rejection (:func:`_sig_estimate_filter`) before the text fetch — the
+    crawl-scale path; off by default to keep the output provably exact."""
     docs = _docs(sf_dir)
     pairs = _lsh_candidate_pairs(docs)
+    if sig_prefilter:
+        pairs = _sig_estimate_filter(pairs, docs, threshold - 0.25)
     return _verify_pairs_jaccard(pairs, docs, threshold)
 
 
-def minhash_page_pairs(world_dir: str, threshold: float = 0.7) -> rd.Dataset:
+def minhash_page_pairs(world_dir: str, threshold: float = 0.7,
+                       sig_prefilter: bool = False) -> rd.Dataset:
     """Near-duplicate PAGES via MinHash+LSH (the crawl-dedup use case; the
     world plants ~0.2% near-copy pages, ground truth in
     near_dup_pages.parquet).
@@ -707,7 +807,10 @@ def minhash_page_pairs(world_dir: str, threshold: float = 0.7) -> rd.Dataset:
     Same streaming shape as :func:`minhash_near_dup_pairs` — candidate pairs
     and texts never touch the driver; the only full-corpus shuffle is the
     text-fetch join (candidates are ~0.2% of pages, so the pair-side shuffle
-    is negligible even at crawl scale)."""
+    is negligible even at crawl scale). ``sig_prefilter=True`` enables the
+    signature-estimate candidate rejection before the text fetch (the
+    mitigation for the superlinear false-candidate growth at crawl scale —
+    SCALING.md known limits); off by default for provable exactness."""
 
     def with_ids(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -719,6 +822,8 @@ def minhash_page_pairs(world_dir: str, threshold: float = 0.7) -> rd.Dataset:
         with_ids, batch_format="pandas"
     )
     pairs = _lsh_candidate_pairs(pages)
+    if sig_prefilter:
+        pairs = _sig_estimate_filter(pairs, pages, threshold - 0.25)
     verified = _verify_pairs_jaccard(pairs, pages, threshold)
     return verified.map_batches(
         lambda b: b.rename(columns={"doc_id_a": "page_a", "doc_id_b": "page_b"}),
