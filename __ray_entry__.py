@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # webtext crawl ops (pages table of the world)
         "web_line_dedup": lambda sf: corpus.line_dedup(_world(sf)),
         "web_host_stats": lambda sf: corpus.host_stats(_world(sf)),
+        "web_repetition": lambda sf: corpus.repetition_metrics(_world(sf)),
         # text analysis (documents table)
         "text_token_stats": corpus.doc_token_stats,
         "text_quality": corpus.doc_quality,
@@ -205,6 +206,7 @@ WHERE rn <= 3
         "corpus_top_ngrams": co.top_ngrams_sql(),
         "web_line_dedup": co.line_dedup_sql(world_dir),
         "web_host_stats": co.host_stats_sql(world_dir),
+        "web_repetition": co.repetition_sql(world_dir),
         "text_lang_id": f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id, {lang_case} AS lang_pred,
        CAST({hits['de']} AS BIGINT) AS hits_de,

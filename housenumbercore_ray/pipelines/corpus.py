@@ -331,6 +331,17 @@ def stratified_sample(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _split_flat(texts):
+    """All pages' lines concatenated + per-page counts (split stays in C)."""
+    counts = np.empty(len(texts), dtype=np.int64)
+    flat: list[str] = []
+    for i, t in enumerate(texts):
+        ls = t.split("\n")
+        counts[i] = len(ls)
+        flat.extend(ls)
+    return flat, counts
+
+
 def line_dedup(world_dir: str, min_pages: int = 100) -> rd.Dataset:
     """CCNet-style line-level boilerplate removal over the crawl pages:
     drop every line that occurs in more than ``min_pages`` distinct pages
@@ -352,16 +363,6 @@ def line_dedup(world_dir: str, min_pages: int = 100) -> rd.Dataset:
     from ..stages.dedup import _HashCache
 
     pages = rd.read_parquet(f"{world_dir}/pages", columns=["url", "text"])
-
-    def _split_flat(texts):
-        """All pages' lines concatenated + per-page counts (split stays in C)."""
-        counts = np.empty(len(texts), dtype=np.int64)
-        flat: list[str] = []
-        for i, t in enumerate(texts):
-            ls = t.split("\n")
-            counts[i] = len(ls)
-            flat.extend(ls)
-        return flat, counts
 
     def line_counter(b: pd.DataFrame) -> pd.DataFrame:
         """Per-batch PARTIAL (line_hash, n_pages) counts: factorize all line
@@ -464,6 +465,94 @@ def host_stats(world_dir: str) -> rd.Dataset:
         .groupby("host")
         .map_groups(final, batch_format="pandas")
     )
+
+
+#: Gopher-style repetition thresholds (Rae et al. 2021, table A1-ish):
+#: pages above any of these are repetition spam and dropped by `keep`.
+REP_MAX_DUP_LINE_FRAC = 0.3
+REP_MAX_DUP_LINE_CHAR_FRAC = 0.2
+REP_MAX_TOP_2GRAM_CHAR_FRAC = 0.2
+
+
+def repetition_metrics(world_dir: str) -> rd.Dataset:
+    """Gopher-style repetition quality filter over crawl pages (the
+    MassiveText "repetitious documents" rules): per page, the fraction of
+    duplicate lines, the fraction of line characters in repeated-line
+    occurrences beyond the first, and the fraction of text characters
+    covered by the most frequent word 2-gram — plus the keep flag that a
+    curation pipeline filters on.
+
+    Exact semantics (each independently recomputable in SQL — see
+    corpus_oracle.repetition_sql):
+      - lines = text split on '\\n' (so '' has one empty line);
+      - dup_line_frac      = 1 - distinct_lines / total_lines;
+      - dup_line_char_frac = Σ (count-1)·len(line) / Σ count·len(line)
+        over distinct lines (0.0 when the page has only empty lines);
+      - top_2gram = the most frequent adjacent word 2-gram over the
+        whitespace-tokenized text ('' when < 2 tokens), ties broken by
+        smallest gram; top_2gram_frac = count·len(gram) / len(text);
+      - keep = 1 iff all three fractions are within the REP_MAX_* bounds.
+
+    Scale shape: stateless zero-shuffle map_batches — every metric is
+    per-page, so the stage streams at any corpus size; all counting is
+    factorize/bincount + one C-speed pandas groupby per batch."""
+    pages = rd.read_parquet(f"{world_dir}/pages", columns=["url", "text"])
+    return pages.map_batches(repetition_kernel, batch_format="pandas",
+                             batch_size=4096)
+
+
+def repetition_kernel(b: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch Gopher repetition metrics (see repetition_metrics)."""
+    from ..stages.textops import ngram_flat
+
+    texts = b["text"].fillna("").tolist()
+    n = len(texts)
+    n_chars = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    flat, counts = _split_flat(texts)
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+    page_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    key = page_idx * np.int64(len(uniques)) + codes
+    ukey, c = np.unique(key, return_counts=True)
+    p_of = ukey // len(uniques)
+    ulens = np.fromiter((len(u) for u in uniques), dtype=np.int64,
+                        count=len(uniques))
+    lens = ulens[ukey % len(uniques)]
+    ndist = np.bincount(p_of, minlength=n).astype(np.int64)
+    # integer-valued sums (exact in float64 at page cardinality)
+    char_total = np.bincount(p_of, weights=c * lens, minlength=n)
+    char_dup = np.bincount(p_of, weights=(c - 1) * lens, minlength=n)
+    dup_line_frac = 1.0 - ndist / counts
+    dup_line_char_frac = np.divide(char_dup, char_total,
+                                   out=np.zeros(n), where=char_total > 0)
+
+    top_gram = np.full(n, "", dtype=object)
+    top_frac = np.zeros(n)
+    gflat, gcounts = ngram_flat(texts, 2)
+    if gflat:
+        gc = (pd.DataFrame({
+            "p": np.repeat(np.arange(n, dtype=np.int64), gcounts),
+            "g": np.asarray(gflat, dtype=object),
+        }).groupby(["p", "g"], sort=False).size().reset_index(name="c"))
+        gc = gc.sort_values(["p", "c", "g"], ascending=[True, False, True],
+                            kind="mergesort")
+        top = gc.drop_duplicates("p", keep="first")
+        tp = top["p"].to_numpy(np.int64)
+        top_gram[tp] = top["g"].to_numpy()
+        covered = top["c"].to_numpy(np.int64) * top["g"].str.len().to_numpy(np.int64)
+        top_frac[tp] = np.divide(covered, n_chars[tp],
+                                 out=np.zeros(len(tp)), where=n_chars[tp] > 0)
+    keep = ((dup_line_frac <= REP_MAX_DUP_LINE_FRAC)
+            & (dup_line_char_frac <= REP_MAX_DUP_LINE_CHAR_FRAC)
+            & (top_frac <= REP_MAX_TOP_2GRAM_CHAR_FRAC)).astype(np.int64)
+    return pd.DataFrame({
+        "url": b["url"].to_numpy(),
+        "n_lines": pd.Series(counts, dtype=np.int64),
+        "dup_line_frac": dup_line_frac,
+        "dup_line_char_frac": dup_line_char_frac,
+        "top_2gram": top_gram,
+        "top_2gram_frac": top_frac,
+        "keep": keep,
+    })
 
 
 def top_ngrams(sf_dir: str, n: int = 3, k: int = 20) -> pd.DataFrame:

@@ -254,6 +254,57 @@ FROM k GROUP BY url
 """
 
 
+def repetition_sql(world_dir: str, max_dup_line: float = 0.3,
+                   max_dup_char: float = 0.2, max_top2: float = 0.2) -> str:
+    """web_repetition: the Gopher repetition metrics recomputed in SQL —
+    line counting via unnest/groupby on the raw line strings, the top
+    2-gram via a full gram expansion + window top-1 (count DESC, gram ASC),
+    every division int→double so it matches the numpy arithmetic bit for
+    bit."""
+    return f"""
+WITH p AS (SELECT url, text, length(text) AS n_chars
+           FROM read_parquet('{world_dir}/pages/*.parquet')),
+ls AS (SELECT url, string_split(text, chr(10)) AS lls FROM p),
+l AS (SELECT url, unnest(lls) AS line FROM ls),
+lc AS (SELECT url, line, count(*) AS c, length(line) AS ln FROM l GROUP BY 1, 2),
+lm AS (SELECT url, sum(c) AS n_lines, count(*) AS n_distinct,
+              sum(c * ln) AS char_total, sum((c - 1) * ln) AS char_dup
+       FROM lc GROUP BY url),
+tok AS (SELECT url, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                         ELSE string_split_regex(trim(text), '\\s+') END AS ts
+        FROM p),
+g AS (SELECT url, CASE WHEN len(ts) < 2 THEN CAST([] AS VARCHAR[])
+                       ELSE list_transform(range(1, len(ts)),
+                                           i -> ts[i] || ' ' || ts[i+1]) END AS grams
+      FROM tok),
+e AS (SELECT url, unnest(grams) AS gm FROM g),
+gcnt AS (SELECT url, gm, count(*) AS c FROM e GROUP BY 1, 2),
+topg AS (SELECT url, gm, c
+         FROM (SELECT *, row_number() OVER (PARTITION BY url
+                                            ORDER BY c DESC, gm) AS rn
+               FROM gcnt)
+         WHERE rn = 1),
+m AS (
+  SELECT p.url,
+         CAST(lm.n_lines AS BIGINT) AS n_lines,
+         1 - CAST(lm.n_distinct AS DOUBLE) / lm.n_lines AS dup_line_frac,
+         CASE WHEN lm.char_total > 0
+              THEN CAST(lm.char_dup AS DOUBLE) / lm.char_total
+              ELSE 0.0 END AS dup_line_char_frac,
+         coalesce(topg.gm, '') AS top_2gram,
+         CASE WHEN topg.c IS NOT NULL AND p.n_chars > 0
+              THEN CAST(topg.c * length(topg.gm) AS DOUBLE) / p.n_chars
+              ELSE 0.0 END AS top_2gram_frac
+  FROM p JOIN lm USING (url) LEFT JOIN topg USING (url)
+)
+SELECT *, CAST(CASE WHEN dup_line_frac <= {max_dup_line}
+                     AND dup_line_char_frac <= {max_dup_char}
+                     AND top_2gram_frac <= {max_top2}
+               THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM m
+"""
+
+
 def host_stats_sql(world_dir: str) -> str:
     """web_host_stats: host = third '/'-separated url segment."""
     return f"""

@@ -154,3 +154,50 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             resize_stub(pd.DataFrame())
+
+
+class TestRepetitionMetrics:
+    """Gopher repetition kernel — engine kernel vs an in-test DuckDB
+    recomputation of the documented semantics (same SQL the oracle uses)."""
+
+    def test_kernel_matches_sql(self, tmp_path):
+        import duckdb
+
+        from housenumbercore_ray.pipelines.corpus import repetition_kernel
+        from housenumbercore_ray.pipelines.corpus_oracle import repetition_sql
+
+        pages = pd.DataFrame({
+            "url": [f"https://h/{i}" for i in range(6)],
+            "text": [
+                "a b c\na b c\nd e f",            # one duplicated line
+                "",                                # empty page → 1 empty line
+                "x",                               # single token → no 2-gram
+                "spam spam spam spam spam",        # overlapping top gram
+                "l1\nl2\nl3\nl1\nl1",              # dups + cross-line grams
+                "wort eins zwei drei vier fünf",   # clean text
+            ],
+        })
+        (tmp_path / "pages").mkdir()
+        pages.to_parquet(tmp_path / "pages" / "p.parquet")
+        eng = repetition_kernel(pages).sort_values("url").reset_index(drop=True)
+        ora = duckdb.sql(repetition_sql(str(tmp_path))).df() \
+            .sort_values("url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
+        # spot semantics: dup line frac of page 0 is 1 - 2/3
+        assert eng.loc[0, "dup_line_frac"] == pytest.approx(1 - 2 / 3)
+        assert eng.loc[0, "keep"] == 0 and eng.loc[1, "keep"] == 1
+
+    def test_dataset_roundtrip(self, tmp_path):
+        import ray.data as rd
+
+        from housenumbercore_ray.pipelines.corpus import repetition_metrics
+
+        pages = pd.DataFrame({
+            "url": [f"https://h/{i}" for i in range(10)],
+            "text": ["zeile eins\nzeile zwei"] * 5 + ["dup\ndup\ndup\ndup"] * 5,
+        })
+        (tmp_path / "pages").mkdir()
+        pages.to_parquet(tmp_path / "pages" / "p.parquet")
+        out = repetition_metrics(str(tmp_path)).to_pandas()
+        assert len(out) == 10
+        assert set(out[out["dup_line_frac"] > 0.3]["url"]) == set(pages["url"][5:])
