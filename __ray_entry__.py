@@ -89,12 +89,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data curation (documents table)
         "text_decontaminate": corpus.decontaminate,
         "corpus_domain_cap": corpus.source_quality_cap,
+        "corpus_pack_sequences": lambda sf: corpus.pack_sequences(sf),
         "corpus_sample_stratified": corpus.stratified_sample,
         "corpus_top_ngrams": corpus.top_ngrams,
         # webtext crawl ops (pages table of the world)
         "web_line_dedup": lambda sf: corpus.line_dedup(_world(sf)),
         "web_host_stats": lambda sf: corpus.host_stats(_world(sf)),
         "web_repetition": lambda sf: corpus.repetition_metrics(_world(sf)),
+        "web_pii_redact": lambda sf: corpus.pii_redact(_world(sf)),
         # text analysis (documents table)
         "text_token_stats": corpus.doc_token_stats,
         "text_quality": corpus.doc_quality,
@@ -202,11 +204,13 @@ FROM (SELECT *, row_number() OVER (PARTITION BY source
 WHERE rn <= 3
 """,
         "text_decontaminate": co.decontaminate_sql(),
+        "corpus_pack_sequences": co.pack_sequences_sql(),
         "corpus_sample_stratified": co.stratified_sample_sql(),
         "corpus_top_ngrams": co.top_ngrams_sql(),
         "web_line_dedup": co.line_dedup_sql(world_dir),
         "web_host_stats": co.host_stats_sql(world_dir),
         "web_repetition": co.repetition_sql(world_dir),
+        "web_pii_redact": co.pii_redact_sql(world_dir),
         "text_lang_id": f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id, {lang_case} AS lang_pred,
        CAST({hits['de']} AS BIGINT) AS hits_de,

@@ -467,6 +467,110 @@ def host_stats(world_dir: str) -> rd.Dataset:
     )
 
 
+def pack_sequences(sf_dir: str, capacity: int = 128,
+                   n_shards: int = 8) -> rd.Dataset:
+    """Training-sequence packing (the LM-dataloader prep step): greedy
+    first-fit of documents into fixed token-capacity sequences, sharded so
+    every shard packs independently — exactly how a distributed packer
+    bounds coordination at 100 TB (sequences never span shards; doc order
+    inside a shard is doc_id, so the layout is deterministic and
+    resumable).
+
+    Per doc: ``tok = min(whitespace_token_count, capacity)`` (over-long
+    docs truncate to one full sequence); docs in doc_id order fill the
+    current sequence while ``fill + tok <= capacity``, else start the next.
+    Emits (doc_id, shard, seq_idx, tok_offset, n_tok).
+
+    The greedy scan is inherently sequential per shard (O(docs/shard)
+    integer ops); shards are the parallelism axis — size ``n_shards`` to
+    the cluster, not the corpus. Oracle: the same recursion as a DuckDB
+    recursive CTE (corpus_oracle.pack_sequences_sql)."""
+    docs = _docs(sf_dir)
+
+    def with_tok(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].fillna("").str.strip().str.split().str.len().fillna(0)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "shard": b["doc_id"].to_numpy(np.int64) % n_shards,
+            "tok": np.minimum(n.to_numpy(np.int64), capacity),
+        })
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        toks = g["tok"].to_numpy(np.int64)
+        seq = np.empty(len(g), np.int64)
+        off = np.empty(len(g), np.int64)
+        s = fill = 0
+        for i, t in enumerate(toks):
+            if fill + t > capacity:
+                s += 1
+                fill = 0
+            seq[i] = s
+            off[i] = fill
+            fill += t
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "shard": g["shard"].to_numpy(np.int64),
+            "seq_idx": seq,
+            "tok_offset": off,
+            "n_tok": toks,
+        })
+
+    return (
+        docs.map_batches(with_tok, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
+#: PII patterns — constructs restricted to the RE2 ∩ Python-re common
+#: subset (char classes, counted reps, \b, greedy ?) so the DuckDB oracle
+#: runs the IDENTICAL pattern strings. Real deployments extend this list;
+#: the redaction order (email → ip → phone, each counted on the text state
+#: before its own replacement) is part of the operator contract.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"(\+[0-9]{1,3} )?[0-9]{2,4}[/ ][0-9]{5,8}\b"
+
+
+def pii_redact(world_dir: str) -> rd.Dataset:
+    """PII scrubbing over crawl pages (the training-data compliance pass):
+    count and redact email addresses, IPv4 addresses and phone numbers,
+    emitting per-page counts and the md5 of the redacted text.
+
+    Redaction is sequential — emails → ``<EMAIL>``, then IPs → ``<IP>``,
+    then phones → ``<PHONE>`` — with each category counted on the text as
+    it stood BEFORE that category's replacement, so categories never
+    double-count each other's spans.
+
+    Scale shape: stateless zero-shuffle ``map_batches``; the regexes are
+    module-level compiled constants (pandas ``.str`` ops reuse them), so
+    the stage streams at any corpus size."""
+    pages = rd.read_parquet(f"{world_dir}/pages", columns=["url", "text"])
+    return pages.map_batches(pii_redact_kernel, batch_format="pandas",
+                             batch_size=4096)
+
+
+def pii_redact_kernel(b: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch PII count + redact (see pii_redact)."""
+    import hashlib
+
+    t0 = b["text"].fillna("")
+    n_emails = t0.str.count(PII_EMAIL_RE).astype(np.int64)
+    t1 = t0.str.replace(PII_EMAIL_RE, "<EMAIL>", regex=True)
+    n_ips = t1.str.count(PII_IP_RE).astype(np.int64)
+    t2 = t1.str.replace(PII_IP_RE, "<IP>", regex=True)
+    n_phones = t2.str.count(PII_PHONE_RE).astype(np.int64)
+    t3 = t2.str.replace(PII_PHONE_RE, "<PHONE>", regex=True)
+    return pd.DataFrame({
+        "url": b["url"].to_numpy(),
+        "n_emails": n_emails,
+        "n_ips": n_ips,
+        "n_phones": n_phones,
+        "redacted_md5": t3.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()),
+    })
+
+
 #: Gopher-style repetition thresholds (Rae et al. 2021, table A1-ish):
 #: pages above any of these are repetition spam and dropped by `keep`.
 REP_MAX_DUP_LINE_FRAC = 0.3

@@ -254,6 +254,72 @@ FROM k GROUP BY url
 """
 
 
+def pack_sequences_sql(src: str = "documents", capacity: int = 128,
+                       n_shards: int = 8) -> str:
+    """corpus_pack_sequences: the greedy per-shard first-fit recursion
+    replayed as a DuckDB recursive CTE (one recursion step per doc rank,
+    all shards advancing in lock-step)."""
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id % {n_shards} AS shard,
+         least(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END,
+               {capacity}) AS tok,
+         row_number() OVER (PARTITION BY doc_id % {n_shards}
+                            ORDER BY doc_id) AS rn
+  FROM {src}
+),
+pack AS (
+  SELECT shard, rn, doc_id, tok,
+         CAST(0 AS BIGINT) AS seq_idx, CAST(0 AS BIGINT) AS tok_offset,
+         tok AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.tok,
+         CASE WHEN p.fill + d.tok <= {capacity} THEN p.seq_idx
+              ELSE p.seq_idx + 1 END,
+         CASE WHEN p.fill + d.tok <= {capacity} THEN p.fill ELSE 0 END,
+         CASE WHEN p.fill + d.tok <= {capacity} THEN p.fill + d.tok
+              ELSE d.tok END
+  FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(seq_idx AS BIGINT) AS seq_idx,
+       CAST(tok_offset AS BIGINT) AS tok_offset,
+       CAST(tok AS BIGINT) AS n_tok
+FROM pack
+"""
+
+
+def pii_redact_sql(world_dir: str) -> str:
+    """web_pii_redact: identical pattern strings (RE2 ∩ Python-re subset),
+    same email → ip → phone chaining, recomputed with DuckDB regexp
+    functions; agreement proves pattern-semantics parity across engines."""
+    from .corpus import PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE
+
+    em, ip, ph = PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE
+    return f"""
+WITH p AS (SELECT url, text FROM read_parquet('{world_dir}/pages/*.parquet')),
+r1 AS (SELECT url,
+              len(regexp_extract_all(text, '{em}')) AS n_emails,
+              regexp_replace(text, '{em}', '<EMAIL>', 'g') AS t1
+       FROM p),
+r2 AS (SELECT url, n_emails,
+              len(regexp_extract_all(t1, '{ip}')) AS n_ips,
+              regexp_replace(t1, '{ip}', '<IP>', 'g') AS t2
+       FROM r1),
+r3 AS (SELECT url, n_emails, n_ips,
+              len(regexp_extract_all(t2, '{ph}')) AS n_phones,
+              regexp_replace(t2, '{ph}', '<PHONE>', 'g') AS t3
+       FROM r2)
+SELECT url, CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_ips AS BIGINT) AS n_ips,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       md5(t3) AS redacted_md5
+FROM r3
+"""
+
+
 def repetition_sql(world_dir: str, max_dup_line: float = 0.3,
                    max_dup_char: float = 0.2, max_top2: float = 0.2) -> str:
     """web_repetition: the Gopher repetition metrics recomputed in SQL —

