@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_stats": lambda sf: corpus.host_stats(_world(sf)),
         "web_repetition": lambda sf: corpus.repetition_metrics(_world(sf)),
         "web_pii_redact": lambda sf: corpus.pii_redact(_world(sf)),
+        "web_url_canonical": lambda sf: corpus.url_canonicalize(_world(sf)),
+        "text_tfidf_topk": lambda sf: corpus.tfidf_topk(sf),
         # text analysis (documents table)
         "text_token_stats": corpus.doc_token_stats,
         "text_quality": corpus.doc_quality,
@@ -211,6 +213,8 @@ WHERE rn <= 3
         "web_host_stats": co.host_stats_sql(world_dir),
         "web_repetition": co.repetition_sql(world_dir),
         "web_pii_redact": co.pii_redact_sql(world_dir),
+        "web_url_canonical": co.url_canonical_sql(world_dir),
+        "text_tfidf_topk": co.tfidf_topk_sql(),
         "text_lang_id": f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id, {lang_case} AS lang_pred,
        CAST({hits['de']} AS BIGINT) AS hits_de,

@@ -93,6 +93,18 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         corpus.line_dedup(wd).count()
         queries["line_dedup"] = round(time.time() - t, 3)
 
+        t = time.time()
+        corpus.repetition_metrics(wd).count()
+        queries["repetition_filter"] = round(time.time() - t, 3)
+
+        t = time.time()
+        corpus.pii_redact(wd).count()
+        queries["pii_redact"] = round(time.time() - t, 3)
+
+        t = time.time()
+        corpus.url_canonicalize(wd).count()
+        queries["url_canonical"] = round(time.time() - t, 3)
+
     headline = queries["evaluation_full"]
     result = {
         "metric": "housenumber evaluation pipeline wall-clock (pages->extract->spatial join->street kNN->treffertyp merge->aggregate)",

@@ -467,6 +467,120 @@ def host_stats(world_dir: str) -> rd.Dataset:
     )
 
 
+def tfidf_topk(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """Per-document top-k TF-IDF keywords (the corpus keyword-extraction /
+    feature primitive): score = tf · ln(N / df) over raw whitespace tokens
+    (no lowering, no smoothing — documented contract), ties broken by term
+    ascending.
+
+    Scale shape — NO vocabulary broadcast (a DF table over 10⁹ docs is
+    unbounded): two sharded shuffles of O(distinct doc-term pairs):
+      1. per-batch distinct (doc, term, tf) via factorize/bincount;
+      2. shard on term → each shard holds every row of its terms, so DF is
+         a vectorized value_counts inside the shard (two-level groupby);
+      3. shard on doc → per-doc ordered top-k at pandas speed.
+    N (total docs) is parquet metadata — the one driver-side scalar."""
+    docs = _docs(sf_dir)
+    n_docs = docs.count()
+
+    def tf_rows(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].fillna("").tolist()
+        ids = b["doc_id"].to_numpy(np.int64)
+        counts = np.empty(len(texts), dtype=np.int64)
+        flat: list[str] = []
+        for i, t in enumerate(texts):
+            ts = t.split()
+            counts[i] = len(ts)
+            flat.extend(ts)
+        if not flat:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "term": pd.Series([], dtype=object),
+                                 "tf": pd.Series([], dtype=np.int64)})
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        key = doc_idx * np.int64(len(uniques)) + codes
+        ukey, tf = np.unique(key, return_counts=True)
+        return pd.DataFrame({
+            "doc_id": ids[ukey // len(uniques)],
+            "term": uniques[ukey % len(uniques)],
+            "tf": tf.astype(np.int64),
+        })
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct (doc, term): df(term) = row count per term,
+        # and every row of a term lives in this shard
+        df_map = g["term"].value_counts()
+        out = g[["doc_id", "term", "tf"]].copy()
+        out["df"] = df_map[out["term"]].to_numpy(np.int64)
+        return out
+
+    def topk_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["score"] = g["tf"].to_numpy(np.float64) * np.log(
+            float(n_docs) / g["df"].to_numpy(np.float64))
+        g = g.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("doc_id", sort=False).head(k)
+        g["rank"] = g.groupby("doc_id", sort=False).cumcount() + 1
+        g["score"] = g["score"].round(9)
+        return g[["doc_id", "rank", "term", "tf", "df", "score"]].astype(
+            {"doc_id": np.int64, "rank": np.int64, "tf": np.int64, "df": np.int64})
+
+    return (
+        docs.map_batches(tf_rows, batch_format="pandas")
+        .map_batches(_shard_on(["term"]), batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(attach_df, batch_format="pandas")
+        .map_batches(_shard_on(["doc_id"]), batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(topk_shard, batch_format="pandas")
+    )
+
+
+#: scheme :// host path ?query — fragment-free split, RE2 ∩ Python-re
+#: constructs only (the oracle extracts the same groups with the same
+#: pattern string).
+URL_SPLIT_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?"
+
+
+def url_canonicalize(world_dir: str) -> rd.Dataset:
+    """URL canonicalization over crawl pages (the crawl-frontier /
+    recrawl-dedup primitive): lowercase scheme and host, strip one leading
+    ``www.``, strip trailing slashes from the path, drop ``utm_*`` tracking
+    params and sort the survivors. Emits (url, canonical_url, changed).
+
+    Scale shape: stateless zero-shuffle map_batches; the only per-row
+    Python is the query-param fix, which runs on the ~tracking-suffix
+    subset of rows (queries are absent from most crawl urls)."""
+    pages = rd.read_parquet(f"{world_dir}/pages", columns=["url"])
+    return pages.map_batches(canonical_url_kernel, batch_format="pandas",
+                             batch_size=8192)
+
+
+def canonical_url_kernel(b: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch URL canonicalization (see url_canonicalize)."""
+    parts = b["url"].str.extract(URL_SPLIT_RE)
+    scheme = parts[0].fillna("").str.lower()
+    host = parts[1].fillna("").str.lower()
+    host = host.where(~host.str.startswith("www."), host.str[4:])
+    path = parts[2].fillna("").str.rstrip("/")
+    q = parts[3].fillna("")
+
+    def fix_query(s: str) -> str:
+        if not s:
+            return ""
+        return "&".join(sorted(p for p in s.split("&")
+                               if not p.startswith("utm_")))
+
+    q2 = q.map(fix_query)
+    canon = scheme + "://" + host + path + np.where(q2 != "", "?" + q2, "")
+    return pd.DataFrame({
+        "url": b["url"].to_numpy(),
+        "canonical_url": canon.to_numpy(),
+        "changed": (canon != b["url"]).to_numpy().astype(np.int64),
+    })
+
+
 def pack_sequences(sf_dir: str, capacity: int = 128,
                    n_shards: int = 8) -> rd.Dataset:
     """Training-sequence packing (the LM-dataloader prep step): greedy
@@ -1006,8 +1120,10 @@ def minhash_page_pairs(world_dir: str, threshold: float = 0.7,
     SCALING.md known limits); off by default for provable exactness."""
 
     def with_ids(b: pd.DataFrame) -> pd.DataFrame:
+        # page id from the canonical path segment — robust to the messy
+        # url variants (tracking params, case) the world plants
         return pd.DataFrame({
-            "doc_id": b["url"].str.rsplit("/", n=1).str[1].astype(np.int64),
+            "doc_id": b["url"].str.extract(r"/seite/([0-9]+)")[0].astype(np.int64),
             "text": b["text"],
         })
 

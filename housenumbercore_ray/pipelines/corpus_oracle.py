@@ -167,7 +167,7 @@ def minhash_pages_sql(world_dir: str, threshold: float = 0.7) -> str:
     jac = _JACCARD.format(a="sa.ss", b="sb.ss")
     return f"""
 WITH pages_src AS (
-  SELECT CAST(string_split(url, '/')[-1] AS BIGINT) AS pid, text
+  SELECT CAST(regexp_extract(url, '/seite/([0-9]+)', 1) AS BIGINT) AS pid, text
   FROM read_parquet('{world_dir}/pages/*.parquet')
 ),
 {_tokens_cte('pages_src', 'pid', 'text')},
@@ -251,6 +251,69 @@ SELECT url,
        CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
        md5(coalesce(string_agg(CASE WHEN NOT is_bp THEN line END, chr(10) ORDER BY ord), '')) AS clean_md5
 FROM k GROUP BY url
+"""
+
+
+def tfidf_topk_sql(src: str = "documents", k: int = 5) -> str:
+    """text_tfidf_topk: tf, df, N and tf·ln(N/df) recomputed in SQL; both
+    engines round the score to 9 decimals, so a ≤1-ulp libm difference in
+    ln cannot flip the emitted values (ordering uses the raw double on both
+    sides with term-ascending tie-break)."""
+    return f"""
+WITH {_tokens_cte(src, 'doc_id', 'text')},
+e AS (SELECT doc_id, unnest(ts) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM {src}),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+      FROM s)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rn AS BIGINT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(score, 9) AS score
+FROM r WHERE rn <= {k}
+"""
+
+
+def url_canonical_sql(world_dir: str) -> str:
+    """web_url_canonical: the same scheme/host/path/query split pattern and
+    the same normalization steps (lower, www-strip, slash-rtrim, utm-drop +
+    param sort) recomputed with DuckDB string/list functions."""
+    from .corpus import URL_SPLIT_RE
+
+    re_ = URL_SPLIT_RE
+    return f"""
+WITH p AS (SELECT url FROM read_parquet('{world_dir}/pages/*.parquet')),
+x AS (
+  SELECT url,
+         lower(regexp_extract(url, '{re_}', 1)) AS scheme,
+         lower(regexp_extract(url, '{re_}', 2)) AS host0,
+         rtrim(regexp_extract(url, '{re_}', 3), '/') AS path,
+         regexp_extract(url, '{re_}', 4) AS q
+  FROM p
+),
+y AS (
+  SELECT url, scheme,
+         CASE WHEN starts_with(host0, 'www.') THEN substr(host0, 5)
+              ELSE host0 END AS host,
+         path,
+         CASE WHEN q = '' THEN ''
+              ELSE coalesce(array_to_string(
+                     list_sort(list_filter(string_split(q, '&'),
+                                           z -> NOT starts_with(z, 'utm_'))),
+                     '&'), '') END AS q2
+  FROM x
+)
+SELECT url,
+       scheme || '://' || host || path ||
+         CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canonical_url,
+       CAST(CASE WHEN scheme || '://' || host || path ||
+                      CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END <> url
+                 THEN 1 ELSE 0 END AS BIGINT) AS changed
+FROM y
 """
 
 

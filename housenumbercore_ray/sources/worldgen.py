@@ -59,7 +59,7 @@ import pyarrow.parquet as pq
 
 from ..geo.wkb import linestring_wkb, multipolygon_wkb, polygon_wkb
 
-WORLD_VERSION = "v10"
+WORLD_VERSION = "v11"
 WORLD_ROOT = "/tmp/hnr_world"
 
 LON0, LAT0 = 10.0, 50.0
@@ -506,7 +506,22 @@ def generate_world(scale: str, out_dir: str) -> dict:
     lang_pool = ["de", "de", "de", "de", "fr", "it"]
     tss = (base_ts + ts_off).tolist()
     langs = [lang_pool[v] for v in lang_idx]
-    urls = [f"https://www.beispiel-{s:03d}.de/seite/{pg}" for pg, s in enumerate(sites)]
+    # ~18% of urls are crawl-realistic MESSY VARIANTS of the canonical form
+    # (tracking params, uppercased scheme/host, missing www.) — ground truth
+    # for web_url_canonical; the page id stays parseable from the
+    # always-lowercase '/seite/<pg>' path
+    urls = []
+    for pg, s in enumerate(sites):
+        m = hi(33, pg) % 17
+        if m == 3:
+            u = f"https://www.beispiel-{s:03d}.de/seite/{pg}?utm_source=crawler&utm_medium=web"
+        elif m == 5:
+            u = f"HTTPS://WWW.BEISPIEL-{s:03d}.DE/seite/{pg}"
+        elif m == 7:
+            u = f"https://beispiel-{s:03d}.de/seite/{pg}"
+        else:
+            u = f"https://www.beispiel-{s:03d}.de/seite/{pg}"
+        urls.append(u)
 
     # ---- write atomically -------------------------------------------------
     tmp = out_dir + ".tmp"

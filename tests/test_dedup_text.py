@@ -263,3 +263,63 @@ class TestPackSequences:
         assert (per_seq <= 128).all()
         # packing is dense: every non-final sequence could not fit its successor's first doc
         assert eng["n_tok"].ge(0).all() and len(eng) == 500
+
+
+class TestUrlCanonical:
+    def test_kernel_matches_sql(self, tmp_path):
+        import duckdb
+
+        from housenumbercore_ray.pipelines.corpus import canonical_url_kernel
+        from housenumbercore_ray.pipelines.corpus_oracle import url_canonical_sql
+
+        pages = pd.DataFrame({"url": [
+            "https://www.beispiel-012.de/seite/0",
+            "https://www.beispiel-012.de/seite/1?utm_source=crawler&utm_medium=web",
+            "HTTPS://WWW.BEISPIEL-012.DE/seite/2",
+            "https://beispiel-012.de/seite/3",
+            "https://www.x.de/seite/4?b=2&a=1&utm_y=9",
+            "https://www.x.de/dir/",
+        ]})
+        (tmp_path / "pages").mkdir()
+        pages.to_parquet(tmp_path / "pages" / "p.parquet")
+        eng = canonical_url_kernel(pages).sort_values("url").reset_index(drop=True)
+        ora = duckdb.sql(url_canonical_sql(str(tmp_path))).df() \
+            .sort_values("url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
+        got = dict(zip(eng["url"], eng["canonical_url"]))
+        assert got["https://www.x.de/seite/4?b=2&a=1&utm_y=9"] == "https://x.de/seite/4?a=1&b=2"
+        assert got["HTTPS://WWW.BEISPIEL-012.DE/seite/2"] == "https://beispiel-012.de/seite/2"
+
+    def test_world_variants_collapse(self, ray_session):
+        """v11 worlds plant messy url variants; canonicalization maps every
+        url to the lowercase no-www form, keeping one url per page."""
+        from housenumbercore_ray.pipelines.corpus import url_canonicalize
+        from housenumbercore_ray.sources.worldgen import ensure_world_scale
+
+        out = url_canonicalize(ensure_world_scale("sf0.001")).to_pandas()
+        assert out["canonical_url"].str.match(r"https://beispiel-[0-9]{3}\.de/seite/[0-9]+$").all()
+        assert out["canonical_url"].is_unique
+        # utm variants exist and were stripped
+        assert out["url"].str.contains("utm_").any()
+        assert not out["canonical_url"].str.contains("utm_").any()
+
+
+class TestTfidfTopk:
+    def test_matches_sql_and_invariants(self, ray_session):
+        import duckdb
+
+        from housenumbercore_ray.pipelines.corpus import tfidf_topk
+        from housenumbercore_ray.pipelines.corpus_oracle import tfidf_topk_sql
+
+        sf = "/root/testdata/sf0.001"
+        eng = tfidf_topk(sf).to_pandas() \
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+        ora = con.sql(tfidf_topk_sql()).df() \
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
+        assert (eng.groupby("doc_id")["rank"].max() == 5).all()
+        # scores are non-increasing within a doc
+        by_doc = eng.sort_values(["doc_id", "rank"]).groupby("doc_id")["score"]
+        assert (by_doc.diff().fillna(0) <= 1e-12).all()
