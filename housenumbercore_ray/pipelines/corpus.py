@@ -747,16 +747,24 @@ def repetition_kernel(b: pd.DataFrame) -> pd.DataFrame:
     top_frac = np.zeros(n)
     gflat, gcounts = ngram_flat(texts, 2)
     if gflat:
-        gc = (pd.DataFrame({
-            "p": np.repeat(np.arange(n, dtype=np.int64), gcounts),
-            "g": np.asarray(gflat, dtype=object),
-        }).groupby(["p", "g"], sort=False).size().reset_index(name="c"))
-        gc = gc.sort_values(["p", "c", "g"], ascending=[True, False, True],
-                            kind="mergesort")
-        top = gc.drop_duplicates("p", keep="first")
-        tp = top["p"].to_numpy(np.int64)
-        top_gram[tp] = top["g"].to_numpy()
-        covered = top["c"].to_numpy(np.int64) * top["g"].str.len().to_numpy(np.int64)
+        # factorize with sort=True: gram code order == lexicographic order,
+        # so the (count DESC, gram ASC) tie-break is a pure-int lexsort —
+        # no per-batch string groupby (measured ~3x on the 200k bench)
+        gcodes, guniq = pd.factorize(np.asarray(gflat, dtype=object), sort=True)
+        gpage = np.repeat(np.arange(n, dtype=np.int64), gcounts)
+        gkey, gc = np.unique(gpage * np.int64(len(guniq)) + gcodes,
+                             return_counts=True)
+        kp = gkey // len(guniq)
+        kc = gkey % len(guniq)
+        order = np.lexsort((kc, -gc, kp))
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = kp[order][1:] != kp[order][:-1]
+        sel = order[first]
+        tp = kp[sel]
+        top_gram[tp] = guniq[kc[sel]]
+        glens = np.fromiter((len(guniq[c]) for c in kc[sel]), dtype=np.int64,
+                            count=len(sel))
+        covered = gc[sel] * glens
         top_frac[tp] = np.divide(covered, n_chars[tp],
                                  out=np.zeros(len(tp)), where=n_chars[tp] > 0)
     keep = ((dup_line_frac <= REP_MAX_DUP_LINE_FRAC)
