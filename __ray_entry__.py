@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_pii_redact": lambda sf: corpus.pii_redact(_world(sf)),
         "web_url_canonical": lambda sf: corpus.url_canonicalize(_world(sf)),
         "text_tfidf_topk": lambda sf: corpus.tfidf_topk(sf),
+        "embedding_kmeans": lambda sf: corpus.embedding_kmeans(sf),
         # text analysis (documents table)
         "text_token_stats": corpus.doc_token_stats,
         "text_quality": corpus.doc_quality,
@@ -215,6 +216,7 @@ WHERE rn <= 3
         "web_pii_redact": co.pii_redact_sql(world_dir),
         "web_url_canonical": co.url_canonical_sql(world_dir),
         "text_tfidf_topk": co.tfidf_topk_sql(),
+        "embedding_kmeans": co.embedding_kmeans_sql(),
         "text_lang_id": f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id, {lang_case} AS lang_pred,
        CAST({hits['de']} AS BIGINT) AS hits_de,

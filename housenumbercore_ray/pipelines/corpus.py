@@ -1270,6 +1270,91 @@ def ann_lsh_buckets(sf_dir: str) -> rd.Dataset:
     )
 
 
+def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 3) -> rd.Dataset:
+    """Iterative Lloyd k-means over the embedding column — the engine's
+    iterative-algorithm pattern: each iteration is ONE streaming pass
+    (broadcast centroids → per-batch partial (cluster, count, dim-sums)
+    combine → k-row groupby → new centroids on the driver). Per-iteration
+    driver/shuffle state is O(k·d) regardless of corpus size; the corpus
+    itself is read ``iters + 1`` times and never materializes.
+
+    Deterministic contract (replayed bit-for-bit by the SQL oracle):
+    init = the vectors with ``vec_id < k``; squared-euclidean assignment
+    with ties → lowest cluster id; centroid updates ROUNDED to 6 decimals
+    each iteration (absorbs summation-order float noise across engines);
+    clusters that go empty keep their previous centroid. Output:
+    (vec_id, cluster, d2) with d2 rounded to 6."""
+    import pyarrow.parquet as pq
+
+    dim = _embedding_dim(sf_dir)
+    init = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", k)]).to_pandas()
+    init = init.sort_values("vec_id")
+    C = np.stack(init["embedding"].to_numpy()).astype(np.float64)
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    def _assign(X: np.ndarray, C_: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # direct (x-c)^2 differences (no ||x||^2-2xc expansion: cancellation
+        # noise would exceed the round-6 output tolerance for near-dups)
+        d2 = ((X[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1), d2
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        class Partial:
+            def __init__(self):
+                self.C = ray.get(ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                X = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+                cl, _ = _assign(X, self.C)
+                cnt = np.bincount(cl, minlength=k).astype(np.int64)
+                sums = np.zeros((k, X.shape[1]))
+                np.add.at(sums, cl, X)
+                out = pd.DataFrame({"cluster": np.arange(k, dtype=np.int64),
+                                    "cnt": cnt})
+                for j in range(X.shape[1]):
+                    out[f"s{j}"] = sums[:, j]
+                return out
+
+        tot = (
+            emb.map_batches(Partial, batch_format="pandas", batch_size=4096,
+                            concurrency=(1, 4), num_cpus=1)
+            .groupby("cluster")
+            .map_groups(lambda g: g.groupby("cluster", as_index=False).sum(),
+                        batch_format="pandas")
+            .to_pandas()          # exactly k rows
+            .sort_values("cluster")
+        )
+        cnt = tot["cnt"].to_numpy(np.float64)
+        sums = tot[[f"s{j}" for j in range(dim)]].to_numpy()
+        nonempty = cnt > 0
+        C = C.copy()
+        C[nonempty] = np.round(sums[nonempty] / cnt[nonempty, None], 6)
+
+    ref = ray.put(C)
+
+    class Final:
+        def __init__(self):
+            self.C = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            X = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            cl, d2 = _assign(X, self.C)
+            return pd.DataFrame({
+                "vec_id": b["vec_id"].to_numpy(np.int64),
+                "cluster": cl.astype(np.int64),
+                "d2": np.round(d2[np.arange(len(cl)), cl], 6),
+            })
+
+    return emb.map_batches(Final, batch_format="pandas", batch_size=4096,
+                           concurrency=(1, 4), num_cpus=1)
+
+
 def _embedding_dim(sf_dir: str) -> int:
     import pyarrow.parquet as pq
 

@@ -254,6 +254,45 @@ FROM k GROUP BY url
 """
 
 
+def embedding_kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """embedding_kmeans: the full Lloyd recursion unrolled — init = vectors
+    with vec_id < k, squared-euclidean argmin (ties → lowest cluster),
+    per-iteration centroid averages ROUNDED to 6 (the cross-engine
+    summation-noise absorber, same rounding the engine applies), empty
+    clusters keep the previous centroid. One CTE pair (assign, centroid)
+    per iteration, then the final assignment with round-6 d2."""
+    d2 = (f"list_sum(list_transform(range(1, {dim + 1}), "
+          f"i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i])))")
+    avg_list = "[" + ", ".join(f"round(avg(e.v[{i}]), 6)"
+                               for i in range(1, dim + 1)) + "]"
+    parts = [f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cl, v AS cv FROM e WHERE vec_id < {k})"""]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(f""",
+a{t} AS (SELECT vec_id, cl FROM (
+  SELECT vec_id, cl, d2, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d2, cl) AS rn
+  FROM (SELECT e.vec_id, c.cl, {d2} AS d2 FROM e, {prev} c))
+  WHERE rn = 1),
+c{t}r AS (SELECT a{t}.cl, {avg_list} AS cv
+          FROM a{t} JOIN e USING (vec_id) GROUP BY a{t}.cl),
+c{t} AS (SELECT p.cl, coalesce(r.cv, p.cv) AS cv
+         FROM {prev} p LEFT JOIN c{t}r r USING (cl))""")
+        prev = f"c{t}"
+    parts.append(f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cl AS BIGINT) AS cluster,
+       round(d2, 6) AS d2
+FROM (
+  SELECT vec_id, cl, d2, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d2, cl) AS rn
+  FROM (SELECT e.vec_id, c.cl, {d2} AS d2 FROM e, {prev} c))
+WHERE rn = 1
+""")
+    return "".join(parts)
+
+
 def tfidf_topk_sql(src: str = "documents", k: int = 5) -> str:
     """text_tfidf_topk: tf, df, N and tf·ln(N/df) recomputed in SQL; both
     engines round the score to 9 decimals, so a ≤1-ulp libm difference in

@@ -323,3 +323,22 @@ class TestTfidfTopk:
         # scores are non-increasing within a doc
         by_doc = eng.sort_values(["doc_id", "rank"]).groupby("doc_id")["score"]
         assert (by_doc.diff().fillna(0) <= 1e-12).all()
+
+
+class TestEmbeddingKmeans:
+    def test_matches_sql_oracle(self, ray_session):
+        import duckdb
+
+        from housenumbercore_ray.pipelines.corpus import embedding_kmeans
+        from housenumbercore_ray.pipelines.corpus_oracle import embedding_kmeans_sql
+
+        sf = "/root/testdata/sf0.001"
+        eng = embedding_kmeans(sf).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')")
+        ora = con.sql(embedding_kmeans_sql()).df() \
+            .sort_values("vec_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
+        # all k clusters populated on the planted-label world
+        assert eng["cluster"].nunique() == 8
