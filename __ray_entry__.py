@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_url_canonical": lambda sf: corpus.url_canonicalize(_world(sf)),
         "text_tfidf_topk": lambda sf: corpus.tfidf_topk(sf),
         "embedding_kmeans": lambda sf: corpus.embedding_kmeans(sf),
+        "web_bloom_seen": lambda sf: corpus.bloom_seen(_world(sf)),
         # text analysis (documents table)
         "text_token_stats": corpus.doc_token_stats,
         "text_quality": corpus.doc_quality,
@@ -217,6 +218,7 @@ WHERE rn <= 3
         "web_url_canonical": co.url_canonical_sql(world_dir),
         "text_tfidf_topk": co.tfidf_topk_sql(),
         "embedding_kmeans": co.embedding_kmeans_sql(),
+        "web_bloom_seen": co.bloom_seen_sql(world_dir),
         "text_lang_id": f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id, {lang_case} AS lang_pred,
        CAST({hits['de']} AS BIGINT) AS hits_de,

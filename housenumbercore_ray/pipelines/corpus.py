@@ -581,6 +581,73 @@ def canonical_url_kernel(b: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+BLOOM_M_BITS = 1 << 20
+BLOOM_K = 4
+
+
+def bloom_seen(world_dir: str, m_bits: int = BLOOM_M_BITS,
+               k_hashes: int = BLOOM_K) -> rd.Dataset:
+    """Bloom-filter URL seen-set (the crawl-frontier dedup primitive):
+    build a bloom over every page url, then probe a deterministic
+    half-seen/half-unseen set and report membership — false positives and
+    all (bloom semantics are part of the contract; positions are
+    md5-derived, so the DuckDB oracle replays the filter BIT-EXACTLY and
+    agreement proves the whole bit path).
+
+    Scale shape: the built state is the BITMAP (m/8 bytes — 128 KiB here,
+    a few GiB for 10¹⁰ urls), never the url set. Build: per-batch distinct
+    bit positions → sharded distinct → bounded driver bitmap → `ray.put`
+    once. Probe: stateless stream against the broadcast bitmap. At larger
+    m than worker heap, shard the bitmap by bit range and route probes by
+    position (same two-level pattern)."""
+    pages = rd.read_parquet(f"{world_dir}/pages", columns=["url"])
+
+    def _positions(urls, out_rows: bool):
+        from ..stages.dedup import _md5_hash64
+
+        n = len(urls)
+        pos = np.empty((n, k_hashes), dtype=np.int64)
+        for i in range(k_hashes):
+            pos[:, i] = np.fromiter(
+                (_md5_hash64(f"{i}:{u}") % m_bits for u in urls),
+                dtype=np.int64, count=n)
+        return pos
+
+    def bit_rows(b: pd.DataFrame) -> pd.DataFrame:
+        pos = _positions(b["url"].tolist(), True)
+        return pd.DataFrame({"bit": np.unique(pos)})
+
+    def uniq_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"bit": np.unique(g["bit"].to_numpy(np.int64))})
+
+    bits = (
+        pages.map_batches(bit_rows, batch_format="pandas", batch_size=8192)
+        .map_batches(_shard_on(["bit"]), batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(uniq_shard, batch_format="pandas")
+        .to_pandas()["bit"].to_numpy(np.int64)
+    )
+    bitmap = np.zeros(m_bits // 64 + 1, dtype=np.uint64)
+    np.bitwise_or.at(bitmap, bits // 64,
+                     np.uint64(1) << (bits % 64).astype(np.uint64))
+    bm_ref = ray.put(bitmap)
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        bm = ray.get(bm_ref)
+        page_ids = b["url"].str.extract(r"/seite/([0-9]+)")[0]
+        probes = pd.concat([
+            pd.DataFrame({"probe_url": b["url"], "actually_seen": np.int64(1)}),
+            pd.DataFrame({"probe_url": "https://unseen.example/seite/" + page_ids,
+                          "actually_seen": np.int64(0)}),
+        ], ignore_index=True)
+        pos = _positions(probes["probe_url"].tolist(), False)
+        hit = (bm[pos // 64] >> (pos % 64).astype(np.uint64)) & np.uint64(1)
+        probes["in_bloom"] = (hit.astype(np.int64).min(axis=1)).astype(np.int64)
+        return probes[["probe_url", "in_bloom", "actually_seen"]]
+
+    return pages.map_batches(probe, batch_format="pandas", batch_size=8192)
+
+
 def pack_sequences(sf_dir: str, capacity: int = 128,
                    n_shards: int = 8) -> rd.Dataset:
     """Training-sequence packing (the LM-dataloader prep step): greedy

@@ -254,6 +254,38 @@ FROM k GROUP BY url
 """
 
 
+def bloom_seen_sql(world_dir: str, m_bits: int = 1 << 20,
+                   k_hashes: int = 4) -> str:
+    """web_bloom_seen: the bloom filter replayed bit-exactly — positions are
+    the shared md5 base hash over 'i:url' mod m; the built filter is the
+    DISTINCT position set over all page urls; a probe is in_bloom iff every
+    one of its k positions is present (false positives reproduce exactly)."""
+    h = _HASH64.format(s="CAST(r.i AS VARCHAR) || ':' || p.probe_url")
+    hb = _HASH64.format(s="CAST(r.i AS VARCHAR) || ':' || p.url")
+    return f"""
+WITH pages AS (SELECT url FROM read_parquet('{world_dir}/pages/*.parquet')),
+bits AS (
+  SELECT DISTINCT CAST({hb} % {m_bits} AS BIGINT) AS bit
+  FROM pages p CROSS JOIN range({k_hashes}) r(i)
+),
+probes AS (
+  SELECT url AS probe_url, CAST(1 AS BIGINT) AS actually_seen FROM pages
+  UNION ALL
+  SELECT 'https://unseen.example/seite/' || regexp_extract(url, '/seite/([0-9]+)', 1),
+         CAST(0 AS BIGINT) FROM pages
+),
+pb AS (
+  SELECT p.probe_url, p.actually_seen,
+         CAST({h} % {m_bits} AS BIGINT) AS bit
+  FROM probes p CROSS JOIN range({k_hashes}) r(i)
+)
+SELECT pb.probe_url, pb.actually_seen,
+       CAST(CASE WHEN bool_and(b.bit IS NOT NULL) THEN 1 ELSE 0 END AS BIGINT) AS in_bloom
+FROM pb LEFT JOIN bits b USING (bit)
+GROUP BY pb.probe_url, pb.actually_seen
+"""
+
+
 def embedding_kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     """embedding_kmeans: the full Lloyd recursion unrolled — init = vectors
     with vec_id < k, squared-euclidean argmin (ties → lowest cluster),

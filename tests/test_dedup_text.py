@@ -342,3 +342,16 @@ class TestEmbeddingKmeans:
         pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
         # all k clusters populated on the planted-label world
         assert eng["cluster"].nunique() == 8
+
+
+class TestBloomSeen:
+    def test_end_to_end(self, ray_session):
+        from housenumbercore_ray.pipelines.corpus import bloom_seen
+        from housenumbercore_ray.sources.worldgen import ensure_world_scale
+
+        out = bloom_seen(ensure_world_scale("sf0.001")).to_pandas()
+        seen = out[out["actually_seen"] == 1]
+        unseen = out[out["actually_seen"] == 0]
+        assert len(seen) == len(unseen) == 2000
+        assert (seen["in_bloom"] == 1).all()          # blooms have no false negatives
+        assert unseen["in_bloom"].mean() < 0.01       # m=2^20, ~8k bits set → FP ~0
