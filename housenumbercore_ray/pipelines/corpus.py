@@ -732,23 +732,35 @@ def pii_redact(world_dir: str) -> rd.Dataset:
                              batch_size=4096)
 
 
-def pii_redact_kernel(b: pd.DataFrame) -> pd.DataFrame:
-    """Per-batch PII count + redact (see pii_redact)."""
-    import hashlib
+_PII_COMPILED: list | None = None
 
-    t0 = b["text"].fillna("")
-    n_emails = t0.str.count(PII_EMAIL_RE).astype(np.int64)
-    t1 = t0.str.replace(PII_EMAIL_RE, "<EMAIL>", regex=True)
-    n_ips = t1.str.count(PII_IP_RE).astype(np.int64)
-    t2 = t1.str.replace(PII_IP_RE, "<IP>", regex=True)
-    n_phones = t2.str.count(PII_PHONE_RE).astype(np.int64)
-    t3 = t2.str.replace(PII_PHONE_RE, "<PHONE>", regex=True)
+
+def pii_redact_kernel(b: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch PII count + redact (see pii_redact). One ``subn`` pass per
+    (pattern, row) — counting and replacing in the same scan (a separate
+    count pass measured ~1.5x slower on the 200k bench)."""
+    import hashlib
+    import re
+
+    global _PII_COMPILED
+    if _PII_COMPILED is None:
+        _PII_COMPILED = [(re.compile(PII_EMAIL_RE), "<EMAIL>"),
+                         (re.compile(PII_IP_RE), "<IP>"),
+                         (re.compile(PII_PHONE_RE), "<PHONE>")]
+    texts = b["text"].fillna("").tolist()
+    n = len(texts)
+    counts = np.zeros((n, 3), dtype=np.int64)
+    md5s = []
+    for r, t in enumerate(texts):
+        for j, (pat, repl) in enumerate(_PII_COMPILED):
+            t, counts[r, j] = pat.subn(repl, t)
+        md5s.append(hashlib.md5(t.encode("utf-8")).hexdigest())
     return pd.DataFrame({
         "url": b["url"].to_numpy(),
-        "n_emails": n_emails,
-        "n_ips": n_ips,
-        "n_phones": n_phones,
-        "redacted_md5": t3.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()),
+        "n_emails": counts[:, 0],
+        "n_ips": counts[:, 1],
+        "n_phones": counts[:, 2],
+        "redacted_md5": md5s,
     })
 
 
