@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tfidf_topk": lambda sf: corpus.tfidf_topk(sf),
         "embedding_kmeans": lambda sf: corpus.embedding_kmeans(sf),
         "web_bloom_seen": lambda sf: corpus.bloom_seen(_world(sf)),
+        "web_distinct_urls_hll": lambda sf: corpus.distinct_urls_hll(_world(sf)),
         # text analysis (documents table)
         "text_token_stats": corpus.doc_token_stats,
         "text_quality": corpus.doc_quality,
@@ -219,6 +220,7 @@ WHERE rn <= 3
         "text_tfidf_topk": co.tfidf_topk_sql(),
         "embedding_kmeans": co.embedding_kmeans_sql(),
         "web_bloom_seen": co.bloom_seen_sql(world_dir),
+        "web_distinct_urls_hll": co.distinct_hll_sql(world_dir),
         "text_lang_id": f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id, {lang_case} AS lang_pred,
        CAST({hits['de']} AS BIGINT) AS hits_de,

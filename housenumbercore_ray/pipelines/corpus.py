@@ -581,6 +581,67 @@ def canonical_url_kernel(b: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+HLL_P = 12  # 4096 registers
+
+
+def distinct_urls_hll(world_dir: str, p: int = HLL_P) -> rd.Dataset:
+    """HyperLogLog distinct-url count over crawl pages — the 100-TB
+    count-distinct primitive: a fixed 2^p-register sketch replaces the
+    all-to-all distinct shuffle entirely. bucket = top p bits of the md5
+    base hash; rho = leading-zero count of the remaining 64-p bits + 1;
+    estimate = alpha·m²/Σ2^(-reg) with the standard small-range linear
+    counting correction. Deterministic md5 hashing makes the whole sketch —
+    registers, correction branch, estimate — replayable in SQL.
+
+    Scale shape: per-batch partial = (bucket, max rho) rows (≤ m per
+    batch), one bounded groupby-max over m keys, driver folds m rows. At
+    10¹⁰ urls nothing changes — the sketch is the state.
+
+    Output: one row (m, nonzero_registers, estimate, n_exact) — n_exact
+    (page count, exact by construction: urls are unique) documents the
+    sketch's accuracy in the result itself."""
+    from ..stages.dedup import _md5_hash64
+
+    pages = rd.read_parquet(f"{world_dir}/pages", columns=["url"])
+    m = 1 << p
+    rem_bits = 64 - p
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        urls = b["url"].tolist()
+        hv = np.fromiter((_md5_hash64(u) for u in urls), dtype=np.uint64,
+                         count=len(urls))
+        bucket = (hv >> np.uint64(rem_bits)).astype(np.int64)
+        rem = (hv & np.uint64((1 << rem_bits) - 1)).astype(np.int64)
+        # bit_length via frexp (exact for < 2^53): rem = frac * 2^exp
+        _, exp = np.frexp(rem.astype(np.float64))
+        rho = np.where(rem > 0, rem_bits + 1 - exp, rem_bits + 1).astype(np.int64)
+        df = pd.DataFrame({"bucket": bucket, "rho": rho})
+        return df.groupby("bucket", as_index=False)["rho"].max()
+
+    regs = (
+        pages.map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("bucket")
+        .map_groups(lambda g: g.groupby("bucket", as_index=False)["rho"].max(),
+                    batch_format="pandas")
+        .to_pandas()          # ≤ m rows
+    )
+    n_exact = pages.count()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    rho_full = np.zeros(m, dtype=np.int64)
+    rho_full[regs["bucket"].to_numpy(np.int64)] = regs["rho"].to_numpy(np.int64)
+    denom = np.sum(np.power(2.0, -rho_full.astype(np.float64)))
+    raw = alpha * m * m / denom
+    v = int((rho_full == 0).sum())
+    est = m * np.log(m / v) if (raw <= 2.5 * m and v > 0) else raw
+    out = pd.DataFrame({
+        "m": pd.Series([m], dtype=np.int64),
+        "nonzero_registers": pd.Series([m - v], dtype=np.int64),
+        "estimate": [round(float(est), 6)],
+        "n_exact": pd.Series([n_exact], dtype=np.int64),
+    })
+    return rd.from_pandas(out)
+
+
 BLOOM_M_BITS = 1 << 20
 BLOOM_K = 4
 

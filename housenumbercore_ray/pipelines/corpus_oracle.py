@@ -254,6 +254,38 @@ FROM k GROUP BY url
 """
 
 
+def distinct_hll_sql(world_dir: str, p: int = 12) -> str:
+    """web_distinct_urls_hll: the HLL sketch replayed exactly — same md5
+    base hash, bucket = top p bits, rho via length(bin(rem)) (exact integer
+    bit-length, no float log), the same alpha expression and small-range
+    branch, estimate rounded to 6 on both sides."""
+    m = 1 << p
+    rem_bits = 64 - p
+    h = _HASH64.format(s="url")
+    return f"""
+WITH pages AS (SELECT url FROM read_parquet('{world_dir}/pages/*.parquet')),
+h AS (SELECT {h} AS hv FROM pages),
+r AS (SELECT CAST(hv >> {rem_bits} AS BIGINT) AS bucket,
+             CAST(hv % {1 << rem_bits} AS BIGINT) AS rem FROM h),
+rr AS (SELECT bucket,
+              max(CASE WHEN rem > 0 THEN {rem_bits + 1} - length(bin(rem))
+                       ELSE {rem_bits + 1} END) AS rho
+       FROM r GROUP BY bucket),
+agg AS (SELECT count(*) AS nz, sum(power(2.0, -rho)) AS s FROM rr),
+n AS (SELECT count(*) AS n_exact FROM pages),
+est AS (SELECT nz, {m} - nz AS v,
+               (0.7213 / (1 + 1.079 / {m})) * {m} * {m} / (({m} - nz) + s) AS raw
+        FROM agg)
+SELECT CAST({m} AS BIGINT) AS m,
+       CAST(nz AS BIGINT) AS nonzero_registers,
+       round(CASE WHEN raw <= 2.5 * {m} AND v > 0
+                  THEN {m} * ln(CAST({m} AS DOUBLE) / v)
+                  ELSE raw END, 6) AS estimate,
+       CAST(n.n_exact AS BIGINT) AS n_exact
+FROM est, n
+"""
+
+
 def bloom_seen_sql(world_dir: str, m_bits: int = 1 << 20,
                    k_hashes: int = 4) -> str:
     """web_bloom_seen: the bloom filter replayed bit-exactly — positions are

@@ -355,3 +355,21 @@ class TestBloomSeen:
         assert len(seen) == len(unseen) == 2000
         assert (seen["in_bloom"] == 1).all()          # blooms have no false negatives
         assert unseen["in_bloom"].mean() < 0.01       # m=2^20, ~8k bits set → FP ~0
+
+
+class TestHll:
+    def test_estimate_accuracy_and_oracle(self, ray_session):
+        import duckdb
+
+        from housenumbercore_ray.pipelines.corpus import distinct_urls_hll
+        from housenumbercore_ray.pipelines.corpus_oracle import distinct_hll_sql
+        from housenumbercore_ray.sources.worldgen import ensure_world_scale
+
+        wd = ensure_world_scale("sf0.001")
+        eng = distinct_urls_hll(wd).to_pandas()
+        ora = duckdb.sql(distinct_hll_sql(wd)).df()
+        pd.testing.assert_frame_equal(
+            eng[ora.columns].reset_index(drop=True), ora, check_dtype=False)
+        est, exact = eng["estimate"].iloc[0], eng["n_exact"].iloc[0]
+        # p=12 → ~1.6% std error; allow 5%
+        assert abs(est - exact) / exact < 0.05
