@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": lambda sf: corpus.embedding_kmeans(sf),
         "web_bloom_seen": lambda sf: corpus.bloom_seen(_world(sf)),
         "web_distinct_urls_hll": lambda sf: corpus.distinct_urls_hll(_world(sf)),
+        "dedup_components": lambda sf: corpus.dedup_components(sf),
         # text analysis (documents table)
         "text_token_stats": corpus.doc_token_stats,
         "text_quality": corpus.doc_quality,
@@ -221,6 +222,7 @@ WHERE rn <= 3
         "embedding_kmeans": co.embedding_kmeans_sql(),
         "web_bloom_seen": co.bloom_seen_sql(world_dir),
         "web_distinct_urls_hll": co.distinct_hll_sql(world_dir),
+        "dedup_components": co.dedup_components_sql(),
         "text_lang_id": f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id, {lang_case} AS lang_pred,
        CAST({hits['de']} AS BIGINT) AS hits_de,

@@ -581,6 +581,75 @@ def canonical_url_kernel(b: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def dedup_components(sf_dir: str, max_rounds: int = 8) -> rd.Dataset:
+    """Near-dup CLUSTERS: connected components over the verified MinHash
+    pair graph (min-label propagation), emitting every doc's cluster id
+    (= the smallest doc_id in its component) and the canonical-doc flag —
+    the step that turns pair output into actionable keep/drop decisions.
+
+    Distributed iteration: labels live in the OBJECT STORE (materialized
+    per round, O(docs) rows — never the driver); each round is one
+    bucketed hash join (neighbor labels) + one sharded groupby-min, i.e.
+    2 bounded shuffles. Rounds needed = component diameter (near-dup
+    components are short chains; ``max_rounds`` bounds pathology and the
+    monotone label-sum check exits early on convergence — at web scale
+    swap in pointer-doubling for O(log n) rounds)."""
+    from ..stages.join import bucketed_hash_join
+
+    import pyarrow as pa
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+    pairs = minhash_near_dup_pairs(sf_dir)
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["doc_id_a"].to_numpy(np.int64)
+        bb = b["doc_id_b"].to_numpy(np.int64)
+        return pd.DataFrame({"src": np.concatenate([a, bb]),
+                             "dst": np.concatenate([bb, a])})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pandas").materialize()
+
+    labels = docs.map_batches(
+        lambda b: pd.DataFrame({"node": b["doc_id"].to_numpy(np.int64),
+                                "label": b["doc_id"].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+
+    def min_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)["label"].min()
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        neigh = bucketed_hash_join(
+            edges, labels, "src", "node",
+            left_schema={"src": pa.int64(), "dst": pa.int64()},
+            right_schema={"node": pa.int64(), "label": pa.int64()},
+        ).map_batches(
+            lambda b: pd.DataFrame({"node": b["dst"].to_numpy(np.int64),
+                                    "label": b["label"].to_numpy(np.int64)}),
+            batch_format="pandas")
+        labels = (
+            labels.union(neigh)
+            .map_batches(_shard_on(["node"]), batch_format="pandas")
+            .groupby("_shard")
+            .map_groups(lambda g: min_shard(g.drop(columns=["_shard"])),
+                        batch_format="pandas")
+            .materialize()
+        )
+        s = labels.sum("label")  # monotone non-increasing → fixpoint check
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["node"].to_numpy(np.int64),
+            "cluster": b["label"].to_numpy(np.int64),
+            "is_canonical": (b["node"] == b["label"]).to_numpy().astype(np.int64),
+        })
+
+    return labels.map_batches(finish, batch_format="pandas")
+
+
 HLL_P = 12  # 4096 registers
 
 

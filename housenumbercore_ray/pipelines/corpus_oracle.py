@@ -254,6 +254,29 @@ FROM k GROUP BY url
 """
 
 
+def dedup_components_sql(src: str = "documents") -> str:
+    """dedup_components: the verified-pair graph rebuilt by the full
+    minhash_pairs_sql recomputation (as a subquery), then connected
+    components as a recursive reachability closure — min reachable label
+    per node is exactly the min-label-propagation fixpoint."""
+    pairs = minhash_pairs_sql(src)
+    return f"""
+WITH RECURSIVE p AS (SELECT * FROM ({pairs})),
+e AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM p
+      UNION ALL
+      SELECT doc_id_b, doc_id_a FROM p),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM {src}
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(min(label) AS BIGINT) AS cluster,
+       CAST(CASE WHEN node = min(label) THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+FROM walk GROUP BY node
+"""
+
+
 def distinct_hll_sql(world_dir: str, p: int = 12) -> str:
     """web_distinct_urls_hll: the HLL sketch replayed exactly — same md5
     base hash, bucket = top p bits, rho via length(bin(rem)) (exact integer

@@ -373,3 +373,27 @@ class TestHll:
         est, exact = eng["estimate"].iloc[0], eng["n_exact"].iloc[0]
         # p=12 → ~1.6% std error; allow 5%
         assert abs(est - exact) / exact < 0.05
+
+
+class TestDedupComponents:
+    def test_chain_transitivity(self, ray_session, tmp_path, monkeypatch):
+        """A near-dup CHAIN a~b~c (a≁c directly) must land in ONE cluster —
+        the property pairwise output alone cannot express."""
+        import housenumbercore_ray.pipelines.corpus as corpus
+
+        base = ("wort " + " ".join(f"tok{i}" for i in range(40)))
+        b_txt = base.replace("tok5", "anders5")
+        c_txt = b_txt.replace("tok30", "anders30")
+        docs = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": [base, b_txt, c_txt, "etwas voellig anderes hier"],
+        })
+        docs.to_parquet(tmp_path / "documents.parquet")
+        out = corpus.dedup_components(str(tmp_path), max_rounds=8).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pairs = corpus.minhash_near_dup_pairs(str(tmp_path)).to_pandas()
+        # chain holds pairwise (0,1) and (1,2); component must unify all three
+        assert {(0, 1), (1, 2)} <= set(zip(pairs["doc_id_a"], pairs["doc_id_b"]))
+        assert out["cluster"].tolist()[:3] == [0, 0, 0]
+        assert out.loc[3, "cluster"] == 3
+        assert out["is_canonical"].tolist() == [1, 0, 0, 1]
