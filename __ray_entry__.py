@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_bloom_seen": lambda sf: corpus.bloom_seen(_world(sf)),
         "web_distinct_urls_hll": lambda sf: corpus.distinct_urls_hll(_world(sf)),
         "dedup_components": lambda sf: corpus.dedup_components(sf),
+        "web_jsonl_import": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.import_list", fromlist=["jsonl_import"]
+        ).jsonl_import(_world(sf)),
         # text analysis (documents table)
         "text_token_stats": corpus.doc_token_stats,
         "text_quality": corpus.doc_quality,
@@ -223,6 +226,11 @@ WHERE rn <= 3
         "web_bloom_seen": co.bloom_seen_sql(world_dir),
         "web_distinct_urls_hll": co.distinct_hll_sql(world_dir),
         "dedup_components": co.dedup_components_sql(),
+        "web_jsonl_import": f"""
+SELECT url, CAST(ts_us AS BIGINT) AS ts_us, lang,
+       CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS text_md5
+FROM read_json_auto('{world_dir}/derived/pages_sample.jsonl', format='newline_delimited')
+""",
         "text_lang_id": f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id, {lang_case} AS lang_pred,
        CAST({hits['de']} AS BIGINT) AS hits_de,
@@ -463,9 +471,13 @@ def oracle_sql() -> dict[str, str]:
 
     # the driver runs oracles at sf=0.01 — make sure that world (and the
     # derived CSV export) exists before any SQL runs
-    from housenumbercore_ray.pipelines.import_list import ensure_list_csv
+    from housenumbercore_ray.pipelines.import_list import (
+        ensure_list_csv,
+        ensure_pages_jsonl,
+    )
 
     ensure_list_csv(ensure_world(ORACLE_SF))
+    ensure_pages_jsonl(world_dir_for(ORACLE_SF))
     wd = world_dir_for(ORACLE_SF)
     out = queries_sql(wd)
     out.update(_corpus_oracles(wd))

@@ -321,3 +321,57 @@ def gml_import(world_dir: str) -> rd.Dataset:
         .map_groups(lambda g: g.drop_duplicates(key).drop(columns=["_shard"]),
                     batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# JSONL (NDJSON) pages source — the crawl-exchange sidecar format
+
+def ensure_pages_jsonl(world_dir: str) -> str:
+    """Serialize the FIRST pages shard as NDJSON (cached, atomic) — the
+    WARC-sidecar rendition a crawl exchange ships; ts as epoch micros so
+    no parser auto-coercion ambiguity exists across engines."""
+    import glob
+    import json
+
+    out = os.path.join(world_dir, "derived", "pages_sample.jsonl")
+    if os.path.exists(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    shard = sorted(glob.glob(os.path.join(world_dir, "pages", "*.parquet")))[0]
+    t = pq.read_table(shard, columns=["url", "warc_ts", "text", "lang"]).to_pandas()
+    tmp = out + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for r in t.itertuples():
+            fh.write(json.dumps({
+                "url": r.url,
+                "ts_us": int(r.warc_ts.value // 1000),
+                "lang": r.lang,
+                "text": r.text,
+            }, ensure_ascii=False) + "\n")
+    os.replace(tmp, out)
+    return out
+
+
+def jsonl_import(world_dir: str) -> rd.Dataset:
+    """NDJSON pages → per-page summary rows (url, ts_us, lang, n_chars,
+    text_md5) through ``ray.data.read_json`` (pyarrow NDJSON reader, one
+    read task per file at scale). The md5 proves byte-exact text round-trip
+    through JSON encode/decode on both engines."""
+    import hashlib
+
+    import numpy as np
+
+    path = ensure_pages_jsonl(world_dir)
+    ds = rd.read_json(path)
+
+    def summarize(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"].fillna("")
+        return pd.DataFrame({
+            "url": b["url"].to_numpy(),
+            "ts_us": b["ts_us"].to_numpy(np.int64),
+            "lang": b["lang"].to_numpy(),
+            "n_chars": text.str.len().to_numpy(np.int64),
+            "text_md5": text.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()),
+        })
+
+    return ds.map_batches(summarize, batch_format="pandas")

@@ -136,3 +136,21 @@ class TestSegmentMerge:
         assert len(m) == 1 and np.array_equal(m[0][0], m[0][-1])
         m2 = merge_segments([[(i, 0), (i + 1, 0)] for i in range(6)])
         assert len(m2) == 1 and len(m2[0]) == 7
+
+
+class TestJsonlImport:
+    def test_roundtrip_md5(self, ray_session):
+        import duckdb
+
+        from housenumbercore_ray.pipelines.import_list import jsonl_import
+        from housenumbercore_ray.sources.worldgen import ensure_world_scale
+
+        wd = ensure_world_scale("sf0.001")
+        out = jsonl_import(wd).to_pandas().sort_values("url").reset_index(drop=True)
+        assert len(out) == 2000
+        ora = duckdb.sql(f"""
+            SELECT url, md5(text) AS text_md5
+            FROM read_json_auto('{wd}/derived/pages_sample.jsonl',
+                                format='newline_delimited')
+        """).df().sort_values("url").reset_index(drop=True)
+        assert (out["text_md5"] == ora["text_md5"]).all()
