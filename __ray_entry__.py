@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_orders_event_window": relational.orders_event_window,
         "rel_distinct_segments": relational.distinct_mktsegments,
         "rel_segment_revenue_bucketed": relational.segment_revenue_bucketed,
+        "rel_regional_revenue": relational.regional_revenue,
         "rel_top_suppliers_per_nation": relational.top_suppliers_per_nation,
         "rel_price_quantiles": relational.price_quantiles,
     }
@@ -364,6 +365,20 @@ SELECT c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY c.c_mktsegment
+""",
+        "rel_regional_revenue": """
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
 """,
         "dedup_winnow_pairs": co.winnow_pairs_sql(),
         "rel_top_suppliers_per_nation": """

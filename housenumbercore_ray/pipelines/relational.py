@@ -409,3 +409,77 @@ def price_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> pd
         idx = int(np.searchsorted(cum, need, side="left"))
         rows.append({"quantile": float(q), "value": round(vals[idx] / 100.0, 2)})
     return pd.DataFrame(rows)
+
+
+def regional_revenue(sf_dir: str, region: str = "EUROPE",
+                     year: int = 1996) -> rd.Dataset:
+    """TPC-H Q5-style multi-way join: lineitem ⋈ orders ⋈ customer ⋈
+    nation ⋈ region → revenue per nation for one region and order year.
+
+    Join plan (the 100-TB shape): region/nation are DIMENSION tables —
+    broadcast once as a nationkey→name dict; orders is FILTERED at the
+    read (year predicate) before any shuffle; the two fact joins
+    (orders⋈customer, lineitem⋈orders) run as bucketed hash joins;
+    revenue pre-aggregates per batch (nationkey partials) so the final
+    groupby moves O(nations × batches) rows."""
+    import pyarrow as pa
+
+    from ..stages.join import bucketed_hash_join
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0]
+    dim = nation[nation["n_regionkey"] == rkey]
+    nat_names = dict(zip(dim["n_nationkey"].astype(int), dim["n_name"]))
+    dim_ref = ray.put(nat_names)
+
+    lo, hi = pd.Timestamp(f"{year}-01-01"), pd.Timestamp(f"{year + 1}-01-01")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).filter(lambda r: lo <= r["o_orderdate"] < hi)
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    oc = bucketed_hash_join(
+        orders, cust, "o_custkey", "c_custkey",
+        left_schema={"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+                     "o_orderdate": pa.timestamp("us")},
+        right_schema={"c_custkey": pa.int64(), "c_nationkey": pa.int64()},
+    )
+
+    def keep_region(b: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(dim_ref)
+        m = b["c_nationkey"].isin(keys)
+        return b.loc[m, ["o_orderkey", "c_nationkey"]]
+
+    oc = oc.map_batches(keep_region, batch_format="pandas")
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    j = bucketed_hash_join(
+        li, oc, "l_orderkey", "o_orderkey",
+        left_schema={"l_orderkey": pa.int64(), "l_extendedprice": pa.float64(),
+                     "l_discount": pa.float64()},
+        right_schema={"o_orderkey": pa.int64(), "c_nationkey": pa.int64()},
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev = b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+        g = pd.DataFrame({"c_nationkey": b["c_nationkey"].to_numpy(np.int64),
+                          "rev": rev})
+        out = g.groupby("c_nationkey", as_index=False).agg(
+            rev=("rev", "sum"), n_items=("rev", "size"))
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        names = ray.get(dim_ref)
+        key = int(g["c_nationkey"].iloc[0])
+        return pd.DataFrame({
+            "nation": [names[key]],
+            "revenue": [round(float(g["rev"].sum()), 2)],
+            "n_items": pd.Series([g["n_items"].sum()], dtype=np.int64),
+        })
+
+    return (
+        j.map_batches(partial, batch_format="pandas")
+        .groupby("c_nationkey")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -176,3 +176,32 @@ def test_semi_join_fallback_matches_broadcast_path(entry):
     fast = fast.sort_values(key).reset_index(drop=True)
     slow = slow.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
+
+class TestRegionalRevenue:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from housenumbercore_ray.pipelines.relational import regional_revenue
+
+        sf = "/root/testdata/sf0.001"
+        eng = regional_revenue(sf).to_pandas().sort_values("nation").reset_index(drop=True)
+        con = duckdb.connect()
+        for t in ("lineitem", "orders", "customer", "nation", "region"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        ora = con.sql("""
+            SELECT n.n_name AS nation,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'EUROPE'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+        """).df().sort_values("nation").reset_index(drop=True)
+        import pandas as pd
+        pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
