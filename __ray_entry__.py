@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_bloom_seen": lambda sf: corpus.bloom_seen(_world(sf)),
         "web_distinct_urls_hll": lambda sf: corpus.distinct_urls_hll(_world(sf)),
         "dedup_components": lambda sf: corpus.dedup_components(sf),
+        "corpus_cms_counts": lambda sf: corpus.cms_token_counts(sf),
         "web_jsonl_import": lambda sf: __import__(
             "housenumbercore_ray.pipelines.import_list", fromlist=["jsonl_import"]
         ).jsonl_import(_world(sf)),
@@ -227,6 +228,7 @@ WHERE rn <= 3
         "web_bloom_seen": co.bloom_seen_sql(world_dir),
         "web_distinct_urls_hll": co.distinct_hll_sql(world_dir),
         "dedup_components": co.dedup_components_sql(),
+        "corpus_cms_counts": co.cms_counts_sql(),
         "web_jsonl_import": f"""
 SELECT url, CAST(ts_us AS BIGINT) AS ts_us, lang,
        CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS text_md5

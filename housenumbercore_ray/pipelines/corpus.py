@@ -650,6 +650,95 @@ def dedup_components(sf_dir: str, max_rounds: int = 8) -> rd.Dataset:
     return labels.map_batches(finish, batch_format="pandas")
 
 
+CMS_W = 1024
+CMS_D = 4
+
+
+def cms_token_counts(sf_dir: str, w: int = CMS_W, d: int = CMS_D) -> rd.Dataset:
+    """Count-Min-sketch token frequencies — the mergeable heavy-hitter
+    counter for 100-TB streams: a fixed d×w integer matrix replaces the
+    per-token groupby. Hash row i of token t = md5('i:t') % w (the shared
+    SQL-replayable base hash); estimate(t) = min over rows — always ≥ the
+    true count, off only by collisions.
+
+    Probe set (deterministic): the distinct tokens of doc_id 0 in first-
+    occurrence order, capped at 16. Output per probe: (term, est, exact) —
+    exact recomputed by a real count so the sketch error is visible in the
+    result and both engines must agree on BOTH paths.
+
+    Scale shape: per-batch partial counters as (row, col, n) rows (≤ d·w
+    per batch), one bounded groupby-sum over d·w keys, 16 KiB driver
+    matrix; the probe-side exact counts stream through the same
+    factorize/bincount partial pattern with a broadcast probe set."""
+    from ..stages.dedup import _md5_hash64
+
+    docs = _docs(sf_dir)
+    probe_tbl = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"])
+    t0 = probe_tbl.loc[probe_tbl["doc_id"] == 0, "text"].iloc[0] or ""
+    probes = list(dict.fromkeys(t0.split()))[:16]
+    probe_ref = ray.put(set(probes))
+
+    def counters(b: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for t in b["text"].fillna(""):
+            toks.extend(t.split())
+        if not toks:
+            return pd.DataFrame({"row": pd.Series([], dtype=np.int64),
+                                 "col": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        codes, uniques = pd.factorize(np.asarray(toks, dtype=object), sort=False)
+        cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        frames = []
+        for i in range(d):
+            cols = np.fromiter((_md5_hash64(f"{i}:{u}") % w for u in uniques),
+                               dtype=np.int64, count=len(uniques))
+            g = pd.DataFrame({"col": cols, "n": cnt}).groupby("col", as_index=False).sum()
+            g.insert(0, "row", np.int64(i))
+            frames.append(g)
+        return pd.concat(frames, ignore_index=True)
+
+    cms = (
+        docs.map_batches(counters, batch_format="pandas")
+        .map_batches(_shard_on(["row", "col"]), batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(lambda g: g.groupby(["row", "col"], as_index=False)["n"].sum(),
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    mat = np.zeros((d, w), dtype=np.int64)
+    mat[cms["row"].to_numpy(np.int64), cms["col"].to_numpy(np.int64)] = \
+        cms["n"].to_numpy(np.int64)
+
+    def exact_partial(b: pd.DataFrame) -> pd.DataFrame:
+        want = ray.get(probe_ref)
+        toks = []
+        for t in b["text"].fillna(""):
+            toks.extend(tt for tt in t.split() if tt in want)
+        if not toks:
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        codes, uniques = pd.factorize(np.asarray(toks, dtype=object), sort=False)
+        return pd.DataFrame({"term": uniques,
+                             "n": np.bincount(codes).astype(np.int64)})
+
+    exact = (
+        docs.map_batches(exact_partial, batch_format="pandas")
+        .groupby("term")
+        .map_groups(lambda g: g.groupby("term", as_index=False)["n"].sum(),
+                    batch_format="pandas")
+        .to_pandas().set_index("term")["n"]
+    )
+    est = {t: int(min(mat[i, _md5_hash64(f"{i}:{t}") % w] for i in range(d)))
+           for t in probes}
+    out = pd.DataFrame({
+        "term": probes,
+        "est": pd.Series([est[t] for t in probes], dtype=np.int64),
+        "exact": pd.Series([int(exact.get(t, 0)) for t in probes], dtype=np.int64),
+    })
+    return rd.from_pandas(out)
+
+
 HLL_P = 12  # 4096 registers
 
 

@@ -254,6 +254,39 @@ FROM k GROUP BY url
 """
 
 
+def cms_counts_sql(src: str = "documents", w: int = 1024, d: int = 4) -> str:
+    """corpus_cms_counts: the count-min sketch replayed exactly — same
+    md5('i:term') % w cell function, counters as a (row, col) groupby,
+    estimate = min over rows, exact = a real count; both integer paths."""
+    cell_e = _HASH64.format(s="CAST(r.i AS VARCHAR) || ':' || e.term")
+    cell_p = _HASH64.format(s="CAST(r.i AS VARCHAR) || ':' || p.term")
+    return f"""
+WITH {_tokens_cte(src, 'doc_id', 'text')},
+e AS (SELECT doc_id, unnest(ts) AS term FROM tok),
+probes AS (
+  SELECT term FROM (
+    SELECT t.term, min(t.ord) AS o
+    FROM (SELECT unnest(ts) AS term, generate_subscripts(ts, 1) AS ord
+          FROM tok WHERE doc_id = 0) t
+    GROUP BY t.term)
+  ORDER BY o LIMIT 16),
+counters AS (
+  SELECT r.i AS row_, CAST({cell_e} % {w} AS BIGINT) AS col_, count(*) AS n
+  FROM e CROSS JOIN range({d}) r(i)
+  GROUP BY 1, 2),
+est AS (
+  SELECT p.term, min(coalesce(c.n, 0)) AS est
+  FROM probes p CROSS JOIN range({d}) r(i)
+  LEFT JOIN counters c
+    ON c.row_ = r.i AND c.col_ = CAST({cell_p} % {w} AS BIGINT)
+  GROUP BY p.term),
+exact AS (SELECT term, count(*) AS n FROM e GROUP BY term)
+SELECT p.term, CAST(est.est AS BIGINT) AS est,
+       CAST(coalesce(exact.n, 0) AS BIGINT) AS exact
+FROM probes p JOIN est USING (term) LEFT JOIN exact USING (term)
+"""
+
+
 def dedup_components_sql(src: str = "documents") -> str:
     """dedup_components: the verified-pair graph rebuilt by the full
     minhash_pairs_sql recomputation (as a subquery), then connected

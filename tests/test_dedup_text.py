@@ -397,3 +397,21 @@ class TestDedupComponents:
         assert out["cluster"].tolist()[:3] == [0, 0, 0]
         assert out.loc[3, "cluster"] == 3
         assert out["is_canonical"].tolist() == [1, 0, 0, 1]
+
+
+class TestCmsCounts:
+    def test_overestimate_property_and_oracle(self, ray_session):
+        import duckdb
+
+        from housenumbercore_ray.pipelines.corpus import cms_token_counts
+        from housenumbercore_ray.pipelines.corpus_oracle import cms_counts_sql
+
+        sf = "/root/testdata/sf0.001"
+        eng = cms_token_counts(sf).to_pandas().sort_values("term").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+        ora = con.sql(cms_counts_sql()).df().sort_values("term").reset_index(drop=True)
+        pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
+        # CMS never underestimates
+        assert (eng["est"] >= eng["exact"]).all()
+        assert (eng["exact"] > 0).all()
