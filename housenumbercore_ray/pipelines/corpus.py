@@ -672,10 +672,14 @@ def cms_token_counts(sf_dir: str, w: int = CMS_W, d: int = CMS_D) -> rd.Dataset:
     factorize/bincount partial pattern with a broadcast probe set."""
     from ..stages.dedup import _md5_hash64
 
+    import pyarrow.parquet as pq
+
     docs = _docs(sf_dir)
-    probe_tbl = pd.read_parquet(f"{sf_dir}/documents.parquet",
-                                columns=["doc_id", "text"])
-    t0 = probe_tbl.loc[probe_tbl["doc_id"] == 0, "text"].iloc[0] or ""
+    # filtered read: row-group pruned, O(1) rows on the driver (r2 finding #2)
+    probe_tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"],
+                              filters=[("doc_id", "==", 0)])
+    t0 = probe_tbl["text"][0].as_py() or ""
     probes = list(dict.fromkeys(t0.split()))[:16]
     probe_ref = ray.put(set(probes))
 
@@ -1542,12 +1546,10 @@ TOPK = 5
 
 def ann_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK) -> rd.Dataset:
     """Brute-force cosine top-k against broadcast query vectors: per-batch
-    partial top-k (map_batches) → tiny groupby(qid) final reduce."""
-    import pyarrow.parquet as pq
-
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    lookup = {int(v): e for v, e in zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist())
-              if int(v) in set(query_ids)}
+    partial top-k (map_batches) → tiny groupby(qid) final reduce. Query
+    vectors come from a filtered (row-group-pruned) read — the driver never
+    sees the full table."""
+    lookup = {v: list(e) for v, e in _fetch_vectors(sf_dir, query_ids).items()}
     query_ref = ray.put(lookup)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     partials = ds.map_batches(
@@ -1559,9 +1561,7 @@ def ann_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK) -> rd.Data
 
 def ann_lsh_buckets(sf_dir: str) -> rd.Dataset:
     """Approximate path: signed-projection LSH bucket per vector."""
-    import pyarrow.parquet as pq
-
-    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])[0][0].as_py())
+    dim = _embedding_dim(sf_dir)
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).map_batches(
         SignedProjectionLSH, fn_constructor_args=(dim,),
         batch_format="pandas", batch_size=4096, concurrency=(1, 4), num_cpus=1,
@@ -1659,6 +1659,20 @@ def _embedding_dim(sf_dir: str) -> int:
     f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     first = next(f.iter_batches(batch_size=1, columns=["embedding"]))
     return len(first["embedding"][0].as_py())
+
+
+def _fetch_vectors(sf_dir: str, vec_ids) -> dict[int, np.ndarray]:
+    """Fetch a SMALL set of embedding vectors by id via parquet predicate
+    pushdown — row-group pruned, never materializes the table on the driver
+    (VERDICT r2 finding #1; same pattern as ``embedding_kmeans`` init)."""
+    import pyarrow.parquet as pq
+
+    ids = sorted({int(v) for v in vec_ids})
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", ids)])
+    return {int(v): np.asarray(e, dtype=np.float64)
+            for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
 
 
 def embedding_near_dup_pairs(sf_dir: str, tau: float = 0.45) -> rd.Dataset:
@@ -1800,15 +1814,11 @@ def ann_lsh_candidates(sf_dir: str, query_ids=DEFAULT_QUERY_IDS,
     batch computes 16-plane signatures and passes through ONLY rows within
     ``max_hamming`` of at least one query signature. This is the IVF-style
     partition prune: the expensive exact-cosine probe downstream never sees
-    non-matching rows (SCALING.md's r1 known limit resolved)."""
-    import pyarrow.parquet as pq
-
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    dim = len(emb["embedding"][0].as_py())
+    non-matching rows (SCALING.md's r1 known limit resolved). Query vectors
+    come from a filtered (row-group-pruned) parquet read."""
+    dim = _embedding_dim(sf_dir)
     lsh = SignedProjectionLSH(dim)
-    qvecs = {int(v): np.asarray(e, dtype=np.float64)
-             for v, e in zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist())
-             if int(v) in set(query_ids)}
+    qvecs = _fetch_vectors(sf_dir, query_ids)
     qids = np.asarray(sorted(qvecs), dtype=np.int64)
     Q = np.stack([qvecs[int(q)] for q in qids])
     qsig = lsh.signature(Q)
@@ -1893,13 +1903,9 @@ def ann_ivf_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK,
     assigned to its max-cosine centroid (ties → lower centroid id); a query
     probes only the ``nprobe`` centroid lists nearest to it, exact cosine
     top-k within. At 10⁹ vectors the assignment is the partition key and a
-    probe touches nprobe/nlist of the data."""
-    import pyarrow.parquet as pq
-
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    vecs = {int(v): np.asarray(e, dtype=np.float64)
-            for v, e in zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist())
-            if int(v) < nlist or int(v) in set(query_ids)}
+    probe touches nprobe/nlist of the data. Centroid + query vectors come
+    from ONE filtered (row-group-pruned) parquet read of ≤ nlist+|Q| rows."""
+    vecs = _fetch_vectors(sf_dir, list(range(nlist)) + list(query_ids))
     C = np.stack([vecs[i] for i in range(nlist)])
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     qids = np.asarray(sorted(set(query_ids)), dtype=np.int64)

@@ -64,6 +64,28 @@ def bucketed_hash_join(
 
     pad_dtypes = {c: _pad_dtype(t) for c, t in arrow_types.items()}
 
+    # Canonical key dtype for bucket hashing, derived from the DECLARED
+    # schemas: both sides' key arrays are cast to ONE dtype before
+    # pd.util.hash_array, so an int64/float64/object dtype mismatch between
+    # sides can never send equal keys to different buckets (ADVICE r2 #1).
+    def _key_kind(t):
+        import pyarrow as pa
+
+        if isinstance(t, pa.DataType):
+            if pa.types.is_integer(t):
+                return "i"
+            if pa.types.is_floating(t):
+                return "f"
+        return "o"
+
+    kinds = {_key_kind(left_schema.get(left_on)), _key_kind(right_schema.get(right_on))}
+    if kinds == {"i"}:
+        _key_cast = np.int64
+    elif kinds <= {"i", "f"}:
+        _key_cast = np.float64
+    else:
+        _key_cast = object
+
     def pad(side: str, key: str):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
             out = pd.DataFrame(index=b.index)
@@ -74,7 +96,9 @@ def bucketed_hash_join(
                     out[c] = pd.Series(pd.NA, index=b.index, dtype=pad_dtypes[c])
             out["_side"] = side
             karr = b[key].to_numpy()
-            if karr.dtype.kind not in "iuf":   # avoid boxing numeric keys
+            try:
+                karr = karr.astype(_key_cast)
+            except (TypeError, ValueError):
                 karr = karr.astype(object)
             out["_bucket"] = (pd.util.hash_array(karr) % num_buckets).astype(np.int64)
             return out
