@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hnr_street_summary": lambda sf: ev.street_summary(_world(sf)),
         "hnr_streets_missing_in_osm": lambda sf: ev.streets_missing_in_osm(_world(sf)),
         "hnr_subarea_rows": lambda sf: ev.subarea_rows(_world(sf)),
+        "hnr_subarea_street_summary": lambda sf: ev.subarea_street_summary(_world(sf)),
         "hnr_csv_import": lambda sf: __import__(
             "housenumbercore_ray.pipelines.import_list", fromlist=["csv_import"]
         ).csv_import(_world(sf)),
@@ -74,6 +75,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "housenumbercore_ray.pipelines.import_list", fromlist=["gml_import"]
         ).gml_import(_world(sf)),
         "hnr_evaluation_delta": lambda sf: ev.evaluation_delta(_world(sf)),
+        "hnr_boundary_import": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.import_list", fromlist=["boundary_import"]
+        ).boundary_import(_world(sf)),
         # theoretical pipeline (osm_addresses table of the world)
         "theo_muni_summary": lambda sf: __import__(
             "housenumbercore_ray.pipelines.theoretical", fromlist=["theo_muni_summary"]

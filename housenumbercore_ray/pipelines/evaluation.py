@@ -49,8 +49,9 @@ def _small_pool() -> tuple[int, int]:
     return (1, max(2, min(4, _cpus() // 4)))
 
 
-def read_pages(world_dir: str, columns=("url", "html")) -> rd.Dataset:
-    return rd.read_parquet(f"{world_dir}/pages", columns=list(columns))
+def read_pages(world_dir: str, columns=("url", "html"),
+               pages_path: str | None = None) -> rd.Dataset:
+    return rd.read_parquet(pages_path or f"{world_dir}/pages", columns=list(columns))
 
 
 def extracted_text(world_dir: str) -> rd.Dataset:
@@ -61,8 +62,8 @@ def extracted_text(world_dir: str) -> rd.Dataset:
     )
 
 
-def candidates(world_dir: str) -> rd.Dataset:
-    return read_pages(world_dir).map_batches(
+def candidates(world_dir: str, pages_path: str | None = None) -> rd.Dataset:
+    return read_pages(world_dir, pages_path=pages_path).map_batches(
         CandidateExtractor, batch_format="pyarrow", batch_size=EXTRACT_BATCH,
         concurrency=_pool(), num_cpus=1,
     )
@@ -126,6 +127,25 @@ def _add_shard(b: pd.DataFrame) -> pd.DataFrame:
     return b.assign(_shard=b["muni_id"].to_numpy(dtype=np.int64) * EVAL_SALT + salt.astype(np.int64))
 
 
+def _osm_eval_partials(world_dir: str, ref, pages_path: str | None = None) -> rd.Dataset:
+    """OSM-side per-batch partial rows: fused spatial-join +
+    explode/partial-combine — one actor pool instead of two (each extra
+    pool is pure spin-up overhead per run). ``pages_path`` selects which
+    crawl snapshot to read (default: the current ``pages/``)."""
+    class SpatialExplodeCombine:
+        def __init__(self) -> None:
+            self.join = SpatialStreetJoin(ref)
+            self.combine = ExplodeCombine(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return self.combine(self.join(b))
+
+    return candidates(world_dir, pages_path=pages_path).map_batches(
+        SpatialExplodeCombine,
+        batch_format="pandas", batch_size=ROW_BATCH, concurrency=_small_pool(), num_cpus=1,
+    )
+
+
 def evaluation(world_dir: str) -> rd.Dataset:
     """The auswertung_hausnummern analog: one row per
     (muni_id, street_key, hnr_norm) with treffertyp ∈ {i,l,o}.
@@ -135,20 +155,7 @@ def evaluation(world_dir: str) -> rd.Dataset:
     salted shard (all rows of a key share a shard by construction)."""
     ref = get_context_ref(world_dir)
     ctx = get_context(world_dir)
-    # fused spatial-join + explode/partial-combine: one actor pool instead
-    # of two (each extra pool is pure spin-up overhead per run)
-    class SpatialExplodeCombine:
-        def __init__(self) -> None:
-            self.join = SpatialStreetJoin(ref)
-            self.combine = ExplodeCombine(ref)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            return self.combine(self.join(b))
-
-    osm_partials = candidates(world_dir).map_batches(
-        SpatialExplodeCombine,
-        batch_format="pandas", batch_size=ROW_BATCH, concurrency=_small_pool(), num_cpus=1,
-    )
+    osm_partials = _osm_eval_partials(world_dir, ref)
     lst = rd.from_pandas(list_side_partials(ctx))
     both = osm_partials.union(lst).map_batches(_add_shard, batch_format="pandas")
 
@@ -329,6 +336,33 @@ def streets_missing_in_osm(world_dir: str) -> rd.Dataset:
     )
 
 
+def _assign_subareas(ctx, b: pd.DataFrame) -> np.ndarray:
+    """Per-row subarea id for a located batch (J7 semantics): first matching
+    valid subarea in the context's (sub_id-sorted) list, '-1' when none."""
+    from ..geo.pip import points_in_rings
+
+    sub = np.array(["-1"] * len(b), dtype=object)
+    pos = np.arange(len(b))
+    muni_vals = b["muni_id"].to_numpy()
+    for muni in np.unique(muni_vals):
+        subs = ctx.subareas.get(int(muni))
+        if not subs:
+            continue
+        m = muni_vals == muni
+        lon = b["lon"].to_numpy()[m]
+        lat = b["lat"].to_numpy()[m]
+        assigned = np.array(["-1"] * m.sum(), dtype=object)
+        for sub_id, rings in subs:
+            todo = assigned == "-1"
+            if not todo.any():
+                break
+            inside = points_in_rings(lon[todo], lat[todo], rings)
+            idx = np.flatnonzero(todo)[inside]
+            assigned[idx] = sub_id
+        sub[pos[m]] = assigned
+    return sub
+
+
 def subarea_rows(world_dir: str) -> rd.Dataset:
     """J7: assign each located candidate to its municipality subarea
     (MunicipalityArea.generateSuburbPolygons:668-1004 semantics: only
@@ -344,27 +378,7 @@ def subarea_rows(world_dir: str) -> rd.Dataset:
             self.ctx = ray.get(ref)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            from ..geo.pip import points_in_rings
-
-            sub = np.array(["-1"] * len(b), dtype=object)
-            pos = np.arange(len(b))
-            muni_vals = b["muni_id"].to_numpy()
-            for muni in np.unique(muni_vals):
-                subs = self.ctx.subareas.get(int(muni))
-                if not subs:
-                    continue
-                m = muni_vals == muni
-                lon = b["lon"].to_numpy()[m]
-                lat = b["lat"].to_numpy()[m]
-                assigned = np.array(["-1"] * m.sum(), dtype=object)
-                for sub_id, rings in subs:
-                    todo = assigned == "-1"
-                    if not todo.any():
-                        break
-                    inside = points_in_rings(lon[todo], lat[todo], rings)
-                    idx = np.flatnonzero(todo)[inside]
-                    assigned[idx] = sub_id
-                sub[pos[m]] = assigned
+            sub = _assign_subareas(self.ctx, b)
             b = b[["url", "cand_seq", "muni_id"]].copy()
             b["sub_id"] = sub
             return b
@@ -375,52 +389,119 @@ def subarea_rows(world_dir: str) -> rd.Dataset:
     )
 
 
+def subarea_street_summary(world_dir: str) -> rd.Dataset:
+    """Per-(municipality, subarea) street surface — the reference repeats
+    street generation/storage PER SUBAREA when -subareaactive
+    (MunicipalityJobs.java:649-660); this is that surface over the OSM-side
+    observations: one row per (muni_id, sub_id, street_key) with
+
+      - ``n_obs``      total exploded housenumber observations,
+      - ``hnr_osm``    distinct normalized housenumbers seen,
+      - ``hnr_min`` / ``hnr_max``  sortable-housenumber range.
+
+    Scale shape: ONE fused actor stage (subarea PIP assignment + explode +
+    normalize + per-batch partial counts keyed on (muni, sub, street,
+    hnr_norm) — bounded rows per batch) → one composite-key groupby whose
+    groups are street-sized. No extra shuffle beyond the final groupby."""
+    ref = get_context_ref(world_dir)
+
+    class SubExplodePartial:
+        def __init__(self) -> None:
+            import ray
+
+            self.ctx = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.housenumber import normalized_series, sortable_series
+
+            b = b.assign(sub_id=_assign_subareas(self.ctx, b))
+            ex = explode_housenumbers(b)
+            if len(ex) == 0:
+                return pd.DataFrame({
+                    "muni_id": pd.Series([], dtype=np.int64),
+                    "sub_id": pd.Series([], dtype=str),
+                    "street_key": pd.Series([], dtype=str),
+                    "hnr_norm": pd.Series([], dtype=str),
+                    "n": pd.Series([], dtype=np.int64),
+                    "mn": pd.Series([], dtype=str),
+                    "mx": pd.Series([], dtype=str),
+                })
+            ex["hnr_sortable"] = sortable_series(ex["hnr"])
+            ex["hnr_norm"] = normalized_series(ex["hnr"], ex["addition_exactly"])
+            out = (ex.groupby(["muni_id", "sub_id", "street_key", "hnr_norm"], as_index=False)
+                     .agg(n=("hnr_sortable", "size"), mn=("hnr_sortable", "min"),
+                          mx=("hnr_sortable", "max")))
+            out["muni_id"] = out["muni_id"].astype(np.int64)
+            out["n"] = out["n"].astype(np.int64)
+            return out
+
+    partials = located(world_dir).map_batches(
+        SubExplodePartial, batch_format="pandas", batch_size=ROW_BATCH,
+        concurrency=_small_pool(), num_cpus=1,
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "muni_id": pd.Series([np.int64(g["muni_id"].iloc[0])], dtype=np.int64),
+            "sub_id": [g["sub_id"].iloc[0]],
+            "street_key": [g["street_key"].iloc[0]],
+            "n_obs": pd.Series([g["n"].sum()], dtype=np.int64),
+            "hnr_osm": pd.Series([g["hnr_norm"].nunique()], dtype=np.int64),
+            "hnr_min": [g["mn"].min()],
+            "hnr_max": [g["mx"].max()],
+        })
+
+    return partials.groupby(["muni_id", "sub_id", "street_key"]).map_groups(
+        final, batch_format="pandas")
+
+
 def evaluation_delta(world_dir: str):
-    """K1/ST1: Workcache-style delta between the current evaluation and a
-    deterministic 'previous month' snapshot, classified
-    insert / update / delete / unchanged (Workcache state machine,
-    Workcache.java:243-608 — the full recomputation becomes a snapshot diff,
-    SURVEY.md ST1).
+    """K1/ST1: Workcache-style delta between TWO REAL crawl snapshots —
+    the current ``pages/`` and the previous month's ``derived/pages_prev/``
+    (worldgen.ensure_pages_prev: pages absent last month + since-removed
+    mentions) — classified insert / update / delete / unchanged (Workcache
+    state machine, Workcache.java:243-608: the full recomputation becomes a
+    snapshot diff, SURVEY.md ST1).
 
-    The previous snapshot is derived deterministically from the current one
-    (so the oracle can rebuild it in SQL):
-      - OSM_ONLY rows of municipalities divisible by 3 are absent in prev
-        → they classify as ``insert``;
-      - IDENTICAL rows of municipalities ≡ 2 (mod 4) were LIST_ONLY in prev
-        → ``update``;
-      - every municipality divisible by 5 had one extra key
-        ('weggefallene strasse', '0099') in prev → ``delete``.
-
-    Fully streaming (VERDICT r1 finding #3 resolved): ONE evaluation pass
-    emits side-tagged rows (cur + derived-prev + per-muni 'gone' rows), then
-    a single shuffle keyed on the evaluation key co-locates both snapshots
-    and the Workcache diff kernel classifies per shard. Nothing touches the
-    driver; the result is a lazy Dataset.
+    Fully streaming (r2 item 7: real two-world drift, no arithmetic
+    derivation): BOTH snapshots' extract → spatial-join → explode partial
+    stages run as independent streams of side-tagged partial rows; the
+    shared official-list partials are tagged 'b' (both). ONE salted shuffle
+    keyed on the evaluation key co-locates everything; the shard kernel
+    classifies each snapshot with the same Workcache merge and diffs the
+    two classifications. Nothing touches the driver; the result is a lazy
+    Dataset. At crawl scale 'prev' is just another pages directory —
+    the pipeline shape is exactly two reads into one shuffle.
     """
+    from ..sources.worldgen import ensure_pages_prev
+
+    prev_path = ensure_pages_prev(world_dir)
+    ref = get_context_ref(world_dir)
+    ctx = get_context(world_dir)
     KEY = ["muni_id", "street_key", "hnr_norm"]
 
-    def emit_sides(b: pd.DataFrame) -> pd.DataFrame:
-        cur = b[KEY + ["treffertyp"]].copy()
-        cur["_side"] = "c"
-        prev = cur[~((cur["muni_id"] % 3 == 0) & (cur["treffertyp"] == "o"))].copy()
-        upd = (prev["muni_id"] % 4 == 2) & (prev["treffertyp"] == "i")
-        prev.loc[upd, "treffertyp"] = "l"
-        prev["_side"] = "p"
-        munis = np.unique(b["muni_id"].to_numpy(dtype=np.int64))
-        munis = munis[munis % 5 == 0]
-        gone = pd.DataFrame({
-            "muni_id": munis,
-            "street_key": "weggefallene strasse",
-            "hnr_norm": "0099",
-            "treffertyp": "l",
-            "_side": "p",
-        })
-        return pd.concat([cur, prev, gone], ignore_index=True)
+    def tag(side: str):
+        return lambda b: b.assign(_snap=side)
+
+    cur = _osm_eval_partials(world_dir, ref).map_batches(tag("c"), batch_format="pandas")
+    prv = _osm_eval_partials(world_dir, ref, pages_path=prev_path).map_batches(
+        tag("p"), batch_format="pandas")
+    lst = rd.from_pandas(list_side_partials(ctx).assign(_snap="b"))
+    both = cur.union(prv).union(lst).map_batches(_add_shard, batch_format="pandas")
+
+    def classify_side(g: pd.DataFrame, sides: list[str]) -> pd.DataFrame:
+        sub = g[g["_snap"].isin(sides)].drop(columns=["_snap"])
+        if len(sub) == 0:
+            return pd.DataFrame({"muni_id": pd.Series([], dtype=np.int64),
+                                 "street_key": pd.Series([], dtype=str),
+                                 "hnr_norm": pd.Series([], dtype=str),
+                                 "treffertyp": pd.Series([], dtype=str)})
+        return classify_muni(sub)[KEY + ["treffertyp"]]
 
     def diff_shard(g: pd.DataFrame) -> pd.DataFrame:
-        # duplicate 'gone' rows (emitted once per source batch) collapse here
-        p = g[g["_side"] == "p"].drop_duplicates(KEY)[KEY + ["treffertyp"]]
-        c = g[g["_side"] == "c"][KEY + ["treffertyp"]]
+        g = g.drop(columns=["_shard"])
+        c = classify_side(g, ["c", "b"])
+        p = classify_side(g, ["p", "b"])
         m = p.merge(c, on=KEY, how="outer", suffixes=("_p", ""), indicator=True)
         change = np.where(m["_merge"] == "right_only", "insert",
                           np.where(m["_merge"] == "left_only", "delete",
@@ -432,15 +513,7 @@ def evaluation_delta(world_dir: str):
                                                   m["treffertyp_p"])
         return out.astype({"muni_id": np.int64})
 
-    from .corpus import _shard_on
-
-    return (
-        evaluation(world_dir)
-        .map_batches(emit_sides, batch_format="pandas")
-        .map_batches(_shard_on(KEY), batch_format="pandas")
-        .groupby("_shard")
-        .map_groups(lambda g: diff_shard(g.drop(columns=["_shard"])), batch_format="pandas")
-    )
+    return both.groupby("_shard").map_groups(diff_shard, batch_format="pandas")
 
 
 def run_join_rows_resumable(world_dir: str, out_dir: str) -> dict:

@@ -375,3 +375,85 @@ def jsonl_import(world_dir: str) -> rd.Dataset:
         })
 
     return ds.map_batches(summarize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Local-OSM boundary import (imports/importlocalosmboundaries.java:1-454)
+
+def boundary_import(world_dir: str) -> rd.Dataset:
+    """Boundary polygons imported from a LOCAL OSM XML file — the
+    reference's fallback when a municipality's boundary is missing from the
+    osm2pgsql snapshot (imports/importlocalosmboundaries.java:1-454): parse
+    nodes/ways/boundary-relations, match candidate relations to wanted
+    municipalities by NAME VARIANTS, disambiguate with the official-key
+    precision rules (J6, stages.boundaries.pick_best_relation), union the
+    winner's polygon parts into one multipolygon (ST_Union analog,
+    stages.boundaries.union_parts).
+
+    Scale shape: the boundary file is a small side input (the reference
+    reads one local file); parsing is O(file) once, then the
+    pick-best + union runs distributed per municipality group. Output: one
+    row per matched municipality (muni_ref, relation_id, admin_level,
+    rel_name, n_parts, polygon_wkb_hex)."""
+    import xml.etree.ElementTree as ET
+
+    import numpy as np
+
+    from ..geo.wkb import polygon_wkb
+    from ..sources.worldgen import ensure_boundaries_osm_xml
+    from ..stages.boundaries import pick_best_relation, union_parts
+
+    path = ensure_boundaries_osm_xml(world_dir)
+    root = ET.parse(path).getroot()
+    nodes: dict[str, tuple[float, float]] = {}
+    ways: dict[str, list[tuple[float, float]]] = {}
+    rel_rows = []
+    for el in root:
+        if el.tag == "node":
+            nodes[el.get("id")] = (float(el.get("lon")), float(el.get("lat")))
+        elif el.tag == "way":
+            ways[el.get("id")] = [nodes[nd.get("ref")] for nd in el.findall("nd")]
+        elif el.tag == "relation":
+            tags = {t.get("k"): t.get("v") for t in el.findall("tag")}
+            if tags.get("type") != "boundary":
+                continue
+            members = [m.get("ref") for m in el.findall("member")
+                       if m.get("type") == "way" and m.get("role") == "outer"]
+            for seq, w in enumerate(members):
+                rel_rows.append({
+                    "relation_id": int(el.get("id")),
+                    "name": tags.get("name", ""),
+                    "official_key_raw": tags.get("de:amtlicher_gemeindeschluessel", ""),
+                    "admin_level": int(tags.get("admin_level", "0")),
+                    "seq": seq,
+                    "part_wkb": polygon_wkb(ways[w]),
+                })
+    parts = pd.DataFrame(rel_rows)
+
+    # name-variant candidate matching (the reference queries candidates per
+    # municipality by name variants): strip the known suffix variants back
+    # to the base municipality name
+    bt = pq.read_table(f"{world_dir}/boundaries.parquet",
+                       columns=["official_ref", "name", "sub_id"]).to_pandas()
+    bt = bt[bt["sub_id"] == "-1"]
+    wanted = dict(zip(bt["name"], bt["official_ref"]))
+    base = (parts["name"].str.replace(r" \(Stadt\)$", "", regex=True)
+                          .str.replace(r" alt$", "", regex=True))
+    parts = parts.assign(base_name=base, muni_ref=base.map(wanted))
+    parts = parts.dropna(subset=["muni_ref"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["relation_id", "seq"], kind="mergesort")
+        win_id, win = pick_best_relation(g, g["base_name"].iloc[0])
+        wkb = union_parts(list(win["part_wkb"]))
+        return pd.DataFrame({
+            "muni_ref": [g["muni_ref"].iloc[0]],
+            "relation_id": pd.Series([win_id], dtype=np.int64),
+            "admin_level": pd.Series([int(win["admin_level"].iloc[0])], dtype=np.int64),
+            "rel_name": [win["name"].iloc[0]],
+            "n_parts": pd.Series([len(win)], dtype=np.int64),
+            "polygon_wkb_hex": [wkb.hex()],
+        })
+
+    return rd.from_pandas(parts).groupby("muni_ref").map_groups(
+        pick, batch_format="pandas")

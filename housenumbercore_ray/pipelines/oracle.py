@@ -42,14 +42,41 @@ VALID_HIGHWAYS_SQL = ("('primary','secondary','tertiary','unclassified','residen
                       "'living_street','pedestrian','service','track')")
 
 
-def preamble(world_dir: str) -> str:
+def prev_pages_sql(world_dir: str) -> str:
+    """SQL recomputation of worldgen.ensure_pages_prev from the CURRENT
+    pages table (the oracle must derive the previous snapshot independently,
+    not read the engine-written rendition): drop page-id % 7 == 3, append
+    the since-removed 'Altstrasse 99' mention (at the page's first mention
+    location) for page-id % 13 == 6."""
+    pat = MENTION_SQL_PATTERN.replace("'", "''")
+
+    def g(n: int) -> str:
+        return f"regexp_extract(text, '{pat}', {n})"
+
+    return f"""
+SELECT url, warc_ts, html,
+       CASE WHEN pg % 13 = 6 AND {g(3)} <> ''
+            THEN text || chr(10) || 'Adresse: Altstrasse 99, '
+                 || {g(3)} || ' ' || {g(4)}
+                 || ' (' || {g(5)} || ',' || {g(6)} || ')'
+            ELSE text END AS text,
+       lang
+FROM (SELECT *, CAST(regexp_extract(url, '/seite/([0-9]+)', 1) AS BIGINT) AS pg
+      FROM read_parquet('{world_dir}/pages/*.parquet'))
+WHERE pg % 7 <> 3
+"""
+
+
+def preamble(world_dir: str, pages_sql: str | None = None) -> str:
     """Shared WITH-clause CTEs (candidates → located → assigned → exploded →
-    evaluation) over the world parquet files."""
+    evaluation) over the world parquet files. ``pages_sql`` overrides the
+    pages source (used to evaluate the PREVIOUS crawl snapshot)."""
     pat = MENTION_SQL_PATTERN.replace("'", "''")
     sortable_hnr = _SORTABLE.format(h="e.hnr")
+    pages_src = pages_sql or f"SELECT * FROM read_parquet('{world_dir}/pages/*.parquet')"
     return f"""
 WITH
-pages_w AS (SELECT * FROM read_parquet('{world_dir}/pages/*.parquet')),
+pages_w AS ({pages_src}),
 bounds AS (SELECT * FROM read_parquet('{world_dir}/boundaries.parquet') WHERE sub_id = '-1'),
 streets_raw AS (SELECT * FROM read_parquet('{world_dir}/osm_streets.parquet')),
 list_raw AS (SELECT * FROM read_parquet('{world_dir}/list_addresses.parquet')),
@@ -301,6 +328,77 @@ SELECT url, cand_seq, muni_id, sub_id FROM (
    AND a.lat >= s.sla - 1e-9 AND a.lat <= s.sha + 1e-9
 ) WHERE rn = 1
 """.replace("{world_dir}", world_dir),
+        # per-subarea street jobs (MunicipalityJobs.java:649-660): the street
+        # surface repeated per (muni, subarea) — exploded OSM observations
+        # grouped at the subarea level, subarea assignment identical to
+        # hnr_subarea_rows (same bbox join + rn=1 tie rule)
+        "hnr_subarea_street_summary": pre + f"""
+, subs AS (
+  SELECT sb.muni_id, sb.sub_id, sb.minlon AS slo, sb.minlat AS sla,
+         sb.maxlon AS shi, sb.maxlat AS sha
+  FROM read_parquet('{world_dir}/boundaries.parquet') sb
+  JOIN bounds p ON p.muni_id = sb.muni_id
+  WHERE sb.sub_id <> '-1' AND sb.admin_level > p.admin_level
+    AND sb.minlon >= p.minlon - 0.03 AND sb.maxlon <= p.maxlon + 0.03
+    AND sb.minlat >= p.minlat - 0.03 AND sb.maxlat <= p.maxlat + 0.03
+),
+cand_sub AS (
+  SELECT url, cand_seq, sub_id FROM (
+    SELECT a.url, a.cand_seq, coalesce(s.sub_id, '-1') AS sub_id,
+           row_number() OVER (PARTITION BY a.url, a.cand_seq
+                              ORDER BY coalesce(s.sub_id, '~')) AS rn
+    FROM assigned a
+    LEFT JOIN subs s
+      ON s.muni_id = a.muni_id
+     AND a.lon >= s.slo - 1e-9 AND a.lon <= s.shi + 1e-9
+     AND a.lat >= s.sla - 1e-9 AND a.lat <= s.sha + 1e-9
+  ) WHERE rn = 1
+)
+SELECT e.muni_id, cs.sub_id, e.street_key,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(count(DISTINCT e.hnr_norm) AS BIGINT) AS hnr_osm,
+       min(e.hnr_sortable) AS hnr_min,
+       max(e.hnr_sortable) AS hnr_max
+FROM exploded_norm e
+JOIN cand_sub cs ON cs.url = e.url AND cs.cand_seq = e.cand_seq
+GROUP BY e.muni_id, cs.sub_id, e.street_key
+""",
+        # local-OSM boundary import (importlocalosmboundaries.java): the XML
+        # rendition is DERIVED deterministically from boundaries.parquet
+        # (worldgen.ensure_boundaries_osm_xml), so the oracle replays the
+        # candidate-generation + J6 disambiguation rules in SQL: relation B
+        # (full 8-digit key) wins when present and its key is not over-long
+        # (muni%5==3 plants a 10-digit key → rejected); otherwise relation C
+        # (equal key length, EXACT name) wins when present; else relation A.
+        # The winning multipolygon is the byte-exact WKB reassembly: subarea
+        # munis union their two half polygons, multipolygon parents pass
+        # through, plain parents get the 1-element multipolygon wrapper.
+        "hnr_boundary_import": f"""
+WITH b AS (
+  SELECT * FROM read_parquet('{world_dir}/boundaries.parquet') WHERE sub_id = '-1'
+),
+s1 AS (SELECT muni_id, polygon_wkb FROM read_parquet('{world_dir}/boundaries.parquet') WHERE sub_id = '1'),
+s2 AS (SELECT muni_id, polygon_wkb FROM read_parquet('{world_dir}/boundaries.parquet') WHERE sub_id = '2')
+SELECT b.official_ref AS muni_ref,
+       CAST(700000 + b.muni_id * 10
+            + CASE WHEN b.muni_id % 3 = 0 AND b.muni_id % 5 <> 3 THEN 1
+                   WHEN b.muni_id % 4 = 1 THEN 2 ELSE 0 END AS BIGINT) AS relation_id,
+       CAST(b.admin_level AS BIGINT) AS admin_level,
+       b.name || CASE WHEN b.muni_id % 3 = 0 AND b.muni_id % 5 <> 3
+                      THEN ' (Stadt)' ELSE '' END AS rel_name,
+       CAST(CASE WHEN s1.muni_id IS NOT NULL THEN 2
+                 WHEN upper(substr(hex(b.polygon_wkb), 1, 10)) = '0106000000'
+                 -- little-endian uint32 part count: first byte is hex 11..12
+                 THEN CAST(('0x' || substr(hex(b.polygon_wkb), 11, 2)) AS INT)
+                 ELSE 1 END AS BIGINT) AS n_parts,
+       CASE WHEN s1.muni_id IS NOT NULL
+            THEN lower('0106000000' || '02000000' || hex(s1.polygon_wkb) || hex(s2.polygon_wkb))
+            WHEN upper(substr(hex(b.polygon_wkb), 1, 10)) = '0106000000'
+            THEN lower(hex(b.polygon_wkb))
+            ELSE lower('0106000000' || '01000000' || hex(b.polygon_wkb)) END AS polygon_wkb_hex
+FROM b LEFT JOIN s1 ON s1.muni_id = b.muni_id
+       LEFT JOIN s2 ON s2.muni_id = b.muni_id
+""",
         "hnr_csv_import": f"""
 SELECT DISTINCT gemeindeid AS muni_ref, strasse AS street,
        hausnummer AS housenumber, plz AS postcode,
@@ -337,15 +435,10 @@ LEFT JOIN read_parquet('{world_dir}/osm_relations.parquet') r
 SELECT DISTINCT muni_ref, street
 FROM read_parquet('{world_dir}/list_addresses.parquet')
 """,
-        "hnr_evaluation_delta": pre + """
-, cur AS (SELECT muni_id, street_key, hnr_norm, treffertyp FROM evaluation),
-prev AS (
-  SELECT muni_id, street_key, hnr_norm,
-         CASE WHEN muni_id % 4 = 2 AND treffertyp = 'i' THEN 'l' ELSE treffertyp END AS treffertyp
-  FROM cur WHERE NOT (muni_id % 3 = 0 AND treffertyp = 'o')
-  UNION ALL
-  SELECT DISTINCT muni_id, 'weggefallene strasse', '0099', 'l' FROM cur WHERE muni_id % 5 = 0
-)
+        # two REAL snapshots: evaluation over pages vs evaluation over the
+        # SQL-recomputed previous snapshot (prev_pages_sql) — both full
+        # evaluation chains run independently inside derived-table WITHs
+        "hnr_evaluation_delta": f"""
 SELECT coalesce(p.muni_id, c.muni_id) AS muni_id,
        coalesce(p.street_key, c.street_key) AS street_key,
        coalesce(p.hnr_norm, c.hnr_norm) AS hnr_norm,
@@ -354,8 +447,10 @@ SELECT coalesce(p.muni_id, c.muni_id) AS muni_id,
             WHEN p.treffertyp <> c.treffertyp THEN 'update'
             ELSE 'unchanged' END AS change,
        coalesce(c.treffertyp, p.treffertyp) AS treffertyp
-FROM prev p
-FULL OUTER JOIN cur c
+FROM ({preamble(world_dir, pages_sql=prev_pages_sql(world_dir))}
+      SELECT muni_id, street_key, hnr_norm, treffertyp FROM evaluation) p
+FULL OUTER JOIN ({pre}
+      SELECT muni_id, street_key, hnr_norm, treffertyp FROM evaluation) c
   ON p.muni_id = c.muni_id AND p.street_key = c.street_key AND p.hnr_norm = c.hnr_norm
 """,
         "hnr_muni_coverage": pre + """

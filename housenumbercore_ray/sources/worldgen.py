@@ -612,6 +612,164 @@ def _mention(street, hnr, plz, muni, lat, lon, tags) -> str:
     return core
 
 
+def ensure_boundaries_osm_xml(world_dir: str) -> str:
+    """Derive ``derived/boundaries_local.osm.xml`` — the local-OSM-file
+    boundary rendition the reference imports when a municipality's boundary
+    is missing from the OSM snapshot (importlocalosmboundaries.java:1-454).
+
+    Per municipality i (deterministic from boundaries.parquet, so the
+    oracle replays the derivation in SQL):
+
+      - relation A (id 700000+10i): name = muni name (+' alt' when i%4==1),
+        official key = first 6 digits of the ref (LOW precision);
+      - relation B (i%3==0 only, id +1): name = name+' (Stadt)', key = the
+        full 8-digit ref — MORE precise, replaces A — except when i%5==3
+        the key is 10 digits (over-long → rejected, klen 0);
+      - relation C (i%4==1 only, id +2): name = the EXACT muni name, key =
+        6 digits — equal precision to A, replaces it by exact-name match.
+
+    Polygon parts: the two subarea halves for subarea-identifyable munis
+    (i%7==1), the parent's multipolygon halves for muni 2, else the parent
+    rectangle — one closed way per ring, coordinates in shortest-roundtrip
+    repr so the reassembled WKB is byte-identical to the parquet blobs."""
+    import pyarrow.parquet as pq
+
+    from ..geo.wkb import parse_wkb
+
+    out = os.path.join(world_dir, "derived", "boundaries_local.osm.xml")
+    if os.path.exists(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    b = pq.read_table(f"{world_dir}/boundaries.parquet").to_pandas()
+    parents = b[b["sub_id"] == "-1"].sort_values("muni_id")
+    subs = b[b["sub_id"].isin(["1", "2"])].sort_values(["muni_id", "sub_id"])
+
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>',
+             '<osm version="0.6" generator="worldgen">']
+    next_node = 900_000_000
+    next_way = 800_000_000
+
+    def emit_ring(ring) -> int:
+        nonlocal next_node, next_way
+        refs = []
+        # drop the closing duplicate: the way closes by repeating the ref
+        pts = ring[:-1] if len(ring) > 1 and (ring[0] == ring[-1]).all() else ring
+        for lon, lat in pts:
+            next_node += 1
+            lines.append(f'  <node id="{next_node}" lat="{float(lat)!r}" lon="{float(lon)!r}"/>')
+            refs.append(next_node)
+        next_way += 1
+        lines.append(f'  <way id="{next_way}">')
+        for r in refs + refs[:1]:
+            lines.append(f'    <nd ref="{r}"/>')
+        lines.append("  </way>")
+        return next_way
+
+    for row in parents.itertuples():
+        i = int(row.muni_id)
+        ref = row.official_ref
+        name = row.name
+        if i % 7 == 1:
+            srows = subs[subs["muni_id"] == i]
+            rings = [parse_wkb(w)[1][0] for w in srows["polygon_wkb"]]
+        else:
+            kind, body = parse_wkb(row.polygon_wkb)
+            rings = [body[0]] if kind == "polygon" else [p[0] for p in body]
+        way_ids = [emit_ring(r) for r in rings]
+        cands = [(700000 + i * 10,
+                  name + (" alt" if i % 4 == 1 else ""), ref[:6])]
+        if i % 3 == 0:
+            cands.append((700000 + i * 10 + 1, name + " (Stadt)",
+                          ref + "00" if i % 5 == 3 else ref))
+        if i % 4 == 1:
+            cands.append((700000 + i * 10 + 2, name, ref[:6]))
+        for rel_id, rel_name, key in cands:
+            lines.append(f'  <relation id="{rel_id}">')
+            for w in way_ids:
+                lines.append(f'    <member type="way" ref="{w}" role="outer"/>')
+            lines.append('    <tag k="type" v="boundary"/>')
+            lines.append('    <tag k="boundary" v="administrative"/>')
+            lines.append(f'    <tag k="admin_level" v="{int(row.admin_level)}"/>')
+            lines.append(f'    <tag k="name" v="{rel_name}"/>')
+            lines.append(f'    <tag k="de:amtlicher_gemeindeschluessel" v="{key}"/>')
+            lines.append("  </relation>")
+    lines.append("</osm>")
+    tmp = out + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, out)
+    return out
+
+
+PREV_DROP_MOD, PREV_DROP_REM = 7, 3    # pages not yet crawled last month
+PREV_ADD_MOD, PREV_ADD_REM = 13, 6     # pages that carried one since-removed mention
+
+
+def ensure_pages_prev(world_dir: str) -> str:
+    """Derive the PREVIOUS crawl snapshot ``derived/pages_prev/`` from the
+    current ``pages/`` (cached, atomic): pages with page-id % 7 == 3 did not
+    exist last month (their observations become ``insert``s in the delta),
+    and pages with page-id % 13 == 6 carried ONE extra mention of the
+    since-removed street 'Altstrasse 99' at the page's first mention
+    location (those keys become ``delete``s). Deterministic and
+    SQL-replayable — the delta oracle recomputes the same rendition from
+    ``pages`` (pipelines/oracle.prev_pages_sql).
+
+    Runs as a Ray Data pipeline (read → vectorized map_batches → sharded
+    parquet write): at crawl scale the previous snapshot IS another crawl
+    directory; this derivation only exists so the fixture has two real
+    snapshots."""
+    import re
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ..stages.extract import MENTION_PATTERN
+
+    out = os.path.join(world_dir, "derived", "pages_prev")
+    marker = os.path.join(out, ".done")
+    if os.path.exists(marker):
+        return out
+    pat = re.compile(MENTION_PATTERN)
+
+    def to_prev(b: pd.DataFrame) -> pd.DataFrame:
+        pg = b["url"].str.extract(r"/seite/([0-9]+)", expand=False).astype(np.int64)
+        keep = (pg % PREV_DROP_MOD) != PREV_DROP_REM
+        b = b.loc[keep].copy()
+        pg = pg[keep]
+        add = ((pg % PREV_ADD_MOD) == PREV_ADD_REM).to_numpy()
+        if add.any():
+            sel = b.iloc[np.flatnonzero(add)]
+            g = sel["text"].str.extract(pat)  # first-match groups, vectorized
+            has = g[2].notna().to_numpy()
+            line = ("Adresse: Altstrasse 99, " + g[2] + " " + g[3]
+                    + " (" + g[4] + "," + g[5] + ")")
+            texts = b["text"].to_numpy(object)
+            htmls = b["html"].to_numpy(object)
+            for j, i in enumerate(np.flatnonzero(add)):
+                if not has[j]:
+                    continue
+                ln = line.iloc[j]
+                texts[i] = texts[i] + "\n" + ln
+                htmls[i] = htmls[i].replace(b"</body>",
+                                            f"<p>{ln}</p></body>".encode(), 1)
+            b["text"] = texts
+            b["html"] = htmls
+        return b
+
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    (rd.read_parquet(f"{world_dir}/pages")
+       .map_batches(to_prev, batch_format="pandas", batch_size=4096)
+       .write_parquet(tmp))
+    with open(os.path.join(tmp, ".done"), "w") as fh:
+        fh.write(WORLD_VERSION)
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    return out
+
+
 def world_dir_for(sf_dir: str) -> str:
     """Map a driver sf dir (/root/testdata/sf0.01) to the world cache dir."""
     scale = os.path.basename(os.path.normpath(sf_dir))

@@ -398,6 +398,42 @@ class TestDedupComponents:
         assert out.loc[3, "cluster"] == 3
         assert out["is_canonical"].tolist() == [1, 0, 0, 1]
 
+    def test_long_chain_pointer_doubling(self, ray_session):
+        """A 100-link chain converges inside max_rounds=9: plain min-label
+        propagation would need ~100 rounds; the pointer-doubling shortcut
+        needs O(log2(100)) ≈ 7. Proves the doubling step is live."""
+        import ray.data as rd
+
+        import housenumbercore_ray.pipelines.corpus as corpus
+        from housenumbercore_ray.state import metrics
+
+        n = 100
+        nodes = rd.from_pandas(pd.DataFrame({"node": np.arange(n, dtype=np.int64)}))
+        src = np.concatenate([np.arange(n - 1), np.arange(1, n)]).astype(np.int64)
+        dst = np.concatenate([np.arange(1, n), np.arange(n - 1)]).astype(np.int64)
+        edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+        metrics.reset()
+        out = corpus.connected_components(nodes, edges, max_rounds=10,
+                                          metrics_prefix="chain_test").to_pandas()
+        assert (out["label"] == 0).all()
+        snap = metrics.snapshot()
+        assert 0 < snap["chain_test_rounds"] <= 10
+
+    def test_divergence_raises(self, ray_session):
+        """max_rounds too small for the diameter → RuntimeError, never a
+        silently-unconverged labeling (ADVICE r2)."""
+        import ray.data as rd
+
+        import housenumbercore_ray.pipelines.corpus as corpus
+
+        n = 64
+        nodes = rd.from_pandas(pd.DataFrame({"node": np.arange(n, dtype=np.int64)}))
+        src = np.concatenate([np.arange(n - 1), np.arange(1, n)]).astype(np.int64)
+        dst = np.concatenate([np.arange(1, n), np.arange(n - 1)]).astype(np.int64)
+        edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+        with pytest.raises(RuntimeError, match="fixpoint"):
+            corpus.connected_components(nodes, edges, max_rounds=2)
+
 
 class TestCmsCounts:
     def test_overestimate_property_and_oracle(self, ray_session):

@@ -143,6 +143,29 @@ def test_minhash_page_pairs_recall(entry):
     assert (got["jaccard"] >= 0.7).all()
 
 
+def test_minhash_page_pairs_scale_profile(entry):
+    """The crawl-scale profile (SCALE_LSH banding + signature prefilter) must
+    keep recall vs the planted ground truth AND return a subset of the exact
+    profile's verified pairs (verification is the same exact Jaccard, so the
+    scale path can only lose borderline candidates, never invent pairs)."""
+    import pyarrow.parquet as pq
+
+    import housenumbercore_ray.pipelines.corpus as corpus
+    import housenumbercore_ray.sources.worldgen as wg
+
+    wd = wg.ensure_world(SF)
+    exact = entry.queries()["dedup_minhash_pages"](SF).to_pandas()
+    scale = corpus.minhash_page_pairs(wd, profile="scale").to_pandas()
+    truth = pq.read_table(f"{wd}/near_dup_pages.parquet").to_pandas()
+    scale_pairs = set(zip(scale["page_a"], scale["page_b"]))
+    exact_pairs = set(zip(exact["page_a"], exact["page_b"]))
+    assert scale_pairs <= exact_pairs
+    if len(truth):
+        truth_pairs = set(zip(truth["page_a"], truth["page_b"]))
+        recall = len(scale_pairs & truth_pairs) / len(truth_pairs)
+        assert recall >= 0.9, f"scale-profile recall {recall}"
+
+
 def test_ann_lsh_candidate_prune(entry):
     """The signature filter must actually prune: candidate rows reaching the
     exact-cosine probe are a strict subset of the table, and the final

@@ -104,3 +104,62 @@ class TestPipelineResume:
             assert m["rows"] > 0
             assert m["metrics"]["n_rows"] == m["rows"]
             assert m["inputs"] and m["inputs"][0].endswith("/pages")
+
+
+class TestNearDupResume:
+    """Resumable near-dup pairs (VERDICT r2 item 10): the engine's most
+    expensive pipeline kill/restarts to byte-identical output with committed
+    pair shards skipped."""
+
+    @pytest.fixture(scope="class")
+    def world(self, ray_session):
+        return ensure_world("/root/testdata/sf0.001")
+
+    def test_kill_restart_byte_identical(self, world, tmp_path):
+        from housenumbercore_ray.pipelines.corpus import run_near_dup_resumable
+
+        out = str(tmp_path / "nd")
+        s1 = run_near_dup_resumable(world, out, n_parts=8)
+        assert s1["skipped"] == [] and len(s1["computed"]) == 8
+        parts = sorted(p for p in os.listdir(out) if p.startswith("part="))
+        assert len(parts) == 8  # empty shards committed too
+        hashes1 = {p: _file_hash(os.path.join(out, p, "data.parquet")) for p in parts}
+        manifest1 = {m["part"]: m["content_hash"] for m in read_manifest(out)}
+        total_pairs = sum(m["metrics"]["n_pairs"] for m in read_manifest(out))
+        assert total_pairs > 0  # the world plants near-dup pages
+
+        # kill simulation: one partition fully gone, one manifest-less
+        shutil.rmtree(os.path.join(out, parts[0]))
+        os.remove(os.path.join(out, "_manifest", f"{parts[1]}.json"))
+        s2 = run_near_dup_resumable(world, out, n_parts=8)
+        assert sorted(s2["computed"]) == sorted(
+            p.split("=")[1] for p in (parts[0], parts[1]))
+        assert len(s2["skipped"]) == 6
+
+        hashes2 = {p: _file_hash(os.path.join(out, p, "data.parquet")) for p in parts}
+        assert hashes1 == hashes2
+        assert {m["part"]: m["content_hash"] for m in read_manifest(out)} == manifest1
+
+        s3 = run_near_dup_resumable(world, out, n_parts=8)
+        assert s3["computed"] == [] and len(s3["skipped"]) == 8
+
+    def test_matches_unpartitioned_pipeline(self, world, tmp_path):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from housenumbercore_ray.pipelines.corpus import (
+            minhash_page_pairs,
+            run_near_dup_resumable,
+        )
+
+        out = str(tmp_path / "nd2")
+        run_near_dup_resumable(world, out, n_parts=4)
+        parts = []
+        for p in sorted(os.listdir(out)):
+            if p.startswith("part="):
+                parts.append(pq.read_table(os.path.join(out, p, "data.parquet")).to_pandas())
+        got = (pd.concat(parts, ignore_index=True)
+               .sort_values(["page_a", "page_b"]).reset_index(drop=True))
+        want = (minhash_page_pairs(world).to_pandas()
+                .sort_values(["page_a", "page_b"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
