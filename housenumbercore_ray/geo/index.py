@@ -132,6 +132,8 @@ class StreetIndex:
                 continue
             max_abs_lat = max(max_abs_lat, float(np.abs(coords[:, 1]).max()))
             cells = set()
+            if len(coords) == 1:  # point-degenerate geometry: its own cell
+                cells.add((int(np.floor(coords[0, 0] / res)), int(np.floor(coords[0, 1] / res))))
             for s in range(len(coords) - 1):
                 x0, x1 = sorted((coords[s, 0], coords[s + 1, 0]))
                 y0, y1 = sorted((coords[s, 1], coords[s + 1, 1]))
@@ -141,12 +143,10 @@ class StreetIndex:
             for c in cells:
                 cell_streets.setdefault(c, []).append(j)
         entry["cell_streets"] = {c: np.asarray(v, dtype=np.int64) for c, v in cell_streets.items()}
-        # conservative meters spanned by ONE cell step in ANY direction
-        # (lon cells span res·111320·cos(lat) m ≥ this; lat cells more)
-        from .pip import EARTH_R
-
-        entry["res_m_min"] = (np.deg2rad(self.KNN_RES_DEG) * EARTH_R
-                              * max(np.cos(np.deg2rad(max_abs_lat)), 1e-6))
+        # streets' max |lat| — kept for diagnostics; the probe-time ring
+        # bound is computed from the QUERY group's latitudes (the distance
+        # kernel scales Δlon by cos(query lat), so that is the exact factor)
+        entry["max_abs_lat"] = max_abs_lat
         if entry["cell_streets"]:
             ixs = [c[0] for c in entry["cell_streets"]]
             iys = [c[1] for c in entry["cell_streets"]]
@@ -190,9 +190,13 @@ class StreetIndex:
     def _knn_top1(self, entry, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
         """Nearest street index per point — EXACT, via cell-ring expansion:
         points grouped by their kNN cell; candidate streets pulled ring by
-        ring; a ring stops once every point's best distance is within the
-        proven lower bound of all unseen rings ((k−1)·res_m_min). Ties break
-        to the LOWEST street index (identical to the dense argmin)."""
+        ring; expansion stops once every point's best distance is STRICTLY
+        within the proven lower bound of all unseen rings ((k−1)·res_m,
+        res_m from the group's own max |lat| — the exact cos factor the
+        distance kernel applies to Δlon). Ties break to the LOWEST street
+        index across rings (identical to the dense argmin)."""
+        from .pip import EARTH_R
+
         n_streets = len(entry["names"])
         if n_streets <= self.BRUTE_FORCE_MAX or not entry["cell_streets"]:
             dists = np.full((len(lon), n_streets), np.inf)
@@ -201,7 +205,6 @@ class StreetIndex:
             return dists.argmin(axis=1)
         res = self.KNN_RES_DEG
         cs = entry["cell_streets"]
-        res_m_min = entry["res_m_min"]
         bx0, by0, bx1, by1 = entry["cell_bbox"]
         out = np.zeros(len(lon), dtype=np.int64)
         ix_all = np.floor(lon / res).astype(np.int64)
@@ -214,6 +217,10 @@ class StreetIndex:
             idx = order[s:e]
             ix, iy = int(ix_all[idx[0]]), int(iy_all[idx[0]])
             plon, plat = lon[idx], lat[idx]
+            # one cell step in meters, conservative for THIS group: Δlat
+            # cells span res·R rad·m; Δlon cells span res·R·cos(query lat)
+            res_m = (np.deg2rad(res) * EARTH_R
+                     * max(float(np.cos(np.deg2rad(np.abs(plat).max()))), 1e-6))
             d_best = np.full(len(idx), np.inf)
             j_best = np.zeros(len(idx), dtype=np.int64)
             # rings needed to reach the farthest street cell from this group
@@ -238,16 +245,19 @@ class StreetIndex:
                     if arr is not None:
                         new.update(int(v) for v in arr)
                 new -= seen
-                # ascending street index + strict improvement ⇒ ties resolve
-                # to the lowest index, matching the dense-argmin contract
+                # accept strictly closer, or equal-distance with a LOWER
+                # index — exact dense-argmin tie semantics even when the
+                # tying street is first seen in a later ring
                 for j in sorted(new):
                     d = point_segment_distance_m(plon, plat, entry["coords"][j])
-                    better = d < d_best
+                    better = (d < d_best) | ((d == d_best) & (j < j_best))
                     d_best[better] = d[better]
                     j_best[better] = j
                 seen |= new
                 k += 1
-                if seen and d_best.max() <= (k - 1) * res_m_min:
+                # STRICT <: an unseen ring-k street is ≥ (k−1)·res_m away,
+                # so at equality it could still tie with a lower index
+                if seen and d_best.max() < (k - 1) * res_m:
                     break
             out[idx] = j_best
         return out

@@ -105,6 +105,10 @@ def point_segment_distance_m(lon, lat, seg_coords) -> np.ndarray:
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
     seg = np.asarray(seg_coords, dtype=np.float64)
+    if len(seg) == 0:
+        return np.full(len(lon), np.inf)
+    if len(seg) == 1:  # degenerate point geometry → zero-length segment
+        seg = np.vstack([seg, seg])
     x0, y0 = seg[:-1, 0], seg[:-1, 1]
     x1, y1 = seg[1:, 0], seg[1:, 1]
     coslat = np.cos(np.deg2rad(lat))[:, None]

@@ -77,20 +77,28 @@ class CandidateExtractor:
 
     #: literal that every mention contains — a C-speed bytes containment
     #: check on the RAW html skips decode + text-extract + regex for the
-    #: (majority of) pages with zero mentions. Sound because extract_text
-    #: removes tags but never splits text runs, so any text substring that
-    #: doesn't span a tag boundary is present verbatim in the html bytes.
+    #: (majority of) pages with zero mentions.
+    #:
+    #: SCOPE (ADVICE r2): the check is sound only for markup in which the
+    #: literal never spans a tag boundary — true for this corpus's page
+    #: contract (flat ``<p>`` blocks; worldgen never splits a mention
+    #: across tags), but NOT for arbitrary html: tag-strip merges text
+    #: runs, so ``Adre<b>sse:</b>`` extracts to ``Adresse:`` while the raw
+    #: bytes lack the literal. General-crawl callers must construct the
+    #: stage with ``prefilter=False`` (the mention regex then runs on every
+    #: extracted text — exact, just without the skip).
     PREFILTER = b"Adresse:"
 
-    def __init__(self) -> None:
+    def __init__(self, prefilter: bool = True) -> None:
         self.mention = re.compile(MENTION_PATTERN)
+        self.prefilter = prefilter
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         htmls = batch["html"].to_pylist()
         out = {name: [] for name in CANDIDATE_SCHEMA.names}
         for url, html in zip(urls, htmls):
-            if self.PREFILTER not in html:
+            if self.prefilter and self.PREFILTER not in html:
                 continue
             text = extract_text(html)
             for seq, m in enumerate(self.mention.finditer(text)):

@@ -150,3 +150,31 @@ class TestTags:
 
     def test_hstore_null(self):
         assert parse_hstore('"a"=>NULL, "b"=>"1"') == {"b": "1"}
+
+
+class TestCandidateExtractorPrefilter:
+    """ADVICE r2: the raw-bytes prefilter is scoped to the flat-<p> page
+    contract; markup that splits the literal across tags must still be
+    found when the stage is built with prefilter=False."""
+
+    # no <p> blocks → extract_text takes the _TAG.sub fallback, which
+    # strips tags and MERGES the split literal back together
+    HTML = b"<html><body><div>Adre<b>sse:</b> Hauptstra\xc3\x9fe 5, 10115 Berlin (52.5,13.4)</div></body></html>"
+
+    def _batch(self):
+        import pyarrow as pa
+        return pa.table({"url": ["u1"], "html": [self.HTML]})
+
+    def test_tag_split_literal_skipped_with_prefilter(self):
+        from housenumbercore_ray.stages.extract import CandidateExtractor, extract_text
+        assert "Adresse:" in extract_text(self.HTML)  # tag-strip merges runs
+        assert CandidateExtractor.PREFILTER not in self.HTML
+        out = CandidateExtractor()(self._batch())
+        assert len(out) == 0  # documented prefilter behavior on split markup
+
+    def test_tag_split_literal_found_without_prefilter(self):
+        from housenumbercore_ray.stages.extract import CandidateExtractor
+        out = CandidateExtractor(prefilter=False)(self._batch())
+        assert len(out) == 1
+        assert out["street_raw"][0].as_py().strip() == "Hauptstraße"
+        assert out["hnr_raw"][0].as_py() == "5"

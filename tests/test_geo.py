@@ -209,3 +209,74 @@ class TestKnnCellBuckets:
                 dists[:, j] = point_segment_distance_m(lon, lat, coords)
             want = dists.argmin(axis=1)
             assert (got == want).all(), f"trial {trial}: {np.flatnonzero(got != want)[:5]}"
+
+
+class TestKnnEdgeCases:
+    """ADVICE r2: cross-ring tie-breaks, point-degenerate geometries, and
+    the high-latitude ring stop bound must all match the dense argmin."""
+
+    def _dense(self, entry, lon, lat):
+        from housenumbercore_ray.geo.pip import point_segment_distance_m
+        n = len(entry["names"])
+        dists = np.full((len(lon), n), np.inf)
+        for j, coords in enumerate(entry["coords"]):
+            dists[:, j] = point_segment_distance_m(lon, lat, coords)
+        return dists.argmin(axis=1)
+
+    def test_point_degenerate_geometry_reachable(self):
+        """A single-vertex geometry must be indexed into its cell and win
+        when it is the nearest street."""
+        from housenumbercore_ray.geo.wkb import linestring_wkb
+        n = 10
+        wkbs = [linestring_wkb([(10.5 + 0.02 * j, 50.5), (10.5 + 0.02 * j, 50.52)])
+                for j in range(n - 1)]
+        wkbs.append(linestring_wkb([(10.4, 50.4)]))  # lone point, far south-west
+        streets = StreetIndex([1] * n, [f"s{j}" for j in range(n)], wkbs,
+                              osm_ids=list(range(n)))
+        entry = streets.by_area[1]
+        lon = np.array([10.4001, 10.52])
+        lat = np.array([50.4001, 50.51])
+        got = streets._knn_top1(entry, lon, lat)
+        assert (got == self._dense(entry, lon, lat)).all()
+        assert got[0] == n - 1  # the lone point wins for the nearby query
+
+    def test_cross_ring_tie_breaks_to_lowest_index(self):
+        """Two streets exactly equidistant from the query but in different
+        rings: the LOWER index must win even when it is discovered later."""
+        from housenumbercore_ray.geo.wkb import linestring_wkb
+        # query at (10.005, 50.005); street 0 is 0.04° north (4 cells up,
+        # later ring), street 1 is 0.04° south shifted to an adjacent cell
+        # column... instead plant exact mirror segments: same |Δlat|.
+        wkbs = [
+            linestring_wkb([(9.95, 50.045), (10.06, 50.045)]),   # north, ring ~4
+            linestring_wkb([(9.95, 49.985), (10.06, 49.985)]),   # south, ring ~1
+        ]
+        # pad with far streets to exceed BRUTE_FORCE_MAX
+        for j in range(8):
+            wkbs.append(linestring_wkb([(10.3 + 0.01 * j, 50.3), (10.31 + 0.01 * j, 50.31)]))
+        streets = StreetIndex([1] * 10, [f"s{j}" for j in range(10)], wkbs,
+                              osm_ids=list(range(10)))
+        entry = streets.by_area[1]
+        lon = np.array([10.005])
+        lat = np.array([50.015])  # 0.03° to both horizontal segments
+        got = streets._knn_top1(entry, lon, lat)
+        assert (got == self._dense(entry, lon, lat)).all()
+        assert got[0] == 0  # index 0 ties and must win despite the later ring
+
+    def test_high_latitude_queries_match_dense(self):
+        """Query points at |lat| ≫ streets' |lat|: the per-group cos bound
+        must stay conservative (old streets-only bound was not)."""
+        from housenumbercore_ray.geo.wkb import linestring_wkb
+        rng = np.random.RandomState(7)
+        n_streets = 12
+        wkbs, names = [], []
+        for j in range(n_streets):
+            x0, y0 = 10 + rng.rand() * 0.1, 70 + rng.rand() * 0.05
+            wkbs.append(linestring_wkb([(x0, y0), (x0 + 0.02, y0 + 0.01)]))
+            names.append(f"s{j}")
+        streets = StreetIndex([1] * n_streets, names, wkbs, osm_ids=list(range(n_streets)))
+        entry = streets.by_area[1]
+        lon = 10 + rng.rand(80) * 0.15 - 0.02
+        lat = 70 + rng.rand(80) * 0.2  # up to 70.2°, above every street
+        got = streets._knn_top1(entry, lon, lat)
+        assert (got == self._dense(entry, lon, lat)).all()
