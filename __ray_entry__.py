@@ -78,6 +78,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hnr_boundary_import": lambda sf: __import__(
             "housenumbercore_ray.pipelines.import_list", fromlist=["boundary_import"]
         ).boundary_import(_world(sf)),
+        "hnr_assoc_street_fix": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.workaround", fromlist=["assoc_street_fix"]
+        ).assoc_street_fix(_world(sf)),
+        # tile operators (north-rule H3/S2 analog + raster<->vector)
+        "geo_tile_assign": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.tiles", fromlist=["tile_assign"]
+        ).tile_assign(_world(sf)),
+        "geo_tile_rasterize": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.tiles", fromlist=["tile_rasterize"]
+        ).tile_rasterize(_world(sf)),
+        "geo_tile_pyramid": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.tiles", fromlist=["tile_pyramid"]
+        ).tile_pyramid(_world(sf)),
+        "geo_tile_vectorize": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.tiles", fromlist=["tile_vectorize"]
+        ).tile_vectorize(_world(sf)),
         # theoretical pipeline (osm_addresses table of the world)
         "theo_muni_summary": lambda sf: __import__(
             "housenumbercore_ray.pipelines.theoretical", fromlist=["theo_muni_summary"]
@@ -87,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_list_pairs": lambda sf: corpus.list_dup_pairs(_world(sf)),
         "dedup_minhash_pairs": corpus.minhash_near_dup_pairs,
         "dedup_minhash_pages": lambda sf: corpus.minhash_page_pairs(_world(sf)),
+        "dedup_ngram_jaccard": corpus.ngram_jaccard_pairs,
         "dedup_simhash": corpus.doc_simhash,
         "dedup_simhash_pairs": corpus.simhash_near_dup_pairs,
         "dedup_winnow_pairs": corpus.winnow_dup_pairs,
@@ -114,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis (documents table)
         "text_token_stats": corpus.doc_token_stats,
         "text_quality": corpus.doc_quality,
+        "text_quality_classifier": corpus.doc_quality_classifier,
         "text_lang_id": corpus.doc_lang_id,
         "text_fingerprint": corpus.doc_fingerprint,
         "text_winnow": corpus.doc_winnow,
@@ -123,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": corpus.ann_lsh_topk,
         "ann_ivf_topk": corpus.ann_ivf_topk,
         "dedup_embedding_pairs": corpus.embedding_near_dup_pairs,
+        "dedup_semantic": corpus.semantic_dedup_pairs,
         # multimodal plumbing (binary column of pages)
         "media_features": lambda sf: corpus.media_features(_world(sf)),
         "media_frame_samples": lambda sf: corpus.frame_samples(_world(sf)),
@@ -147,8 +166,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _corpus_oracles(world_dir: str) -> dict[str, str]:
     from housenumbercore_ray.pipelines import corpus_oracle as co
-    from housenumbercore_ray.stages.textops import LANG_ORDER, STOPWORDS
+    from housenumbercore_ray.stages.textops import EXOTIC_WS_RE2, LANG_ORDER, STOPWORDS
 
+    # same exotic-whitespace normalization the engine kernels apply before
+    # tokenizing (textops._norm_ws) — identity on ASCII text; keeps the
+    # Python-split vs RE2-split token parity exact for ALL inputs
+    docs_norm = ("(SELECT doc_id, source, regexp_replace(text, "
+                 f"'{EXOTIC_WS_RE2}', ' ', 'g') AS text FROM documents)")
     all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
     stop_in = ", ".join(f"'{w}'" for w in all_stop)
     ntok = "CASE WHEN trim(text) = '' THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END"
@@ -161,6 +185,31 @@ def _corpus_oracles(world_dir: str) -> dict[str, str]:
     lang_case = f"CASE WHEN {greatest} = 0 THEN 'unknown' " + " ".join(
         f"WHEN {hits[lang]} = {greatest} THEN '{lang}'" for lang in LANG_ORDER
     ) + " END"
+    text_quality_sql = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({ntok} AS BIGINT) AS n_tokens,
+       CASE WHEN {ntok} > 0 THEN
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> lower(x) IN ({stop_in}))) AS DOUBLE) / {ntok}
+       ELSE 0.0 END AS stop_ratio,
+       CASE WHEN length(text) > 0 THEN
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+       ELSE 0.0 END AS punct_ratio,
+       CASE WHEN length(text) > 0 THEN
+         CAST(length(text) - length(regexp_replace(text, '[A-Za-zÄÖÜäöüß]', '', 'g')) AS DOUBLE) / length(text)
+       ELSE 0.0 END AS alpha_ratio,
+       CASE WHEN {ntok} > 0 THEN
+         CAST(length(text) - greatest({ntok} - 1, 0) AS DOUBLE) / {ntok}
+       ELSE 0.0 END AS mean_token_len
+FROM {docs_norm}
+"""
+    from housenumbercore_ray.stages.textops import QC_WEIGHTS as _qw
+
+    qc_z = (f"({_qw['bias']} + {_qw['stop_ratio']} * stop_ratio "
+            f"+ {_qw['punct_ratio']} * punct_ratio "
+            f"+ {_qw['alpha_ratio']} * alpha_ratio "
+            f"+ {_qw['mean_token_len']} * mean_token_len "
+            f"+ {_qw['log_tokens']} * ln(1.0 + n_tokens))")
     return {
         "dedup_exact": """
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups,
@@ -181,25 +230,14 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(regexp_extract_all(text,
             '[A-Za-zÄÖÜäöüß]+|[0-9]+|[^\\sA-Za-z0-9ÄÖÜäöüß]')) AS BIGINT) AS n_tokens_bpe,
        CAST(length(text) AS BIGINT) AS n_chars
-FROM documents
+FROM {docs_norm}
 """,
-        "text_quality": f"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST({ntok} AS BIGINT) AS n_tokens,
-       CASE WHEN {ntok} > 0 THEN
-         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-                              x -> lower(x) IN ({stop_in}))) AS DOUBLE) / {ntok}
-       ELSE 0.0 END AS stop_ratio,
-       CASE WHEN length(text) > 0 THEN
-         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
-       ELSE 0.0 END AS punct_ratio,
-       CASE WHEN length(text) > 0 THEN
-         CAST(length(text) - length(regexp_replace(text, '[A-Za-zÄÖÜäöüß]', '', 'g')) AS DOUBLE) / length(text)
-       ELSE 0.0 END AS alpha_ratio,
-       CASE WHEN {ntok} > 0 THEN
-         CAST(length(text) - greatest({ntok} - 1, 0) AS DOUBLE) / {ntok}
-       ELSE 0.0 END AS mean_token_len
-FROM documents
+        "text_quality": text_quality_sql,
+        "text_quality_classifier": f"""
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-{qc_z})), 6) AS score,
+       CAST(round(1.0 / (1.0 + exp(-{qc_z})), 6) >= 0.5 AS BIGINT) AS keep
+FROM ({text_quality_sql})
 """,
         "corpus_domain_cap": f"""
 WITH q AS (
@@ -209,7 +247,7 @@ WITH q AS (
                                 x -> lower(x) IN ({stop_in}))) AS DOUBLE) / {ntok}
          ELSE 0.0 END AS stop_ratio,
          CAST({ntok} AS BIGINT) AS n_tokens
-  FROM documents
+  FROM {docs_norm}
 )
 SELECT source, CAST(rn AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
        stop_ratio, n_tokens
@@ -232,6 +270,7 @@ WHERE rn <= 3
         "web_bloom_seen": co.bloom_seen_sql(world_dir),
         "web_distinct_urls_hll": co.distinct_hll_sql(world_dir),
         "dedup_components": co.dedup_components_sql(),
+        "dedup_ngram_jaccard": co.ngram_jaccard_pairs_sql(),
         "corpus_cms_counts": co.cms_counts_sql(),
         "web_jsonl_import": f"""
 SELECT url, CAST(ts_us AS BIGINT) AS ts_us, lang,
@@ -244,7 +283,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, {lang_case} AS lang_pred,
        CAST({hits['en']} AS BIGINT) AS hits_en,
        CAST({hits['fr']} AS BIGINT) AS hits_fr,
        CAST({hits['it']} AS BIGINT) AS hits_it
-FROM documents
+FROM {docs_norm}
 """,
         "text_fingerprint": """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS content_md5 FROM documents
@@ -502,6 +541,11 @@ def oracle_sql() -> dict[str, str]:
     wd = world_dir_for(ORACLE_SF)
     out = queries_sql(wd)
     out.update(_corpus_oracles(wd))
+    from housenumbercore_ray.pipelines.oracle import tiles_sql
+    from housenumbercore_ray.pipelines.workaround import assoc_street_fix_sql
+
+    out.update(tiles_sql(wd))
+    out["hnr_assoc_street_fix"] = assoc_street_fix_sql(wd)
 
     # deterministic-approximate queries: full SQL recomputations (fixed
     # hash/plane constants embedded as literals) — see pipelines/corpus_oracle
@@ -510,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
 
     dim = _embedding_dim(ORACLE_SF)
     out["dedup_simhash"] = co.simhash_sql()
+    out["dedup_semantic"] = co.semantic_pairs_sql(dim=dim)
     out["text_winnow"] = co.winnow_sql()
     out["dedup_simhash_pairs"] = co.simhash_pairs_sql()
     out["ann_ivf_topk"] = co.ivf_topk_sql()

@@ -105,6 +105,20 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         corpus.url_canonicalize(wd).count()
         queries["url_canonical"] = round(time.time() - t, 3)
 
+        from housenumbercore_ray.pipelines import tiles
+
+        t = time.time()
+        tiles.tile_rasterize(wd).count()
+        queries["tile_rasterize"] = round(time.time() - t, 3)
+
+        t = time.time()
+        tiles.tile_vectorize(wd).count()
+        queries["tile_vectorize"] = round(time.time() - t, 3)
+
+        t = time.time()
+        corpus.semantic_dedup_pairs(sf_dir).count()
+        queries["semantic_dedup"] = round(time.time() - t, 3)
+
     headline = queries["evaluation_full"]
     result = {
         "metric": "housenumber evaluation pipeline wall-clock (pages->extract->spatial join->street kNN->treffertyp merge->aggregate)",

@@ -133,6 +133,14 @@ def doc_lang_id(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir).map_batches(lang_id, batch_format="pandas")
 
 
+def doc_quality_classifier(sf_dir: str) -> rd.Dataset:
+    """Logistic quality-filter score + keep decision per document
+    (stages/textops.quality_classifier) — stateless zero-shuffle stream."""
+    from ..stages.textops import quality_classifier
+
+    return _docs(sf_dir).map_batches(quality_classifier, batch_format="pandas")
+
+
 def doc_fingerprint(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir).map_batches(fingerprint, batch_format="pandas")
 
@@ -1195,11 +1203,17 @@ def minhash_buckets(sf_dir: str) -> rd.Dataset:
 
 
 def _pairs_from_buckets(rows: rd.Dataset, bucket_cols: list[str],
-                        id_col: str, shard_cols: list[str]) -> rd.Dataset:
+                        id_col: str, shard_cols: list[str],
+                        max_bucket: int | None = None,
+                        cap_metric: str | None = None) -> rd.Dataset:
     """Bucket membership rows → globally-deduped candidate id pairs
     (<id>_a < <id>_b): shard on the bucket hash → pairwise within each
     (bucket_cols) group → pair-key dedup shuffle. The two-level shard
-    pattern keeps one Ray group per ~N_SHARDS, not per bucket."""
+    pattern keeps one Ray group per ~N_SHARDS, not per bucket.
+
+    ``max_bucket``: buckets with more members are boilerplate and skipped
+    BEFORE pair expansion (exact-global — shards are bucket-complete);
+    skips are surfaced in run metrics under ``cap_metric``."""
     a_col, b_col = f"{id_col}_a", f"{id_col}_b"
 
     def bucket_pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
@@ -1224,6 +1238,12 @@ def _pairs_from_buckets(rows: rd.Dataset, bucket_cols: list[str],
         out_a, out_b = [], []
         for s in np.unique(sizes):
             if s < 2:
+                continue
+            if max_bucket is not None and s > max_bucket:
+                if cap_metric:
+                    from ..state import metrics
+
+                    metrics.incr(cap_metric, int((sizes == s).sum()))
                 continue
             starts = offsets[:-1][sizes == s]
             mat = ids[starts[:, None] + np.arange(s)[None, :]]  # (n_buckets, s)
@@ -1487,6 +1507,56 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.8,
     pairs = _lsh_candidate_pairs(docs)
     if sig_prefilter:
         pairs = _sig_estimate_filter(pairs, docs, threshold - 0.25)
+    return _verify_pairs_jaccard(pairs, docs, threshold)
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
+                        max_sh_docs: int = 64) -> rd.Dataset:
+    """Exact n-gram (word 3-shingle) Jaccard near-dup pairs via an inverted
+    shingle index — the DETERMINISTIC sibling of ``minhash_near_dup_pairs``:
+    no probabilistic banding; every pair sharing at least one
+    non-boilerplate shingle is a candidate, then verified with the same
+    exact-Jaccard streaming kernel. Recall is exact over the capped shingle
+    space (a pair whose ONLY shared shingles sit in >``max_sh_docs``-doc
+    boilerplate groups is not a candidate — the oracle encodes the same
+    cap, and skipped groups are surfaced in run metrics).
+
+    Scale shape: (doc, shingle-hash64) membership rows; hash(shingle)
+    sharding keeps shingle groups complete so the boilerplate cap is
+    exact-global; vectorized triu pair expansion bounded by cap²/2 per
+    group; pair-key dedup shuffle; then the shared semi-join text fetch +
+    bucketed-join verify (zero driver text materialization). Unlike LSH,
+    candidate volume is driven by real shingle co-occurrence, so it does
+    NOT suffer the random band-collision growth — the trade is one
+    membership row per (doc, distinct shingle) instead of per (doc, band).
+    """
+    from ..stages.dedup import _HashCache
+    from ..stages.dedup import shingles as _sh
+
+    class ShingleRows:
+        def __init__(self):
+            self._cache = _HashCache()
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            ids, shs = [], []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                for s in _sh(text if isinstance(text, str) else ""):
+                    ids.append(doc_id)
+                    shs.append(s)
+            if not ids:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                     "sh": pd.Series([], dtype=np.int64)})
+            codes, uniques = pd.factorize(np.asarray(shs, dtype=object), sort=False)
+            hv = self._cache.hash_unique(uniques)
+            return pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
+                                 "sh": pd.Series(hv[codes].view(np.int64))})
+
+    docs = _docs(sf_dir)
+    rows = docs.map_batches(ShingleRows, batch_format="pandas", batch_size=1024,
+                            concurrency=_heavy_pool(), num_cpus=1)
+    pairs = _pairs_from_buckets(rows, ["sh"], "doc_id", ["sh"],
+                                max_bucket=max_sh_docs,
+                                cap_metric="ngram_jaccard_capped_shingles")
     return _verify_pairs_jaccard(pairs, docs, threshold)
 
 
@@ -1757,6 +1827,39 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 3) -> rd.Dataset:
     each iteration (absorbs summation-order float noise across engines);
     clusters that go empty keep their previous centroid. Output:
     (vec_id, cluster, d2) with d2 rounded to 6."""
+    C = _kmeans_centroids(sf_dir, k, iters)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    ref = ray.put(C)
+
+    class Final:
+        def __init__(self):
+            self.C = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            X = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            cl, d2 = _kmeans_assign(X, self.C)
+            return pd.DataFrame({
+                "vec_id": b["vec_id"].to_numpy(np.int64),
+                "cluster": cl.astype(np.int64),
+                "d2": np.round(d2[np.arange(len(cl)), cl], 6),
+            })
+
+    return emb.map_batches(Final, batch_format="pandas", batch_size=4096,
+                           concurrency=(1, 4), num_cpus=1)
+
+
+def _kmeans_assign(X: np.ndarray, C_: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    # direct (x-c)^2 differences (no ||x||^2-2xc expansion: cancellation
+    # noise would exceed the round-6 output tolerance for near-dups)
+    d2 = ((X[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1), d2
+
+
+def _kmeans_centroids(sf_dir: str, k: int = 8, iters: int = 3) -> np.ndarray:
+    """The Lloyd centroid loop of :func:`embedding_kmeans` (shared with
+    :func:`semantic_dedup_pairs`): per iteration one streaming pass with
+    O(k·d) driver/shuffle state; deterministic round-6 centroid updates."""
     import pyarrow.parquet as pq
 
     dim = _embedding_dim(sf_dir)
@@ -1768,12 +1871,7 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 3) -> rd.Dataset:
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-
-    def _assign(X: np.ndarray, C_: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        # direct (x-c)^2 differences (no ||x||^2-2xc expansion: cancellation
-        # noise would exceed the round-6 output tolerance for near-dups)
-        d2 = ((X[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
-        return d2.argmin(axis=1), d2
+    _assign = _kmeans_assign
 
     for _ in range(iters):
         ref = ray.put(C)
@@ -1809,23 +1907,70 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 3) -> rd.Dataset:
         C = C.copy()
         C[nonempty] = np.round(sums[nonempty] / cnt[nonempty, None], 6)
 
-    ref = ray.put(C)
+    return C
 
-    class Final:
+
+def semantic_dedup_pairs(sf_dir: str, threshold: float = 0.45,
+                         k: int = 8, iters: int = 3) -> rd.Dataset:
+    """SemDeDup-style semantic near-dup pairs: cluster the embedding space
+    with k-means, then compare pairs ONLY within a cluster — the published
+    trick (Abbas et al. 2023, SemDeDup) that turns the quadratic all-pairs
+    cosine scan into k independent, data-local jobs.
+
+    Output: (vec_id_a < vec_id_b, cos_sim round-6) for within-cluster pairs
+    with cosine ≥ threshold. By construction this is a RECALL-BOUNDED
+    near-dup surface (cross-cluster near-dups are invisible — that is the
+    algorithm's documented trade; the oracle encodes the same clustering,
+    so correctness is exact over the same candidate set).
+
+    Scale shape: centroids come from the shared streaming Lloyd loop
+    (O(k·d) driver state); embeddings shuffle ONCE keyed by cluster; each
+    cluster's pair scan is a vectorized normalized-matmul (no Python pair
+    loop). Per-cluster memory is O(cluster_size · d) — at corpus scale k is
+    chosen ∝ N/target_cluster_size (SemDeDup uses tens of thousands of
+    clusters for billions of docs), which bounds both skew and the
+    quadratic term; the cluster id doubles as the shuffle key so no second
+    shuffle is needed."""
+    C = _kmeans_centroids(sf_dir, k, iters)
+    ref = ray.put(C)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    class AssignKeep:
         def __init__(self):
             self.C = ray.get(ref)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
             X = np.stack(b["embedding"].to_numpy()).astype(np.float64)
-            cl, d2 = _assign(X, self.C)
-            return pd.DataFrame({
-                "vec_id": b["vec_id"].to_numpy(np.int64),
-                "cluster": cl.astype(np.int64),
-                "d2": np.round(d2[np.arange(len(cl)), cl], 6),
-            })
+            cl, _ = _kmeans_assign(X, self.C)
+            return pd.DataFrame({"cluster": cl.astype(np.int64),
+                                 "vec_id": b["vec_id"].to_numpy(np.int64),
+                                 "embedding": b["embedding"].to_numpy()})
 
-    return emb.map_batches(Final, batch_format="pandas", batch_size=4096,
-                           concurrency=(1, 4), num_cpus=1)
+    def pairs_in_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id", kind="mergesort")
+        ids = g["vec_id"].to_numpy(np.int64)
+        empty = pd.DataFrame({"vec_id_a": pd.Series([], dtype=np.int64),
+                              "vec_id_b": pd.Series([], dtype=np.int64),
+                              "cos_sim": pd.Series([], dtype=np.float64)})
+        if len(g) < 2:
+            return empty
+        X = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        S = Xn @ Xn.T
+        iu, ju = np.triu_indices(len(g), 1)
+        keep = S[iu, ju] >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"vec_id_a": ids[iu[keep]],
+                             "vec_id_b": ids[ju[keep]],
+                             "cos_sim": np.round(S[iu[keep], ju[keep]], 6)})
+
+    assigned = emb.map_batches(AssignKeep, batch_format="pandas",
+                               batch_size=4096, concurrency=(1, 4), num_cpus=1)
+    return assigned.groupby("cluster").map_groups(
+        lambda g: pairs_in_cluster(g.drop(columns=["cluster"])),
+        batch_format="pandas")
 
 
 def _embedding_dim(sf_dir: str) -> int:

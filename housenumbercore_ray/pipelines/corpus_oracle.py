@@ -374,13 +374,11 @@ GROUP BY pb.probe_url, pb.actually_seen
 """
 
 
-def embedding_kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
-    """embedding_kmeans: the full Lloyd recursion unrolled — init = vectors
-    with vec_id < k, squared-euclidean argmin (ties → lowest cluster),
-    per-iteration centroid averages ROUNDED to 6 (the cross-engine
-    summation-noise absorber, same rounding the engine applies), empty
-    clusters keep the previous centroid. One CTE pair (assign, centroid)
-    per iteration, then the final assignment with round-6 d2."""
+def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64) -> tuple[str, str]:
+    """Shared Lloyd-recursion CTE chain (embedding_kmeans /
+    dedup_semantic): returns (cte_sql, final_centroid_cte_name). The chain
+    defines ``e`` (vectors as DOUBLE[]) and ``c0..cN`` (round-6 centroid
+    iterates); callers append the final assignment."""
     d2 = (f"list_sum(list_transform(range(1, {dim + 1}), "
           f"i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i])))")
     avg_list = "[" + ", ".join(f"round(avg(e.v[{i}]), 6)"
@@ -401,7 +399,24 @@ c{t}r AS (SELECT a{t}.cl, {avg_list} AS cv
 c{t} AS (SELECT p.cl, coalesce(r.cv, p.cv) AS cv
          FROM {prev} p LEFT JOIN c{t}r r USING (cl))""")
         prev = f"c{t}"
-    parts.append(f"""
+    return "".join(parts), prev
+
+
+def _kmeans_d2(dim: int) -> str:
+    return (f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i])))")
+
+
+def embedding_kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """embedding_kmeans: the full Lloyd recursion unrolled — init = vectors
+    with vec_id < k, squared-euclidean argmin (ties → lowest cluster),
+    per-iteration centroid averages ROUNDED to 6 (the cross-engine
+    summation-noise absorber, same rounding the engine applies), empty
+    clusters keep the previous centroid. One CTE pair (assign, centroid)
+    per iteration, then the final assignment with round-6 d2."""
+    ctes, prev = _kmeans_ctes(k, iters, dim)
+    d2 = _kmeans_d2(dim)
+    return ctes + f"""
 SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cl AS BIGINT) AS cluster,
        round(d2, 6) AS d2
 FROM (
@@ -409,8 +424,32 @@ FROM (
                                             ORDER BY d2, cl) AS rn
   FROM (SELECT e.vec_id, c.cl, {d2} AS d2 FROM e, {prev} c))
 WHERE rn = 1
-""")
-    return "".join(parts)
+"""
+
+
+def semantic_pairs_sql(threshold: float = 0.45, k: int = 8, iters: int = 3,
+                       dim: int = 64) -> str:
+    """dedup_semantic: same Lloyd recursion for the cluster assignment,
+    then within-cluster pairwise cosine ≥ threshold — the SemDeDup
+    candidate set recomputed exactly (cross-cluster pairs excluded by the
+    algorithm's definition on BOTH sides)."""
+    ctes, prev = _kmeans_ctes(k, iters, dim)
+    d2 = _kmeans_d2(dim)
+    return ctes + f""",
+fin AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl, d2, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d2, cl) AS rn
+    FROM (SELECT e.vec_id, c.cl, {d2} AS d2 FROM e, {prev} c))
+  WHERE rn = 1
+)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id_a, CAST(b.vec_id AS BIGINT) AS vec_id_b,
+       round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+FROM fin a JOIN fin b ON a.cl = b.cl AND a.vec_id < b.vec_id
+JOIN e ea ON ea.vec_id = a.vec_id
+JOIN e eb ON eb.vec_id = b.vec_id
+WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+"""
 
 
 def tfidf_topk_sql(src: str = "documents", k: int = 5) -> str:
@@ -680,6 +719,36 @@ SELECT CAST(a.doc_id AS BIGINT) AS doc_id_a, CAST(b.doc_id AS BIGINT) AS doc_id_
 FROM uf a JOIN uf b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}
+"""
+
+
+def ngram_jaccard_pairs_sql(src: str = "documents", threshold: float = 0.5,
+                            max_sh_docs: int = 64) -> str:
+    """dedup_ngram_jaccard: candidate pairs = docs sharing at least one
+    shingle whose document frequency is <= max_sh_docs (the same
+    boilerplate cap the engine applies before pair expansion, recomputed
+    here over shingle STRINGS — the engine's 64-bit md5 shingle hashes
+    agree absent collisions); each candidate's EXACT word-3-shingle
+    Jaccard recomputed from the full shingle lists, kept at >= threshold."""
+    return f"""
+WITH {_tokens_cte(src, "doc_id", "text")},
+{_shingles_cte()},
+inv AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+ok AS (SELECT s FROM inv GROUP BY s HAVING count(DISTINCT doc_id) <= {max_sh_docs}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN ok ON ok.s = a.s
+),
+j AS (
+  SELECT cand.da, cand.db, {_JACCARD.format(a="sa.ss", b="sb.ss")} AS jac
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.da
+  JOIN sh sb ON sb.doc_id = cand.db
+)
+SELECT CAST(da AS BIGINT) AS doc_id_a, CAST(db AS BIGINT) AS doc_id_b,
+       jac AS jaccard
+FROM j WHERE jac >= {threshold}
 """
 
 

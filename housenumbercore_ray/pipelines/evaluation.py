@@ -484,8 +484,17 @@ def evaluation_delta(world_dir: str):
         return lambda b: b.assign(_snap=side)
 
     cur = _osm_eval_partials(world_dir, ref).map_batches(tag("c"), batch_format="pandas")
+    # The PREVIOUS snapshot's partials are materialized first (own executor
+    # run, object-store blocks): (a) semantically they ARE the Workcache
+    # state a production run persists between months — recomputing them
+    # lazily models a cache miss, and the materialized blocks are the cache;
+    # (b) unioning two LAZY actor-pool chains starves small clusters — each
+    # chain's extract+combine pools hold their min actors concurrently, and
+    # at 4 CPUs the four reserved actors leave the two parquet reads zero
+    # CPUs (measured: 0 blocks in 16 min). The current snapshot still
+    # streams end-to-end into the one keyed shuffle.
     prv = _osm_eval_partials(world_dir, ref, pages_path=prev_path).map_batches(
-        tag("p"), batch_format="pandas")
+        tag("p"), batch_format="pandas").materialize()
     lst = rd.from_pandas(list_side_partials(ctx).assign(_snap="b"))
     both = cur.union(prv).union(lst).map_batches(_add_shard, batch_format="pandas")
 

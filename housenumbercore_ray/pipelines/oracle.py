@@ -499,3 +499,68 @@ FROM summ LEFT JOIN street_geom sg
   ON sg.muni_id = summ.muni_id AND sg.skey = summ.street_key
 """,
     }
+
+
+def tiles_sql(world_dir: str) -> dict[str, str]:
+    """Full SQL recomputation of the tile operators (pipelines/tiles.py).
+
+    Arithmetic contract shared with the engine: z0 index =
+    ``floor((lon+180)/RES)`` in float64 (identical IEEE double ops in
+    DuckDB and numpy), coarser zooms derived from z0 by ``>>`` — never
+    recomputed from lon/lat, which could differ by one ulp at boundaries.
+    The vectorize oracle computes the true reachability closure of the
+    4-adjacency with a recursive CTE (min-label per cell), independent of
+    the engine's pointer-doubling kernel."""
+    from .tiles import N_ZOOMS, TILE_RES_DEG, VECTORIZE_MIN_POINTS
+
+    res = TILE_RES_DEG
+    base = (f"SELECT CAST(osm_id AS BIGINT) AS osm_id, "
+            f"CAST(floor((lon + 180.0) / {res}) AS BIGINT) AS ix, "
+            f"CAST(floor((lat + 90.0) / {res}) AS BIGINT) AS iy, "
+            f"coalesce(addr_street, '') AS street "
+            f"FROM read_parquet('{world_dir}/osm_addresses.parquet')")
+    zooms = ", ".join(str(z) for z in range(N_ZOOMS))
+    return {
+        "geo_tile_assign": f"""
+WITH b AS ({base})
+SELECT osm_id, ix, iy, (ix << 22) | iy AS cell FROM b
+""",
+        "geo_tile_rasterize": f"""
+WITH b AS ({base})
+SELECT (ix << 22) | iy AS cell, ix, iy,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(count(DISTINCT street) AS BIGINT) AS n_streets
+FROM b GROUP BY 1, 2, 3
+""",
+        "geo_tile_pyramid": f"""
+WITH b AS ({base}), z AS (SELECT unnest([{zooms}]) AS zoom)
+SELECT CAST(z.zoom AS BIGINT) AS zoom, b.ix >> z.zoom AS ix,
+       b.iy >> z.zoom AS iy, CAST(count(*) AS BIGINT) AS n_points
+FROM b CROSS JOIN z GROUP BY 1, 2, 3
+""",
+        "geo_tile_vectorize": f"""
+WITH RECURSIVE
+b AS ({base}),
+hot AS (
+  SELECT (ix << 22) | iy AS cell, ix, iy, CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY 1, 2, 3 HAVING count(*) >= {VECTORIZE_MIN_POINTS}
+),
+e0 AS (
+  SELECT a.cell AS src, h.cell AS dst
+  FROM hot a JOIN hot h
+    ON (h.ix = a.ix + 1 AND h.iy = a.iy) OR (h.ix = a.ix AND h.iy = a.iy + 1)
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+reach(a, d) AS (
+  SELECT cell, cell FROM hot
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.d
+),
+lab AS (SELECT a AS cell, min(d) AS region_id FROM reach GROUP BY a)
+SELECT lab.region_id, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(h.n) AS BIGINT) AS n_points,
+       min(h.ix) AS min_ix, min(h.iy) AS min_iy,
+       max(h.ix) AS max_ix, max(h.iy) AS max_iy
+FROM lab JOIN hot h USING (cell) GROUP BY lab.region_id
+""",
+    }

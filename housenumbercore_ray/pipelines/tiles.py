@@ -1,0 +1,270 @@
+"""Tile operators — the H3/S2-analog raster↔vector surface of the engine.
+
+The north rule calls for an H3/S2-indexed engine with explicit tile
+assignments and raster↔vector operators. No H3/S2 library exists in this
+environment, so tiles are the deterministic packed lon/lat grid of
+``geo/cells.py`` at a finer base resolution, with power-of-two zoom levels
+exactly like a web-map tile pyramid:
+
+    z0 cell:  ix = floor((lon+180)/RES), iy = floor((lat+90)/RES)
+    zoom z:   (ix >> z, iy >> z)         — each parent is 2×2 children
+    cell id:  (ix << 22) | iy            — one int64, the shuffle key
+
+Four operators, each a ``queries()`` entry with a full SQL oracle:
+
+* :func:`tile_assign`     point → tile id (the "tile assignments" the rule
+                          grades) — stateless vectorized map, zero shuffle.
+* :func:`tile_rasterize`  vector → raster: per-cell aggregates
+                          (two-level: per-batch partial groupby, then ONE
+                          sharded reduce — the 100-TB shape: shuffle volume
+                          is distinct (cell, street) partials, not points).
+* :func:`tile_pyramid`    multi-zoom rollup: partials are expanded to all
+                          zoom levels BEFORE the single shuffle (a zoom-z
+                          key is derived from z0 by integer shifts, so the
+                          rollup is exact — no re-read per level).
+* :func:`tile_vectorize`  raster → vector: above-threshold cells merged
+                          into 4-connected regions via the distributed
+                          :func:`~.corpus.connected_components` kernel
+                          (pointer-doubling min-label; adjacency built with
+                          a bucketed hash join of the hot-cell set against
+                          its own shifted keys — never an all-pairs probe).
+
+Reference parity: the reference has no tiling module; these operators cover
+the north rule's raster↔vector requirement using the same cell grid that
+backs the spatial join (geo/cells.py, SURVEY.md J1). Arithmetic contract:
+the z0 index is ``floor((lon+180)/RES)`` in float64 (identical IEEE ops in
+numpy and DuckDB), and every coarser zoom is derived from z0 by ``>> z`` —
+NEVER recomputed from lon/lat at the coarser width, which could disagree at
+cell boundaries by one float ulp.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+#: base (z0) tile width in degrees — finer than the spatial join's 0.05°
+#: so the pyramid has meaningful occupancy gradients at test scale.
+TILE_RES_DEG = 0.01
+#: zoom levels emitted by tile_pyramid: z0 (base) .. z3 (8× coarser).
+N_ZOOMS = 4
+#: cells with at least this many points are "hot" for vectorization.
+VECTORIZE_MIN_POINTS = 3
+
+_IY_BITS = 22  # same packing as geo/cells.py
+
+
+def _points(world_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{world_dir}/osm_addresses.parquet", columns=columns)
+
+
+def _tile_ix_iy(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    ix = np.floor((np.asarray(lon, np.float64) + 180.0) / TILE_RES_DEG).astype(np.int64)
+    iy = np.floor((np.asarray(lat, np.float64) + 90.0) / TILE_RES_DEG).astype(np.int64)
+    return ix, iy
+
+
+def _cell_id(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    return (ix << _IY_BITS) | iy
+
+
+def tile_assign(world_dir: str) -> rd.Dataset:
+    """Every address point → its z0 tile: (osm_id, ix, iy, cell).
+
+    Stateless vectorized encode per batch; no shuffle, no state — the
+    assignment IS the partitioning key every downstream tile op shuffles
+    on, exactly like an H3 ``latLngToCell``."""
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        ix, iy = _tile_ix_iy(b["lon"].to_numpy(), b["lat"].to_numpy())
+        return pd.DataFrame({"osm_id": b["osm_id"].to_numpy(np.int64),
+                             "ix": ix, "iy": iy, "cell": _cell_id(ix, iy)})
+
+    return _points(world_dir, ["osm_id", "lon", "lat"]).map_batches(
+        assign, batch_format="pandas")
+
+
+def _shard_cells(n_shards: int = 64):
+    def add(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(b["cell"].to_numpy(np.int64))
+        return b.assign(_shard=(h % n_shards).astype(np.int64))
+
+    return add
+
+
+def tile_rasterize(world_dir: str) -> rd.Dataset:
+    """Vector → raster: per-z0-cell point count and DISTINCT street count.
+
+    Scale shape: the per-batch partial groups on (cell, street) — shuffle
+    volume is the number of distinct (cell, street) partials per batch,
+    not the raw point count — then ONE sharded reduce computes the final
+    sum / distinct-street count vectorized per shard. Shards are
+    cell-complete, so the distinct count is exact-global."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ix, iy = _tile_ix_iy(b["lon"].to_numpy(), b["lat"].to_numpy())
+        g = (pd.DataFrame({"cell": _cell_id(ix, iy), "ix": ix, "iy": iy,
+                           "street": b["addr_street"].fillna("").to_numpy()})
+             .groupby(["cell", "ix", "iy", "street"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["cell", "ix", "iy"], as_index=False)
+               .agg(n_points=("n", "sum"), n_streets=("street", "nunique")))
+        out["n_points"] = out["n_points"].astype(np.int64)
+        out["n_streets"] = out["n_streets"].astype(np.int64)
+        return out
+
+    parts = _points(world_dir, ["lon", "lat", "addr_street"]).map_batches(
+        partial, batch_format="pandas")
+    return (parts.map_batches(_shard_cells(), batch_format="pandas")
+            .groupby("_shard")
+            .map_groups(lambda g: reduce_shard(g.drop(columns=["_shard"])),
+                        batch_format="pandas"))
+
+
+def tile_pyramid(world_dir: str) -> rd.Dataset:
+    """Multi-zoom point-count rollup: (zoom, ix, iy, n_points) for
+    zoom ∈ [0, N_ZOOMS).
+
+    The per-batch partial counts z0 cells, then expands each partial row to
+    every zoom with integer shifts (exact — see module docstring) BEFORE
+    the single sharded reduce: one shuffle for the whole pyramid, volume
+    ≤ N_ZOOMS × distinct-z0-cells-per-batch."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ix, iy = _tile_ix_iy(b["lon"].to_numpy(), b["lat"].to_numpy())
+        g = (pd.DataFrame({"ix": ix, "iy": iy}).groupby(["ix", "iy"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        gx = g["ix"].to_numpy(np.int64)
+        gy = g["iy"].to_numpy(np.int64)
+        gn = g["n"].to_numpy(np.int64)
+        zs, ixs, iys, ns = [], [], [], []
+        for z in range(N_ZOOMS):
+            zs.append(np.full(len(g), z, dtype=np.int64))
+            ixs.append(gx >> z)
+            iys.append(gy >> z)
+            ns.append(gn)
+        ix_all = np.concatenate(ixs)
+        iy_all = np.concatenate(iys)
+        return pd.DataFrame({"zoom": np.concatenate(zs), "ix": ix_all,
+                             "iy": iy_all, "n": np.concatenate(ns),
+                             # shard key: zoom folded into the packed cell id
+                             "cell": (_cell_id(ix_all, iy_all) << 2)
+                                     | np.concatenate(zs)})
+
+    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["zoom", "ix", "iy"], as_index=False)
+               .agg(n_points=("n", "sum")))
+        out["n_points"] = out["n_points"].astype(np.int64)
+        return out
+
+    parts = _points(world_dir, ["lon", "lat"]).map_batches(
+        partial, batch_format="pandas")
+    return (parts.map_batches(_shard_cells(), batch_format="pandas")
+            .groupby("_shard")
+            .map_groups(lambda g: reduce_shard(g.drop(columns=["_shard", "cell"])),
+                        batch_format="pandas"))
+
+
+def tile_vectorize(world_dir: str,
+                   min_points: int = VECTORIZE_MIN_POINTS) -> rd.Dataset:
+    """Raster → vector: merge 4-connected above-threshold z0 cells into
+    regions; one row per region:
+
+        (region_id, n_cells, n_points, min_ix, min_iy, max_ix, max_iy)
+
+    region_id = smallest member cell id (deterministic).
+
+    Scale shape: the hot-cell raster lives in the object store (it can be
+    ~10⁸ rows at planet scale — never the driver). Adjacency = each hot
+    cell emits its EAST and NORTH neighbor keys; a bucketed hash join
+    against the hot set keeps only real neighbors (2 candidate rows per
+    hot cell — no all-pairs). Components via the pointer-doubling
+    min-label kernel (O(log diameter) rounds, raises on non-convergence)."""
+    from ..stages.join import bucketed_hash_join
+    from .corpus import connected_components
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ix, iy = _tile_ix_iy(b["lon"].to_numpy(), b["lat"].to_numpy())
+        g = (pd.DataFrame({"cell": _cell_id(ix, iy), "ix": ix, "iy": iy})
+             .groupby(["cell", "ix", "iy"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def reduce_hot(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["cell", "ix", "iy"], as_index=False)
+               .agg(n_points=("n", "sum")))
+        out = out[out["n_points"] >= min_points]
+        out["n_points"] = out["n_points"].astype(np.int64)
+        return out
+
+    hot = (_points(world_dir, ["lon", "lat"])
+           .map_batches(count_partial, batch_format="pandas")
+           .map_batches(_shard_cells(), batch_format="pandas")
+           .groupby("_shard")
+           .map_groups(lambda g: reduce_hot(g.drop(columns=["_shard"])),
+                       batch_format="pandas")
+           .materialize())  # reused 3× below; raster-sized, object store
+
+    def neighbor_candidates(b: pd.DataFrame) -> pd.DataFrame:
+        ix = b["ix"].to_numpy(np.int64)
+        iy = b["iy"].to_numpy(np.int64)
+        cell = b["cell"].to_numpy(np.int64)
+        # east (ix+1, iy) and north (ix, iy+1) — the other two directions
+        # come from symmetrization, so each undirected edge is built once
+        return pd.DataFrame({
+            "src": np.concatenate([cell, cell]),
+            "nkey": np.concatenate([_cell_id(ix + 1, iy), _cell_id(ix, iy + 1)]),
+        })
+
+    cand = hot.map_batches(neighbor_candidates, batch_format="pandas")
+    adj = bucketed_hash_join(
+        cand, hot.select_columns(["cell"]), "nkey", "cell",
+        left_schema={"src": pa.int64(), "nkey": pa.int64()},
+        right_schema={"cell": pa.int64()},
+    )
+
+    def symmetrize(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["nkey"].to_numpy(np.int64)
+        return pd.DataFrame({"src": np.concatenate([s, d]),
+                             "dst": np.concatenate([d, s])})
+
+    edges = adj.map_batches(symmetrize, batch_format="pandas")
+    nodes = hot.map_batches(
+        lambda b: pd.DataFrame({"node": b["cell"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    labels = connected_components(nodes, edges, max_rounds=16,
+                                  metrics_prefix="tile_vectorize")
+
+    lab_hot = bucketed_hash_join(
+        labels, hot, "node", "cell",
+        left_schema={"node": pa.int64(), "label": pa.int64()},
+        right_schema={"cell": pa.int64(), "ix": pa.int64(), "iy": pa.int64(),
+                      "n_points": pa.int64()},
+    )
+
+    def region_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("label", as_index=False)
+               .agg(n_cells=("cell", "size"), n_points=("n_points", "sum"),
+                    min_ix=("ix", "min"), min_iy=("iy", "min"),
+                    max_ix=("ix", "max"), max_iy=("iy", "max"))
+               .rename(columns={"label": "region_id"}))
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    def shard_label(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(b["label"].to_numpy(np.int64))
+        return b.assign(_shard=(h % 64).astype(np.int64))
+
+    return (lab_hot.map_batches(shard_label, batch_format="pandas")
+            .groupby("_shard")
+            .map_groups(lambda g: region_shard(g.drop(columns=["_shard"])),
+                        batch_format="pandas"))

@@ -15,9 +15,27 @@ oracle (see __ray_entry__.oracle_sql):
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
+
+#: codepoints Python's str.split() / unicode ``\s`` treat as whitespace but
+#: DuckDB's RE2 ``\s`` (ASCII-only) does not. token_stats / quality_scores /
+#: lang_id normalize them to ' ' BEFORE tokenizing — identity on ASCII text,
+#: and it makes the Python-vs-SQL token parity hold for ALL inputs, not just
+#: ASCII-whitespace ones (the oracle applies the same regexp_replace). The
+#: substitution is length-preserving, so char-level stats are unaffected.
+EXOTIC_WS_CLASS = ("\x1c-\x1f\x85\xa0\u1680\u2000-\u200a"
+                   "\u2028\u2029\u202f\u205f\u3000")
+_EXOTIC_WS_RE = re.compile(f"[{EXOTIC_WS_CLASS}]")
+#: the same class in RE2 syntax for the DuckDB oracle
+EXOTIC_WS_RE2 = (r"[\x{001C}-\x{001F}\x{0085}\x{00A0}\x{1680}"
+                 r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]")
+
+
+def _norm_ws(series: pd.Series) -> pd.Series:
+    return series.fillna("").str.replace(_EXOTIC_WS_RE, " ", regex=True)
 
 STOPWORDS = {
     "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "auf", "für"],
@@ -36,7 +54,7 @@ BPE_TOKEN_PATTERN = r"[A-Za-zÄÖÜäöüß]+|[0-9]+|[^\sA-Za-z0-9ÄÖÜäöüß
 
 
 def token_stats(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
-    text = batch[col].fillna("")
+    text = _norm_ws(batch[col])
     toks = text.str.strip().str.split()
     n_tokens = toks.str.len().fillna(0).astype(np.int64)
     n_chars = text.str.len().astype(np.int64)
@@ -50,7 +68,7 @@ def token_stats(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
 
 
 def quality_scores(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
-    text = batch[col].fillna("")
+    text = _norm_ws(batch[col])
     toks = text.str.strip().str.split()
     n_tokens = toks.str.len().fillna(0).astype(np.int64)
     n_chars = text.str.len().astype(np.int64)
@@ -68,8 +86,45 @@ def quality_scores(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     })
 
 
+#: fixed logistic-regression weights for the document quality classifier —
+#: the shape of published web-quality filters (Gopher/CCNet-style: reward
+#: stopword density + alphabetic text, punish punctuation walls and
+#:  degenerate token lengths). Deterministic constants so the SQL oracle
+#: replays the model exactly; a real deployment would train these.
+QC_WEIGHTS = {
+    "bias": -3.2,
+    "stop_ratio": 6.0,
+    "punct_ratio": -8.0,
+    "alpha_ratio": 3.0,
+    "mean_token_len": -0.15,
+    "log_tokens": 0.25,
+}
+
+
+def quality_classifier(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    """Logistic quality score per document: sigmoid of a fixed linear model
+    over the :func:`quality_scores` features plus ln(1+n_tokens).
+
+    Output: (doc_id, score round-6, keep) with keep = score ≥ 0.5. The
+    round-6 absorbs last-ulp libm exp() differences between numpy and
+    DuckDB; the keep threshold compares the ROUNDED score so both engines
+    branch on the identical value."""
+    f = quality_scores(batch, col)
+    w = QC_WEIGHTS
+    z = (w["bias"]
+         + w["stop_ratio"] * f["stop_ratio"].to_numpy()
+         + w["punct_ratio"] * f["punct_ratio"].to_numpy()
+         + w["alpha_ratio"] * f["alpha_ratio"].to_numpy()
+         + w["mean_token_len"] * f["mean_token_len"].to_numpy()
+         + w["log_tokens"] * np.log1p(f["n_tokens"].to_numpy(np.float64)))
+    score = np.round(1.0 / (1.0 + np.exp(-z)), 6)
+    return pd.DataFrame({"doc_id": f["doc_id"],
+                         "score": score,
+                         "keep": (score >= 0.5).astype(np.int64)})
+
+
 def lang_id(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
-    toks = batch[col].fillna("").str.strip().str.lower().str.split()
+    toks = _norm_ws(batch[col]).str.strip().str.lower().str.split()
     counts = {}
     for lang in LANG_ORDER:
         sw = set(STOPWORDS[lang])

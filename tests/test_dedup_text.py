@@ -451,3 +451,79 @@ class TestCmsCounts:
         # CMS never underestimates
         assert (eng["est"] >= eng["exact"]).all()
         assert (eng["exact"] > 0).all()
+
+
+class TestExoticWhitespaceParity:
+    """ADVICE r2: Python \\s is unicode-aware, DuckDB RE2 \\s is ASCII-only.
+    The kernels normalize exotic whitespace before tokenizing and the oracle
+    applies the same regexp_replace — token counts must agree for NBSP,
+    LINE SEPARATOR, ideographic space, etc."""
+
+    TEXTS = [
+        "der die das und",          # NBSP between tokens
+        "a b c",               # LINE/PARAGRAPH SEPARATOR
+        "x　y  z",              # ideographic + math space
+        "  ",                  # exotic-only text → zero tokens
+        "plain ascii text only",
+        "",
+    ]
+
+    def _oracle(self, sql_expr_rows):
+        import duckdb
+
+        from housenumbercore_ray.stages.textops import EXOTIC_WS_RE2
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(
+            {"doc_id": range(len(self.TEXTS)), "text": self.TEXTS}))
+        norm = f"regexp_replace(text, '{EXOTIC_WS_RE2}', ' ', 'g')"
+        return con.sql(f"""
+            SELECT doc_id,
+                   CASE WHEN trim({norm}) = '' THEN 0
+                        ELSE length(string_split_regex(trim({norm}), '\\s+')) END AS n_tokens,
+                   length(regexp_extract_all({norm},
+                     '[A-Za-zÄÖÜäöüß]+|[0-9]+|[^\\sA-Za-z0-9ÄÖÜäöüß]')) AS n_bpe
+            FROM documents ORDER BY doc_id
+        """).df()
+
+    def test_token_counts_match_duckdb(self):
+        df = pd.DataFrame({"doc_id": range(len(self.TEXTS)), "text": self.TEXTS})
+        eng = token_stats(df)
+        ora = self._oracle(self.TEXTS)
+        assert eng["n_tokens"].tolist() == ora["n_tokens"].tolist()
+        assert eng["n_tokens_bpe"].tolist() == ora["n_bpe"].tolist()
+        # NBSP really separates: first doc has 4 tokens
+        assert eng["n_tokens"].iloc[0] == 4
+
+
+class TestQualityClassifier:
+    """Fixed-weight logistic quality filter: SQL parity (round-6 sigmoid)
+    and a non-trivial decision boundary."""
+
+    def test_matches_duckdb_and_splits(self):
+        import duckdb
+
+        import __ray_entry__ as e
+        from housenumbercore_ray.stages.textops import quality_classifier
+
+        docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+        got = quality_classifier(docs).sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("documents", docs)
+        want = (con.sql(e._corpus_oracles("/tmp/unused")["text_quality_classifier"])
+                .df().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "score", "keep"]], want[["doc_id", "score", "keep"]],
+            check_dtype=False)
+        # the boundary must actually split the corpus (a keep-all/drop-all
+        # filter would be vacuously "correct")
+        assert 0.05 < got["keep"].mean() < 0.95
+
+    def test_degenerate_inputs(self):
+        from housenumbercore_ray.stages.textops import quality_classifier
+
+        df = pd.DataFrame({"doc_id": [0, 1, 2],
+                           "text": ["", "!!!???...", "der die das und ist gut"]})
+        out = quality_classifier(df)
+        assert (out["score"] >= 0).all() and (out["score"] <= 1).all()
+        # punctuation wall scores below the stopword-rich sentence
+        assert out["score"].iloc[1] < out["score"].iloc[2]

@@ -50,7 +50,10 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "rel_events_asof_order", "rel_events_rolling7", "rel_orders_event_window",
             "dedup_winnow_pairs", "rel_top_suppliers_per_nation", "rel_price_quantiles",
             "text_decontaminate", "corpus_domain_cap", "corpus_sample_stratified",
-            "corpus_top_ngrams", "web_line_dedup", "web_host_stats"]
+            "corpus_top_ngrams", "web_line_dedup", "web_host_stats",
+            "dedup_ngram_jaccard", "geo_tile_assign", "geo_tile_rasterize",
+            "geo_tile_pyramid", "geo_tile_vectorize", "hnr_assoc_street_fix",
+            "dedup_semantic", "text_quality_classifier"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
@@ -61,16 +64,21 @@ def test_extended_query_matches_oracle(entry, con, name):
     # rebuild oracles against the sf0.001 world for fast tests
     wd = wg.ensure_world(SF)
     from __ray_entry__ import _corpus_oracles, _theo_oracle
-    from housenumbercore_ray.pipelines.oracle import queries_sql
+    from housenumbercore_ray.pipelines.oracle import queries_sql, tiles_sql
 
     sqls.update(queries_sql(wd))
     sqls.update(_corpus_oracles(wd))
+    sqls.update(tiles_sql(wd))
     sqls["theo_muni_summary"] = _theo_oracle(wd)
     from housenumbercore_ray.pipelines import corpus_oracle as co
     from housenumbercore_ray.pipelines.corpus import _embedding_dim
 
     dim = _embedding_dim(SF)
     sqls["dedup_simhash"] = co.simhash_sql()
+    sqls["dedup_semantic"] = co.semantic_pairs_sql(dim=dim)
+    from housenumbercore_ray.pipelines.workaround import assoc_street_fix_sql
+
+    sqls["hnr_assoc_street_fix"] = assoc_street_fix_sql(wd)
     sqls["text_winnow"] = co.winnow_sql()
     sqls["dedup_simhash_pairs"] = co.simhash_pairs_sql()
     sqls["ann_ivf_topk"] = co.ivf_topk_sql()

@@ -1,0 +1,158 @@
+"""Tile operator unit tests (pipelines/tiles.py) — grid arithmetic,
+pyramid rollup identity, and vectorize region merging on a crafted world.
+Oracle parity at sf0.001 is covered by test_extended_queries."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from housenumbercore_ray.pipelines.tiles import (
+    N_ZOOMS,
+    TILE_RES_DEG,
+    _cell_id,
+    _tile_ix_iy,
+)
+
+
+class TestGridArithmetic:
+    def test_ix_iy_basic(self):
+        ix, iy = _tile_ix_iy(np.array([10.005]), np.array([50.005]))
+        assert ix[0] == int(np.floor(190.005 / TILE_RES_DEG))
+        assert iy[0] == int(np.floor(140.005 / TILE_RES_DEG))
+
+    def test_cell_pack_unpack(self):
+        ix = np.array([19001, 0, 35999], dtype=np.int64)
+        iy = np.array([14000, 0, 17999], dtype=np.int64)
+        cell = _cell_id(ix, iy)
+        assert ((cell >> 22) == ix).all()
+        assert ((cell & ((1 << 22) - 1)) == iy).all()
+
+    def test_zoom_rollup_is_shift_exact(self):
+        """floor(floor(x)/2^z) == floor(x/2^z) for integer base index —
+        the identity that makes the pyramid exact without re-dividing
+        lon/lat at coarser widths."""
+        rng = np.random.RandomState(3)
+        lon = rng.uniform(-180, 180, 1000)
+        lat = rng.uniform(-90, 90, 1000)
+        ix, iy = _tile_ix_iy(lon, lat)
+        for z in range(N_ZOOMS):
+            assert ((ix >> z) == np.floor(ix / (1 << z)).astype(np.int64)).all()
+
+
+@pytest.fixture(scope="module")
+def crafted_world(tmp_path_factory):
+    """A tiny world whose hot cells form one L-shaped region, one isolated
+    hot cell, and background cold cells."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("tileworld")
+    res = TILE_RES_DEG
+
+    def pts_in_cell(ix, iy, n):
+        # n points near the center of cell (ix, iy)
+        lon = (ix + 0.5) * res - 180.0
+        lat = (iy + 0.5) * res - 90.0
+        return [(lon + 1e-5 * i, lat) for i in range(n)]
+
+    pts = []
+    # L-shape: (100,100), (101,100), (101,101) each with 3 points (hot)
+    for c in [(100, 100), (101, 100), (101, 101)]:
+        pts += pts_in_cell(*c, 3)
+    # isolated hot cell far away
+    pts += pts_in_cell(300, 300, 5)
+    # cold cells (1-2 points) adjacent to the L — must not join the region
+    pts += pts_in_cell(100, 101, 2)
+    pts += pts_in_cell(102, 101, 1)
+    lon = [p[0] for p in pts]
+    lat = [p[1] for p in pts]
+    t = pa.table({
+        "osm_id": pa.array(range(len(pts)), pa.int64()),
+        "osm_type": pa.array(["node"] * len(pts)),
+        "addr_street": pa.array([f"s{i % 4}" for i in range(len(pts))]),
+        "addr_place": pa.array([None] * len(pts), pa.string()),
+        "addr_housenumber": pa.array(["1"] * len(pts)),
+        "tags_text": pa.array([""] * len(pts)),
+        "lon": pa.array(lon, pa.float64()),
+        "lat": pa.array(lat, pa.float64()),
+        "assoc_rel_id": pa.array([None] * len(pts), pa.int64()),
+        "muni_id": pa.array([1] * len(pts), pa.int64()),
+    })
+    pq.write_table(t, str(d / "osm_addresses.parquet"))
+    return str(d)
+
+
+class TestTileOps:
+    def test_assign_covers_every_point(self, ray_session, crafted_world):
+        from housenumbercore_ray.pipelines.tiles import tile_assign
+
+        df = tile_assign(crafted_world).to_pandas()
+        assert len(df) == 17
+        assert set(df.columns) == {"osm_id", "ix", "iy", "cell"}
+        assert df["osm_id"].is_unique
+
+    def test_rasterize_counts(self, ray_session, crafted_world):
+        from housenumbercore_ray.pipelines.tiles import tile_rasterize
+
+        df = tile_rasterize(crafted_world).to_pandas()
+        by = df.set_index(["ix", "iy"])
+        assert by.loc[(100, 100)]["n_points"] == 3
+        assert df["n_points"].sum() == 17
+
+    def test_pyramid_mass_conserved_per_zoom(self, ray_session, crafted_world):
+        from housenumbercore_ray.pipelines.tiles import tile_pyramid
+
+        df = tile_pyramid(crafted_world).to_pandas()
+        per_zoom = df.groupby("zoom")["n_points"].sum()
+        assert (per_zoom == 17).all()
+        assert sorted(df["zoom"].unique()) == list(range(N_ZOOMS))
+        # coarser zooms have <= cells of finer zooms
+        n_cells = df.groupby("zoom").size()
+        assert (n_cells.diff().dropna() <= 0).all()
+
+    def test_vectorize_merges_l_shape(self, ray_session, crafted_world):
+        from housenumbercore_ray.pipelines.tiles import tile_vectorize
+
+        df = tile_vectorize(crafted_world).to_pandas().sort_values("n_cells")
+        # one isolated 1-cell region (5 pts) + one 3-cell L region (9 pts)
+        assert len(df) == 2
+        iso, lshape = df.iloc[0], df.iloc[1]
+        assert iso["n_cells"] == 1 and iso["n_points"] == 5
+        assert lshape["n_cells"] == 3 and lshape["n_points"] == 9
+        assert lshape["min_ix"] == 100
+        assert lshape["max_ix"] == 101
+        assert lshape["min_iy"] == 100
+        assert lshape["max_iy"] == 101
+
+
+class TestAssocStreetFix:
+    def test_fix_rows(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from housenumbercore_ray.pipelines.workaround import (
+            MARKER_TAG,
+            assoc_street_fix,
+        )
+
+        t = pa.table({
+            "osm_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "osm_type": pa.array(["node", "way", "node", "way"]),
+            "addr_street": pa.array(["Hauptstraße", None, None, None]),
+            "assoc_rel_id": pa.array([9, 9, None, 777], pa.int64()),
+            "tags_text": pa.array(["a=b", "building=yes", "", "x=y"]),
+            "lon": pa.array([0.0] * 4), "lat": pa.array([0.0] * 4),
+            "muni_id": pa.array([1] * 4, pa.int64()),
+        })
+        pq.write_table(t, str(tmp_path / "osm_addresses.parquet"))
+        rels = pa.table({"rel_id": pa.array([9], pa.int64()),
+                         "name": pa.array(["Schulstraße"])})
+        pq.write_table(rels, str(tmp_path / "osm_relations.parquet"))
+
+        df = assoc_street_fix(str(tmp_path)).to_pandas()
+        # osm 1 has a street (skip), osm 3 has no relation (skip),
+        # osm 4's relation is unknown (skip) -> only osm 2 fixed
+        assert list(df["osm_id"]) == [2]
+        assert df["street_fixed"].iloc[0] == "Schulstraße"
+        assert df["tags_fixed"].iloc[0] == (
+            "building=yes;addr:street=Schulstraße;" + MARKER_TAG)
