@@ -602,102 +602,231 @@ def _cc_label_blocks() -> int:
     return max(8, cpus)
 
 
+#: edge-count bound for the single-task union-find regime of
+#: connected_components: 2M canonical edges ≈ 32 MB block + ≤ 64 MB label
+#: broadcast — comfortably one worker. Above it the distributed star path
+#: runs.
+CC_SMALL_EDGES = 2_000_000
+
+
+def _unionfind_block(b: pd.DataFrame) -> pd.DataFrame:
+    """Union-find with path compression over ONE block holding the whole
+    (deduped, canonical a<b) edge set. Union always keeps the SMALLER
+    compacted index as root; np.unique ids are sorted, so the root index
+    is the component's min node id. Output: (node, label) for every node
+    touched by an edge, node ascending."""
+    a = b["a"].to_numpy(np.int64)
+    c = b["b"].to_numpy(np.int64)
+    ids, inv = np.unique(np.concatenate([a, c]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(ia, ib):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    roots = np.fromiter((find(i) for i in range(len(ids))),
+                        dtype=np.int64, count=len(ids))
+    return pd.DataFrame({"node": ids, "label": ids[roots]})
+
+
 def connected_components(nodes: rd.Dataset, edges: rd.Dataset,
-                         max_rounds: int = 8,
-                         metrics_prefix: str = "cc") -> rd.Dataset:
-    """Distributed connected components: min-label propagation WITH a
-    pointer-doubling shortcut each round (VERDICT r2 item 9).
+                         max_rounds: int = 16,
+                         metrics_prefix: str = "cc",
+                         small_edges: int | None = None) -> rd.Dataset:
+    """Distributed connected components via ALTERNATING STAR CONTRACTION
+    (large-star / small-star, Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14).
 
     Inputs: ``nodes`` with int64 column ``node``; ``edges`` with int64
     columns ``src``/``dst`` (both directions present). Output: one row per
     node, ``(node, label)`` where label = smallest node id reachable.
 
-    Per round (labels live in the OBJECT STORE, O(nodes) rows — never the
-    driver): the edge set is AUGMENTED with the current label pointers
-    (edges v↔label[v]), then ONE bucketed hash join + ONE sharded
-    groupby-min computes min{label[v], labels of graph-neighbors,
-    label[label[v]]} — the label-edge lookup IS the pointer-doubling
-    composition, fused into the propagate shuffle instead of a second join.
-    On a chain the label offset doubles each round (1, 2, 4, …).
+    Why star contraction (r3): the r2 kernel (min-label propagation with an
+    L(L(u)) pointer jump) is only exponential along pointer CHAINS; in
+    id-adversarial graphs every pointer collapses into a local-minimum star
+    whose interior never forwards new minima, so cross-basin propagation
+    degrades to ONE hop per round — measured linear on the sf0.1 tile
+    "snake" regions (diameter 50, >16 rounds, wrong-label count falling by
+    a constant per round). Star contraction rewrites the EDGE SET itself:
 
-    Propagation alone needs diameter rounds; with the fused shortcut
-    convergence is O(log diameter) — a 100-link chain closes in ≤ 10
-    rounds (tests/test_dedup_text.py pins the fixture). The monotone
-    label-sum fixpoint check exits early; if ``max_rounds`` passes WITHOUT
-    reaching the fixpoint the function RAISES — an unconverged labeling is
-    silently wrong output (ADVICE r2), so it must never be returned.
-    Rounds used are recorded in the ``{metrics_prefix}_rounds`` counter."""
-    import pyarrow as pa
+      large-star(u): every neighbor v > u re-attaches to m = min(Γ⁺(u))
+      small-star(u): every neighbor v < u re-attaches to m
 
-    from ..stages.join import bucketed_hash_join
+    (plus u's own attachment (u, m) — keeps per-pass connectivity trivially:
+    every old edge (u,v) maps to the path v−m−u). Components are invariant
+    under both passes; the only fixpoints are min-rooted stars; alternation
+    converges in O(log²) rounds worst-case and ~log in practice.
+
+    Scale shape: edges live in the object store, never the driver. Each
+    round = 2 star passes, each ONE sharded groupby over the symmetrized
+    edge list with a fully vectorized segment-min rewrite, followed by a
+    sharded exact dedupe that keeps |E| non-exploding. Convergence is
+    detected by an edge-multiset fingerprint (count + two sums + bounded
+    hash sum); if ``max_rounds`` passes without a fixpoint the function
+    RAISES — an unconverged labeling is silently wrong output (ADVICE r2).
+    Rounds used are recorded in the ``{metrics_prefix}_rounds`` counter.
+
+    Two-regime execution: edge sets of ≤ ``small_edges`` (default
+    ``CC_SMALL_EDGES``) canonical edges run a single-task union-find
+    instead (``{metrics_prefix}_small_path`` counter) — identical labels,
+    none of the per-round shuffle overhead; tests force the distributed
+    path with ``small_edges=0``."""
     from ..state import metrics
 
-    edges = edges.materialize()
-    labels = nodes.map_batches(
-        lambda b: pd.DataFrame({"node": b["node"].to_numpy(np.int64),
-                                "label": b["node"].to_numpy(np.int64)}),
-        batch_format="pandas").materialize()
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        a = np.minimum(s, d)
+        c = np.maximum(s, d)
+        keep = a != c
+        return pd.DataFrame({"a": a[keep], "b": c[keep]})
 
-    def min_shard(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("node", as_index=False)["label"].min()
+    def dedupe(E: rd.Dataset) -> rd.Dataset:
+        return (E.map_batches(_shard_on(["a", "b"]), batch_format="pandas")
+                .groupby("_shard")
+                .map_groups(lambda g: g.drop(columns=["_shard"])
+                            .drop_duplicates(ignore_index=True),
+                            batch_format="pandas"))
 
-    def relabel_dst(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": b["dst"].to_numpy(np.int64),
-                             "label": b["label"].to_numpy(np.int64)})
+    def star_pass(E: rd.Dataset, large: bool) -> rd.Dataset:
+        def sym(b: pd.DataFrame) -> pd.DataFrame:
+            a = b["a"].to_numpy(np.int64)
+            c = b["b"].to_numpy(np.int64)
+            return pd.DataFrame({"u": np.concatenate([a, c]),
+                                 "v": np.concatenate([c, a])})
 
-    def label_edges(b: pd.DataFrame) -> pd.DataFrame:
-        # pointer edges v ↔ label[v]: joining them against labels fetches
-        # label[label[v]] in the SAME shuffle as graph propagation
-        n = b["node"].to_numpy(np.int64)
-        l = b["label"].to_numpy(np.int64)
-        return pd.DataFrame({"src": np.concatenate([n, l]),
-                             "dst": np.concatenate([l, n])})
+        def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("u", kind="mergesort")
+            u = g["u"].to_numpy(np.int64)
+            v = g["v"].to_numpy(np.int64)
+            brk = np.flatnonzero(np.diff(u)) + 1
+            starts = np.concatenate([[0], brk])
+            ends = np.concatenate([brk, [len(u)]])
+            useg = u[starts]
+            m = np.minimum(np.minimum.reduceat(v, starts), useg)
+            m_row = np.repeat(m, ends - starts)
+            mask = (v > u) if large else (v < u)
+            ra = np.minimum(v[mask], m_row[mask])
+            rb = np.maximum(v[mask], m_row[mask])
+            # u's own attachment to its min — preserves connectivity of
+            # every rewritten edge within the pass (v − m − u)
+            att = m < useg
+            out_a = np.concatenate([ra, m[att]])
+            out_b = np.concatenate([rb, useg[att]])
+            keep = out_a != out_b
+            return pd.DataFrame({"a": out_a[keep], "b": out_b[keep]})
 
-    prev_sum = None
-    converged = False
+        rows = E.map_batches(sym, batch_format="pandas")
+        return (rows.map_batches(_shard_on(["u"]), batch_format="pandas")
+                .groupby("_shard")
+                .map_groups(lambda g: rewrite(g.drop(columns=["_shard"])),
+                            batch_format="pandas"))
+
+    def with_fp(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy(np.int64)
+        c = b["b"].to_numpy(np.int64)
+        # bounded per-edge hash (< 2^31) so the int64 sum cannot overflow
+        # below ~4e9 edges; collisions over (count, sum_a, sum_b, sum_h)
+        # are negligible and a false match only ends the loop one round
+        # early at an identical-fingerprint edge set
+        h = ((a.astype(np.uint64) * np.uint64(2654435761)) ^ c.astype(np.uint64))
+        return b.assign(_h=(h % np.uint64(1 << 31)).astype(np.int64))
+
+    def fingerprint(E: rd.Dataset) -> tuple:
+        t = E.map_batches(with_fp, batch_format="pandas")
+        return (t.count(), t.sum("a"), t.sum("b"), t.sum("_h"))
+
+    E = dedupe(edges.map_batches(canon, batch_format="pandas")).materialize()
+    prev_fp = fingerprint(E)
+
+    # Small-graph regime: near-dup pair graphs are a sliver of the corpus
+    # (pairs ≪ documents), so the common case fits ONE worker block. A
+    # single-task union-find there costs one repartition instead of ~10
+    # star rounds × 3 shuffles of tiny blocks (measured: 83 s of pure
+    # orchestration for a 1.8k-edge raster graph). The distributed star
+    # path below engages above the bound (~16 B/edge + the touched-node
+    # label arrays ≤ ~64 MB broadcast). Labels for the TOUCHED nodes are
+    # broadcast once (ray.put, sorted-array binary search per batch — no
+    # per-row Python); untouched nodes label themselves.
+    if 0 < prev_fp[0] <= (CC_SMALL_EDGES if small_edges is None else small_edges):
+        metrics.incr(f"{metrics_prefix}_small_path", 1)
+        lab = (E.repartition(1)
+               .map_batches(_unionfind_block, batch_format="pandas",
+                            batch_size=None).to_pandas())
+        ek = lab["node"].to_numpy(np.int64)   # sorted unique (np.unique)
+        ev = lab["label"].to_numpy(np.int64)
+        lab_ref = ray.put((ek, ev))
+
+        def finish(b: pd.DataFrame) -> pd.DataFrame:
+            ek_, ev_ = ray.get(lab_ref)
+            n = b["node"].to_numpy(np.int64)
+            pos = np.searchsorted(ek_, n)
+            posc = np.clip(pos, 0, max(len(ek_) - 1, 0))
+            hit = (pos < len(ek_)) & (ek_[posc] == n)
+            out = n.copy()
+            out[hit] = ev_[posc[hit]]
+            return pd.DataFrame({"node": n, "label": out})
+
+        return nodes.map_batches(finish, batch_format="pandas")
+
+    converged = prev_fp[0] == 0  # edgeless graph: every node is its own star
     rounds = 0
-    for _ in range(max_rounds):
+    while not converged and rounds < max_rounds:
         rounds += 1
-        aug = edges.union(labels.map_batches(label_edges, batch_format="pandas"))
-        neigh = bucketed_hash_join(
-            aug, labels, "src", "node",
-            left_schema={"src": pa.int64(), "dst": pa.int64()},
-            right_schema={"node": pa.int64(), "label": pa.int64()},
-        ).map_batches(relabel_dst, batch_format="pandas")
-        labels = (
-            labels.union(neigh)
-            .map_batches(_shard_on(["node"]), batch_format="pandas")
-            .groupby("_shard")
-            .map_groups(lambda g: min_shard(g.drop(columns=["_shard"])),
-                        batch_format="pandas")
-            # bound the per-round block count: every shuffle multiplies
-            # blocks (~3× / round unchecked → task-count explosion by round
-            # 5); labels stay O(nodes) rows, so a fixed partition count
-            # keeps round cost constant
-            .repartition(_cc_label_blocks())
-            .materialize()
-        )
-        s = labels.sum("label")  # monotone non-increasing → fixpoint check
-        if s == prev_sum:
+        E = dedupe(star_pass(E, large=True))
+        E = dedupe(star_pass(E, large=False)).materialize()
+        fp = fingerprint(E)
+        if fp == prev_fp:
             converged = True
-            break
-        prev_sum = s
+        prev_fp = fp
     metrics.incr(f"{metrics_prefix}_rounds", rounds)
     if not converged:
         raise RuntimeError(
-            f"connected_components did not reach the label fixpoint within "
+            f"connected_components did not reach the star fixpoint within "
             f"max_rounds={max_rounds} — output would be silently wrong; "
-            f"raise max_rounds (pointer doubling needs ~log2(diameter) rounds)")
-    return labels
+            f"raise max_rounds (star contraction needs ~log2(diameter) rounds)")
+
+    # labels: min over {self} ∪ neighbors — at the star fixpoint every
+    # member's sole neighbor is the component-min center
+    def sym_lab(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy(np.int64)
+        c = b["b"].to_numpy(np.int64)
+        return pd.DataFrame({"node": np.concatenate([a, c]),
+                             "label": np.concatenate([c, a])})
+
+    self_rows = nodes.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].to_numpy(np.int64),
+                                "label": b["node"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    return (E.map_batches(sym_lab, batch_format="pandas").union(self_rows)
+            .map_batches(_shard_on(["node"]), batch_format="pandas")
+            .groupby("_shard")
+            .map_groups(lambda g: g.drop(columns=["_shard"])
+                        .groupby("node", as_index=False)["label"].min(),
+                        batch_format="pandas")
+            .repartition(_cc_label_blocks()))
+
 
 
 def dedup_components(sf_dir: str, max_rounds: int = 8) -> rd.Dataset:
     """Near-dup CLUSTERS: connected components over the verified MinHash
     pair graph, emitting every doc's cluster id (= the smallest doc_id in
     its component) and the canonical-doc flag — the step that turns pair
-    output into actionable keep/drop decisions. Core iteration (min-label
-    propagation + pointer-doubling shortcut, O(log diameter) rounds,
-    raises on non-convergence): :func:`connected_components`."""
+    output into actionable keep/drop decisions. Core iteration (alternating
+    star contraction, ~log2(diameter) rounds, raises on non-convergence):
+    :func:`connected_components`."""
     docs = _docs(sf_dir, columns=("doc_id",))
     pairs = minhash_near_dup_pairs(sf_dir)
 

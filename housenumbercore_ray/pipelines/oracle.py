@@ -510,7 +510,7 @@ def tiles_sql(world_dir: str) -> dict[str, str]:
     recomputed from lon/lat, which could differ by one ulp at boundaries.
     The vectorize oracle computes the true reachability closure of the
     4-adjacency with a recursive CTE (min-label per cell), independent of
-    the engine's pointer-doubling kernel."""
+    the engine's star-contraction kernel."""
     from .tiles import N_ZOOMS, TILE_RES_DEG, VECTORIZE_MIN_POINTS
 
     res = TILE_RES_DEG

@@ -25,7 +25,7 @@ Four operators, each a ``queries()`` entry with a full SQL oracle:
 * :func:`tile_vectorize`  raster → vector: above-threshold cells merged
                           into 4-connected regions via the distributed
                           :func:`~.corpus.connected_components` kernel
-                          (pointer-doubling min-label; adjacency built with
+                          (alternating star contraction; adjacency built with
                           a bucketed hash join of the hot-cell set against
                           its own shifted keys — never an all-pairs probe).
 
@@ -184,8 +184,8 @@ def tile_vectorize(world_dir: str,
     ~10⁸ rows at planet scale — never the driver). Adjacency = each hot
     cell emits its EAST and NORTH neighbor keys; a bucketed hash join
     against the hot set keeps only real neighbors (2 candidate rows per
-    hot cell — no all-pairs). Components via the pointer-doubling
-    min-label kernel (O(log diameter) rounds, raises on non-convergence)."""
+    hot cell — no all-pairs). Components via alternating star contraction
+    (~log2(diameter) rounds, raises on non-convergence)."""
     from ..stages.join import bucketed_hash_join
     from .corpus import connected_components
 

@@ -35,21 +35,50 @@ class _Counters:
         self._c.clear()
 
 
+#: cached handle — a non-detached named actor is destroyed once its handle
+#: refcount drops to zero, so creating a throwaway handle per incr() races
+#: actor GC against the in-flight increment (observed: fire-and-forget
+#: incr lost, snapshot() re-creating an EMPTY actor). One module-level
+#: handle per process pins the actor for the process lifetime and makes
+#: incr→snapshot ordering per-handle FIFO.
+_HANDLE = None
+
+
 def _actor():
-    return _Counters.options(
-        name=_ACTOR_NAME, get_if_exists=True, lifetime=None
-    ).remote()
+    global _HANDLE
+    if _HANDLE is None:
+        _HANDLE = _Counters.options(
+            name=_ACTOR_NAME, get_if_exists=True, lifetime=None
+        ).remote()
+    return _HANDLE
+
+
+def _refresh():
+    """Drop the cached handle (stale after ray.shutdown → ray.init in the
+    same process) and re-resolve the named actor."""
+    global _HANDLE
+    _HANDLE = None
+    return _actor()
 
 
 def incr(key: str, n: int) -> None:
     """Fire-and-forget increment — safe to call from worker tasks."""
     if n:
-        _actor().incr.remote(key, int(n))
+        try:
+            _actor().incr.remote(key, int(n))
+        except Exception:
+            _refresh().incr.remote(key, int(n))
 
 
 def snapshot() -> dict[str, int]:
-    return ray.get(_actor().snapshot.remote())
+    try:
+        return ray.get(_actor().snapshot.remote())
+    except ray.exceptions.RayActorError:
+        return ray.get(_refresh().snapshot.remote())
 
 
 def reset() -> None:
-    ray.get(_actor().reset.remote())
+    try:
+        ray.get(_actor().reset.remote())
+    except ray.exceptions.RayActorError:
+        ray.get(_refresh().reset.remote())

@@ -398,10 +398,10 @@ class TestDedupComponents:
         assert out.loc[3, "cluster"] == 3
         assert out["is_canonical"].tolist() == [1, 0, 0, 1]
 
-    def test_long_chain_pointer_doubling(self, ray_session):
-        """A 100-link chain converges inside max_rounds=9: plain min-label
-        propagation would need ~100 rounds; the pointer-doubling shortcut
-        needs O(log2(100)) ≈ 7. Proves the doubling step is live."""
+    def test_long_chain_star_contraction(self, ray_session):
+        """A 100-link chain converges inside max_rounds=10: plain min-label
+        propagation would need ~100 rounds; alternating large/small-star
+        contraction needs ~log2(100) ≈ 7-8. Proves contraction is live."""
         import ray.data as rd
 
         import housenumbercore_ray.pipelines.corpus as corpus
@@ -414,7 +414,8 @@ class TestDedupComponents:
         edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
         metrics.reset()
         out = corpus.connected_components(nodes, edges, max_rounds=10,
-                                          metrics_prefix="chain_test").to_pandas()
+                                          metrics_prefix="chain_test",
+                                          small_edges=0).to_pandas()
         assert (out["label"] == 0).all()
         snap = metrics.snapshot()
         assert 0 < snap["chain_test_rounds"] <= 10
@@ -432,7 +433,7 @@ class TestDedupComponents:
         dst = np.concatenate([np.arange(1, n), np.arange(n - 1)]).astype(np.int64)
         edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
         with pytest.raises(RuntimeError, match="fixpoint"):
-            corpus.connected_components(nodes, edges, max_rounds=2)
+            corpus.connected_components(nodes, edges, max_rounds=2, small_edges=0)
 
 
 class TestCmsCounts:
@@ -527,3 +528,33 @@ class TestQualityClassifier:
         assert (out["score"] >= 0).all() and (out["score"] <= 1).all()
         # punctuation wall scores below the stopword-rich sentence
         assert out["score"].iloc[1] < out["score"].iloc[2]
+
+
+class TestComponentsTwoRegimes:
+    """The single-task union-find regime and the distributed star
+    contraction must produce identical labels on the same graph."""
+
+    def test_small_path_matches_distributed(self, ray_session):
+        import ray.data as rd
+
+        import housenumbercore_ray.pipelines.corpus as corpus
+
+        rng = np.random.RandomState(11)
+        n = 300
+        ids = rng.permutation(10_000)[:n].astype(np.int64)
+        us = rng.randint(0, n, 500)
+        vs = rng.randint(0, n, 500)
+        keep = us != vs
+        src = np.concatenate([ids[us[keep]], ids[vs[keep]]])
+        dst = np.concatenate([ids[vs[keep]], ids[us[keep]]])
+        nodes = rd.from_pandas(pd.DataFrame({"node": ids}))
+
+        def run(small_edges):
+            edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+            return (corpus.connected_components(nodes, edges, max_rounds=16,
+                                                small_edges=small_edges)
+                    .to_pandas().sort_values("node").reset_index(drop=True))
+
+        fast = run(None)      # takes the union-find path (500 < CC_SMALL_EDGES)
+        slow = run(0)         # forced star contraction
+        pd.testing.assert_frame_equal(fast, slow)
