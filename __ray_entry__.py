@@ -94,6 +94,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_vectorize": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["tile_vectorize"]
         ).tile_vectorize(_world(sf)),
+        "geo_tile_kring": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.tiles", fromlist=["tile_kring"]
+        ).tile_kring(_world(sf)),
+        "geo_tile_zonal": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.tiles", fromlist=["tile_zonal_stats"]
+        ).tile_zonal_stats(_world(sf)),
         # theoretical pipeline (osm_addresses table of the world)
         "theo_muni_summary": lambda sf: __import__(
             "housenumbercore_ray.pipelines.theoretical", fromlist=["theo_muni_summary"]
@@ -125,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_distinct_urls_hll": lambda sf: corpus.distinct_urls_hll(_world(sf)),
         "dedup_components": lambda sf: corpus.dedup_components(sf),
         "corpus_cms_counts": lambda sf: corpus.cms_token_counts(sf),
+        "web_snapshot_diff": lambda sf: corpus.snapshot_diff(_world(sf)),
+        "corpus_length_histogram": corpus.length_histogram,
         "web_jsonl_import": lambda sf: __import__(
             "housenumbercore_ray.pipelines.import_list", fromlist=["jsonl_import"]
         ).jsonl_import(_world(sf)),
@@ -162,6 +170,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_price_quantiles": relational.price_quantiles,
     }
     return q
+
+
+def _snapshot_diff_oracle(world_dir: str) -> str:
+    """web_snapshot_diff: the previous snapshot is recomputed INDEPENDENTLY
+    in SQL (oracle.prev_pages_sql), never read from the engine-side
+    rendition; full outer join on url + md5 compare."""
+    from housenumbercore_ray.pipelines.oracle import prev_pages_sql
+
+    return f"""
+WITH cur AS (SELECT url, md5(text) AS h
+             FROM read_parquet('{world_dir}/pages/*.parquet')),
+prv AS (SELECT url, md5(text) AS h FROM ({prev_pages_sql(world_dir)})),
+m AS (SELECT coalesce(c.url, p.url) AS url,
+             coalesce(c.h, '') AS md5_cur, coalesce(p.h, '') AS md5_prev
+      FROM cur c FULL OUTER JOIN prv p ON c.url = p.url)
+SELECT url,
+       CASE WHEN md5_prev = '' THEN 'added'
+            WHEN md5_cur = '' THEN 'removed'
+            WHEN md5_cur <> md5_prev THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       md5_cur, md5_prev
+FROM m
+"""
 
 
 def _corpus_oracles(world_dir: str) -> dict[str, str]:
@@ -288,6 +319,13 @@ FROM {docs_norm}
         "text_fingerprint": """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS content_md5 FROM documents
 """,
+        "corpus_length_histogram": """
+SELECT CAST(floor(log2(length(text) + 1)) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+""",
+        "web_snapshot_diff": _snapshot_diff_oracle(world_dir),
         "dedup_embedding_pairs": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT CAST(a.vec_id AS BIGINT) AS vec_id_a, CAST(b.vec_id AS BIGINT) AS vec_id_b,

@@ -25,6 +25,13 @@ def _docs(sf_dir: str, columns=("doc_id", "text")) -> rd.Dataset:
 N_SHARDS = 64
 
 
+def _shuffle_blocks() -> int:
+    """See stages/shuffle.py — coalesce target before sort-based groupbys."""
+    from ..stages.shuffle import shuffle_blocks
+
+    return shuffle_blocks()
+
+
 def _heavy_pool() -> int:
     """FIXED-size pool for CPU-dominant kernel stages (minhash banding,
     simhash): cpus//2 actors start immediately. The autoscaling (1, cap)
@@ -79,6 +86,7 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
         _docs(sf_dir)
         .map_batches(add_content_hash, batch_format="pandas")
         .map_batches(_shard_on(["content_hash"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
         .groupby("_shard")
         .map_groups(agg, batch_format="pandas")
     )
@@ -116,6 +124,7 @@ def list_dup_pairs(world_dir: str) -> rd.Dataset:
     return (
         ds.map_batches(keyed, batch_format="pandas")
         .map_batches(_shard_on(["dedup_key"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
         .groupby("_shard")
         .map_groups(pairs_in_shard, batch_format="pandas")
     )
@@ -221,11 +230,13 @@ def winnow_dup_pairs(sf_dir: str, min_shared: int = 3,
         _docs(sf_dir)
         .map_batches(fp_rows, batch_format="pandas")
         .map_batches(_shard_on(["fp"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
         .groupby("_shard")
         .map_groups(fp_group_pairs, batch_format="pandas")
     )
     return (
         shared.map_batches(_shard_on(["doc_id_a", "doc_id_b"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
         .groupby("_shard")
         .map_groups(count_shard, batch_format="pandas")
     )
@@ -406,6 +417,7 @@ def line_dedup(world_dir: str, min_pages: int = 100) -> rd.Dataset:
     bp_rows = (
         pages.map_batches(line_counter, batch_format="pandas", batch_size=4096)
         .map_batches(_shard_on(["line_hash"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
         .groupby("_shard")
         .map_groups(sum_shard, batch_format="pandas")
         .take_all()
@@ -545,9 +557,11 @@ def tfidf_topk(sf_dir: str, k: int = 5) -> rd.Dataset:
     return (
         docs.map_batches(tf_rows, batch_format="pandas")
         .map_batches(_shard_on(["term"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
         .groupby("_shard")
         .map_groups(attach_df, batch_format="pandas")
         .map_batches(_shard_on(["doc_id"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
         .groupby("_shard")
         .map_groups(topk_shard, batch_format="pandas")
     )
@@ -695,6 +709,7 @@ def connected_components(nodes: rd.Dataset, edges: rd.Dataset,
 
     def dedupe(E: rd.Dataset) -> rd.Dataset:
         return (E.map_batches(_shard_on(["a", "b"]), batch_format="pandas")
+                .repartition(_shuffle_blocks())
                 .groupby("_shard")
                 .map_groups(lambda g: g.drop(columns=["_shard"])
                             .drop_duplicates(ignore_index=True),
@@ -730,6 +745,7 @@ def connected_components(nodes: rd.Dataset, edges: rd.Dataset,
 
         rows = E.map_batches(sym, batch_format="pandas")
         return (rows.map_batches(_shard_on(["u"]), batch_format="pandas")
+                .repartition(_shuffle_blocks())
                 .groupby("_shard")
                 .map_groups(lambda g: rewrite(g.drop(columns=["_shard"])),
                             batch_format="pandas"))
@@ -744,12 +760,16 @@ def connected_components(nodes: rd.Dataset, edges: rd.Dataset,
         h = ((a.astype(np.uint64) * np.uint64(2654435761)) ^ c.astype(np.uint64))
         return b.assign(_h=(h % np.uint64(1 << 31)).astype(np.int64))
 
-    def fingerprint(E: rd.Dataset) -> tuple:
-        t = E.map_batches(with_fp, batch_format="pandas")
-        return (t.count(), t.sum("a"), t.sum("b"), t.sum("_h"))
+    def fingerprint(E: rd.Dataset, n: int) -> tuple:
+        # ONE pass: count comes free from materialized block metadata and
+        # the three sums run in a single aggregate
+        if n == 0:
+            return (0,)
+        s = E.map_batches(with_fp, batch_format="pandas").sum(["a", "b", "_h"])
+        return (n, tuple(sorted(s.items())))
 
     E = dedupe(edges.map_batches(canon, batch_format="pandas")).materialize()
-    prev_fp = fingerprint(E)
+    n_edges = E.count()
 
     # Small-graph regime: near-dup pair graphs are a sliver of the corpus
     # (pairs ≪ documents), so the common case fits ONE worker block. A
@@ -760,7 +780,7 @@ def connected_components(nodes: rd.Dataset, edges: rd.Dataset,
     # label arrays ≤ ~64 MB broadcast). Labels for the TOUCHED nodes are
     # broadcast once (ray.put, sorted-array binary search per batch — no
     # per-row Python); untouched nodes label themselves.
-    if 0 < prev_fp[0] <= (CC_SMALL_EDGES if small_edges is None else small_edges):
+    if 0 < n_edges <= (CC_SMALL_EDGES if small_edges is None else small_edges):
         metrics.incr(f"{metrics_prefix}_small_path", 1)
         lab = (E.repartition(1)
                .map_batches(_unionfind_block, batch_format="pandas",
@@ -781,13 +801,14 @@ def connected_components(nodes: rd.Dataset, edges: rd.Dataset,
 
         return nodes.map_batches(finish, batch_format="pandas")
 
-    converged = prev_fp[0] == 0  # edgeless graph: every node is its own star
+    prev_fp = fingerprint(E, n_edges)
+    converged = n_edges == 0  # edgeless graph: every node is its own star
     rounds = 0
     while not converged and rounds < max_rounds:
         rounds += 1
         E = dedupe(star_pass(E, large=True))
         E = dedupe(star_pass(E, large=False)).materialize()
-        fp = fingerprint(E)
+        fp = fingerprint(E, E.count())
         if fp == prev_fp:
             converged = True
         prev_fp = fp
@@ -812,6 +833,7 @@ def connected_components(nodes: rd.Dataset, edges: rd.Dataset,
         batch_format="pandas")
     return (E.map_batches(sym_lab, batch_format="pandas").union(self_rows)
             .map_batches(_shard_on(["node"]), batch_format="pandas")
+            .repartition(_shuffle_blocks())
             .groupby("_shard")
             .map_groups(lambda g: g.drop(columns=["_shard"])
                         .groupby("node", as_index=False)["label"].min(),
@@ -908,6 +930,7 @@ def cms_token_counts(sf_dir: str, w: int = CMS_W, d: int = CMS_D) -> rd.Dataset:
     cms = (
         docs.map_batches(counters, batch_format="pandas")
         .map_batches(_shard_on(["row", "col"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
         .groupby("_shard")
         .map_groups(lambda g: g.groupby(["row", "col"], as_index=False)["n"].sum(),
                     batch_format="pandas")
@@ -1049,6 +1072,7 @@ def bloom_seen(world_dir: str, m_bits: int = BLOOM_M_BITS,
     bits = (
         pages.map_batches(bit_rows, batch_format="pandas", batch_size=8192)
         .map_batches(_shard_on(["bit"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
         .groupby("_shard")
         .map_groups(uniq_shard, batch_format="pandas")
         .to_pandas()["bit"].to_numpy(np.int64)
@@ -1314,6 +1338,7 @@ def top_ngrams(sf_dir: str, n: int = 3, k: int = 20) -> pd.DataFrame:
         _docs(sf_dir)
         .map_batches(partial, batch_format="pandas")
         .map_batches(_shard_on(["gram"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
         .groupby("_shard")
         .map_groups(shard_topk, batch_format="pandas")
         .to_pandas()
@@ -1385,13 +1410,24 @@ def _pairs_from_buckets(rows: rd.Dataset, bucket_cols: list[str],
         return pd.DataFrame({a_col: np.concatenate(out_a),
                              b_col: np.concatenate(out_b)})
 
+    # Coalesce before each groupby: Ray's sort shuffle moves M_in × N_out
+    # block objects, and N_out tracks the input block count — at 3.2M pages
+    # the 8 MB-block band rows arrived as 800 blocks, so BOTH sorts paid
+    # 800×800 = 640k object transfers (the second one to dedupe a mere 76k
+    # pairs; measured 332 s of pure object-store metadata traffic).
+    # Repartitioning to ~2 blocks/CPU first is a cheap split/merge and
+    # collapses the sorts to B×B ≈ 4k objects (measured 24× faster end to
+    # end); per-reduce memory stays bounded at ~rows/B.
+    n_blocks = _shuffle_blocks()
     pairs = (
         rows.map_batches(_shard_on(shard_cols), batch_format="pandas")
+        .repartition(n_blocks)
         .groupby("_shard")
         .map_groups(bucket_pairs_shard, batch_format="pandas")
     )
     return (
         pairs.map_batches(_shard_on([a_col, b_col]), batch_format="pandas")
+        .repartition(n_blocks)
         .groupby("_shard")
         .map_groups(lambda g: g.drop_duplicates([a_col, b_col]).drop(columns=["_shard"]),
                     batch_format="pandas")
@@ -1536,6 +1572,7 @@ def _sig_estimate_filter(pairs: rd.Dataset, docs: rd.Dataset,
 
     return (
         with_sig.map_batches(_shard_on(["doc_id_a", "doc_id_b"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
         .groupby("_shard")
         .map_groups(est_shard, batch_format="pandas")
     )
@@ -1617,6 +1654,7 @@ def _verify_pairs_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
 
     return (
         with_text.map_batches(_shard_on(["doc_id_a", "doc_id_b"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
         .groupby("_shard")
         .map_groups(verify_shard, batch_format="pandas")
     )
@@ -1703,15 +1741,23 @@ def _pages_with_ids(world_dir: str) -> rd.Dataset:
     )
 
 
-# the crawl-SCALE LSH profile (SCALING.md known limits; VERDICT r2 item 1):
-# longer signatures (k=256) in narrower bands (32 × 8 rows) drop the random
-# 1-band collision probability from J^4 to J^8 — the quadratic FALSE
-# candidate growth that dominated the 3.2M-page run — while 32 bands keep
-# recall ≈1 for true near-dups (planted pairs have J ≥ ~0.85:
-# P(miss) = (1 − J^8)^32 ≤ 3e-3 at J=0.8, ≤ 2e-8 at J=0.9); the
-# signature-estimate prefilter then rejects surviving false candidates
-# before the text-fetch shuffle.
-SCALE_LSH = {"k": 256, "bands": 32}
+# the crawl-SCALE LSH profile (SCALING.md known limits; VERDICT r2 item 1,
+# retuned r3 after stage profiling at 3.2M pages): NARROW 8-row bands drop
+# the random 1-band collision probability from J^4 to J^8 — the quadratic
+# FALSE candidate growth that dominated the r2 exact-profile run — and the
+# r3 profile run measured ZERO false candidates at 3.2M pages with 8-row
+# bands (6353 candidates = 6353 verified), so the signature-estimate
+# prefilter is pure overhead on this path and is no longer applied (it
+# recomputed every candidate doc's signature: 219 s of the 1022 s total).
+# k=192 / 24 bands (not 256/32) cuts the signature compute and the
+# band-row shuffle — the two measured dominators (654 s combined) — by 25%
+# while keeping recall for true near-dups (planted pairs measure
+# J = 0.765…0.937; P(miss) = (1 − J^8)^24 ≈ 0.02 at J=0.765, ≤ 1e-3 at
+# J=0.85; 16 bands deterministically missed the J=0.765 plant, 24 keeps
+# 5/5 — pinned ≥0.9 vs planted truth in tests). False-candidate math at
+# larger corpora: background page pairs measure J ≲ 0.1 → ≤ 1e-8 per
+# band; even 10^9 pages × 24 bands yields ≪ 1 expected false bucket pair.
+SCALE_LSH = {"k": 192, "bands": 24}
 
 
 def minhash_page_pairs(world_dir: str, threshold: float = 0.7,
@@ -1728,14 +1774,13 @@ def minhash_page_pairs(world_dir: str, threshold: float = 0.7,
     ``profile="exact"`` (default, the oracled config): k=64 / 16×4 banding,
     no prefilter — provably exact vs the SQL recomputation.
     ``profile="scale"`` (the measured crawl-scale path, used by bench.py's
-    near-dup benchmarks): ``SCALE_LSH`` banding + the signature-estimate
-    candidate rejection before the text fetch — bounds the superlinear
-    false-candidate growth; recall vs the planted ground truth is pinned in
-    tests/test_dedup_text.py."""
+    near-dup benchmarks): ``SCALE_LSH`` 8-row banding — narrow bands kill
+    false candidates at the source (see SCALE_LSH notes), so no prefilter
+    pass is needed; recall vs the planted ground truth is pinned in
+    tests/test_extended_queries.py."""
     pages = _pages_with_ids(world_dir)
     if profile == "scale":
         pairs = _lsh_candidate_pairs(pages, **SCALE_LSH)
-        pairs = _sig_estimate_filter(pairs, pages, threshold - 0.25)
     else:
         pairs = _lsh_candidate_pairs(pages)
     verified = _verify_pairs_jaccard(pairs, pages, threshold)
@@ -1780,7 +1825,6 @@ def run_near_dup_resumable(world_dir: str, out_dir: str, threshold: float = 0.7,
         pages = _pages_with_ids(world_dir)
         if profile == "scale":
             pairs = _lsh_candidate_pairs(pages, **SCALE_LSH)
-            pairs = _sig_estimate_filter(pairs, pages, threshold - 0.25)
         else:
             pairs = _lsh_candidate_pairs(pages)
         pairs = pairs.map_batches(
@@ -1903,11 +1947,13 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
                                       concurrency=_heavy_pool(), num_cpus=1)
     pairs = (
         bands.map_batches(_shard_on(["band_id", "band_val"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
         .groupby("_shard")
         .map_groups(lambda g: pairs_shard(g.drop(columns=["_shard"])), batch_format="pandas")
     )
     return (
         pairs.map_batches(_shard_on(["doc_id_a", "doc_id_b"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
         .groupby("_shard")
         .map_groups(lambda g: g.drop_duplicates(["doc_id_a", "doc_id_b"]).drop(columns=["_shard"]),
                     batch_format="pandas")
@@ -2209,6 +2255,7 @@ def embedding_near_dup_pairs(sf_dir: str, tau: float = 0.45) -> rd.Dataset:
 
     return (
         with_vec.map_batches(_shard_on(["vec_id_a", "vec_id_b"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
         .groupby("_shard")
         .map_groups(verify_shard, batch_format="pandas")
     )
@@ -2427,3 +2474,84 @@ def frame_samples(world_dir: str) -> rd.Dataset:
         FrameSampleStub, fn_constructor_args=(10, 4096, "html", "url"),
         batch_format="pyarrow", batch_size=256, concurrency=(1, 4), num_cpus=1,
     )
+
+
+def snapshot_diff(world_dir: str) -> rd.Dataset:
+    """URL-level crawl diff between the current ``pages/`` snapshot and the
+    previous month's (worldgen.ensure_pages_prev): one row per url with
+
+        status ∈ {added, removed, changed, unchanged}
+
+    plus both content digests (empty when the side is absent) — the crawl
+    curation primitive behind re-fetch scheduling and delta exports.
+
+    Scale shape: each side streams url + md5(text) (the text itself never
+    shuffles); sides are tagged and co-located by ONE url-keyed shuffle;
+    the per-shard compare is a vectorized two-side merge. At crawl scale
+    'prev' is just another pages directory."""
+    import hashlib
+
+    from ..sources.worldgen import ensure_pages_prev
+
+    prev_path = ensure_pages_prev(world_dir)
+
+    def digests(side: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "url": b["url"].to_numpy(),
+                "h": b["text"].fillna("").map(
+                    lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()),
+                "_side": side,
+            })
+
+        return fn
+
+    cur = rd.read_parquet(f"{world_dir}/pages", columns=["url", "text"]).map_batches(
+        digests("c"), batch_format="pandas")
+    prv = rd.read_parquet(prev_path, columns=["url", "text"]).map_batches(
+        digests("p"), batch_format="pandas")
+
+    def diff_shard(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["_side"] == "c"][["url", "h"]].rename(columns={"h": "md5_cur"})
+        p = g[g["_side"] == "p"][["url", "h"]].rename(columns={"h": "md5_prev"})
+        m = c.merge(p, on="url", how="outer")
+        m["md5_cur"] = m["md5_cur"].fillna("")
+        m["md5_prev"] = m["md5_prev"].fillna("")
+        status = np.where(m["md5_prev"] == "", "added",
+                          np.where(m["md5_cur"] == "", "removed",
+                                   np.where(m["md5_cur"] != m["md5_prev"],
+                                            "changed", "unchanged")))
+        return pd.DataFrame({"url": m["url"], "status": status,
+                             "md5_cur": m["md5_cur"], "md5_prev": m["md5_prev"]})
+
+    return (cur.union(prv)
+            .map_batches(_shard_on(["url"]), batch_format="pandas")
+            .repartition(_shuffle_blocks())
+            .groupby("_shard")
+            .map_groups(lambda g: diff_shard(g.drop(columns=["_shard"])),
+                        batch_format="pandas"))
+
+
+def length_histogram(sf_dir: str) -> rd.Dataset:
+    """Log2-bucketed document-length histogram over the documents table:
+    (bucket = floor(log2(n_chars + 1)), n_docs, total_chars) — the corpus
+    composition report every training-data run starts from. Zero-shuffle
+    partials + one tiny bucket-keyed reduce."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].fillna("").str.len().to_numpy(np.int64)
+        bucket = np.floor(np.log2(n + 1)).astype(np.int64)
+        g = (pd.DataFrame({"bucket": bucket, "n": n})
+             .groupby("bucket", as_index=False)
+             .agg(n_docs=("n", "size"), total_chars=("n", "sum")))
+        return g.astype({"bucket": np.int64, "n_docs": np.int64,
+                         "total_chars": np.int64})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("bucket", as_index=False)
+               .agg(n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum")))
+        return out.astype({"bucket": np.int64, "n_docs": np.int64,
+                           "total_chars": np.int64})
+
+    return (_docs(sf_dir).map_batches(partial, batch_format="pandas")
+            .groupby("bucket").map_groups(final, batch_format="pandas"))

@@ -162,7 +162,10 @@ def evaluation(world_dir: str) -> rd.Dataset:
     def classify_shard(g: pd.DataFrame) -> pd.DataFrame:
         return classify_muni(g.drop(columns=["_shard"]))
 
-    return both.groupby("_shard").map_groups(classify_shard, batch_format="pandas")
+    from ..stages.shuffle import shuffle_blocks
+
+    return (both.repartition(shuffle_blocks())
+            .groupby("_shard").map_groups(classify_shard, batch_format="pandas"))
 
 
 def muni_summary(world_dir: str) -> rd.Dataset:
@@ -522,7 +525,10 @@ def evaluation_delta(world_dir: str):
                                                   m["treffertyp_p"])
         return out.astype({"muni_id": np.int64})
 
-    return both.groupby("_shard").map_groups(diff_shard, batch_format="pandas")
+    from ..stages.shuffle import shuffle_blocks
+
+    return (both.repartition(shuffle_blocks())
+            .groupby("_shard").map_groups(diff_shard, batch_format="pandas"))
 
 
 def run_join_rows_resumable(world_dir: str, out_dir: str) -> dict:

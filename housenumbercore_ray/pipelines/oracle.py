@@ -563,4 +563,40 @@ SELECT lab.region_id, CAST(count(*) AS BIGINT) AS n_cells,
        max(h.ix) AS max_ix, max(h.iy) AS max_iy
 FROM lab JOIN hot h USING (cell) GROUP BY lab.region_id
 """,
+        "geo_tile_kring": f"""
+WITH b AS ({base}),
+raster AS (SELECT ix, iy, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+offs AS (SELECT unnest([-1, 0, 1]) AS dx),
+contrib AS (
+  SELECT r.ix + o1.dx AS ix, r.iy + o2.dx AS iy,
+         CASE WHEN o1.dx = 0 AND o2.dx = 0 THEN r.n ELSE 0 END AS n_own,
+         r.n AS n_ring
+  FROM raster r CROSS JOIN offs o1 CROSS JOIN offs o2
+)
+SELECT (ix << 22) | iy AS cell, ix, iy,
+       CAST(sum(n_own) AS BIGINT) AS n_points,
+       CAST(sum(n_ring) AS BIGINT) AS ring3_points
+FROM contrib GROUP BY 1, 2, 3 HAVING sum(n_own) > 0
+""",
+        "geo_tile_zonal": f"""
+WITH b AS ({base}),
+raster AS (SELECT (ix << 22) | iy AS cell, ix, iy,
+                  CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2, 3),
+zones AS (SELECT muni_id, minlon, minlat, maxlon, maxlat
+          FROM read_parquet('{world_dir}/boundaries.parquet') WHERE sub_id = '-1'),
+assigned AS (
+  SELECT z.muni_id, r.cell, r.n
+  FROM raster r JOIN zones z
+    ON (r.ix + 0.5) * {res} - 180.0 >= z.minlon
+   AND (r.ix + 0.5) * {res} - 180.0 <= z.maxlon
+   AND (r.iy + 0.5) * {res} - 90.0 >= z.minlat
+   AND (r.iy + 0.5) * {res} - 90.0 <= z.maxlat
+)
+SELECT CAST(muni_id AS BIGINT) AS muni_id,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(n) AS BIGINT) AS n_points,
+       CAST(max(n) AS BIGINT) AS max_cell_points,
+       round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS mean_cell_points
+FROM assigned GROUP BY muni_id
+""",
     }

@@ -56,6 +56,12 @@ VECTORIZE_MIN_POINTS = 3
 _IY_BITS = 22  # same packing as geo/cells.py
 
 
+def _shuffle_blocks() -> int:
+    from ..stages.shuffle import shuffle_blocks
+
+    return shuffle_blocks()
+
+
 def _points(world_dir: str, columns: list[str]) -> rd.Dataset:
     return rd.read_parquet(f"{world_dir}/osm_addresses.parquet", columns=columns)
 
@@ -122,6 +128,7 @@ def tile_rasterize(world_dir: str) -> rd.Dataset:
     parts = _points(world_dir, ["lon", "lat", "addr_street"]).map_batches(
         partial, batch_format="pandas")
     return (parts.map_batches(_shard_cells(), batch_format="pandas")
+            .repartition(_shuffle_blocks())
             .groupby("_shard")
             .map_groups(lambda g: reduce_shard(g.drop(columns=["_shard"])),
                         batch_format="pandas"))
@@ -166,6 +173,7 @@ def tile_pyramid(world_dir: str) -> rd.Dataset:
     parts = _points(world_dir, ["lon", "lat"]).map_batches(
         partial, batch_format="pandas")
     return (parts.map_batches(_shard_cells(), batch_format="pandas")
+            .repartition(_shuffle_blocks())
             .groupby("_shard")
             .map_groups(lambda g: reduce_shard(g.drop(columns=["_shard", "cell"])),
                         batch_format="pandas"))
@@ -207,6 +215,7 @@ def tile_vectorize(world_dir: str,
     hot = (_points(world_dir, ["lon", "lat"])
            .map_batches(count_partial, batch_format="pandas")
            .map_batches(_shard_cells(), batch_format="pandas")
+           .repartition(_shuffle_blocks())
            .groupby("_shard")
            .map_groups(lambda g: reduce_hot(g.drop(columns=["_shard"])),
                        batch_format="pandas")
@@ -265,6 +274,149 @@ def tile_vectorize(world_dir: str,
         return b.assign(_shard=(h % 64).astype(np.int64))
 
     return (lab_hot.map_batches(shard_label, batch_format="pandas")
+            .repartition(_shuffle_blocks())
             .groupby("_shard")
             .map_groups(lambda g: region_shard(g.drop(columns=["_shard"])),
+                        batch_format="pandas"))
+
+
+def tile_kring(world_dir: str) -> rd.Dataset:
+    """Raster k-ring convolution (k=1): for every OCCUPIED z0 cell, its own
+    point count plus the 3×3-neighborhood sum — the H3 ``gridDisk``
+    aggregate / raster box-filter.
+
+    Scale shape: per-batch cell partials emit 9 shifted contribution rows
+    (dx, dy ∈ {−1,0,1}) carrying (n_own = n at the identity offset, else 0;
+    n_ring = n) — ONE sharded groupby then sums both in the same shuffle,
+    and occupied cells are exactly those with n_own > 0: no second pass, no
+    join. Shuffle volume = 9 × distinct-cells-per-batch."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ix, iy = _tile_ix_iy(b["lon"].to_numpy(), b["lat"].to_numpy())
+        g = (pd.DataFrame({"ix": ix, "iy": iy}).groupby(["ix", "iy"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        gx = g["ix"].to_numpy(np.int64)
+        gy = g["iy"].to_numpy(np.int64)
+        gn = g["n"].to_numpy(np.int64)
+        txs, tys, owns, rings = [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                txs.append(gx + dx)
+                tys.append(gy + dy)
+                owns.append(gn if (dx == 0 and dy == 0) else np.zeros_like(gn))
+                rings.append(gn)
+        tx = np.concatenate(txs)
+        ty = np.concatenate(tys)
+        return pd.DataFrame({"ix": tx, "iy": ty, "cell": _cell_id(tx, ty),
+                             "n_own": np.concatenate(owns),
+                             "n_ring": np.concatenate(rings)})
+
+    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["cell", "ix", "iy"], as_index=False)
+               .agg(n_points=("n_own", "sum"), ring3_points=("n_ring", "sum")))
+        out = out[out["n_points"] > 0]
+        out["n_points"] = out["n_points"].astype(np.int64)
+        out["ring3_points"] = out["ring3_points"].astype(np.int64)
+        return out
+
+    parts = _points(world_dir, ["lon", "lat"]).map_batches(
+        partial, batch_format="pandas")
+    return (parts.map_batches(_shard_cells(), batch_format="pandas")
+            .repartition(_shuffle_blocks())
+            .groupby("_shard")
+            .map_groups(lambda g: reduce_shard(g.drop(columns=["_shard"])),
+                        batch_format="pandas"))
+
+
+def tile_zonal_stats(world_dir: str) -> rd.Dataset:
+    """Zonal statistics: per-municipality aggregates over the z0 raster —
+    the raster→vector analytics join (zones = the parent-boundary bboxes,
+    assignment by CELL CENTER).
+
+    Scale shape: the exact per-cell raster comes from the same two-level
+    partial reduce as :func:`tile_rasterize`; zones are broadcast once via
+    ``ray.put`` (one bbox row per municipality — small by premise) and the
+    zone assignment is a vectorized per-zone mask inside ``map_batches``;
+    the final rollup is one tiny zone-keyed groupby. Worldgen parents are
+    disjoint, and the kernel mirrors join semantics anyway (a cell center
+    inside several zone bboxes contributes to each), so the SQL oracle's
+    plain bbox join recomputes it exactly."""
+    import pyarrow.parquet as pq
+    import ray
+
+    zt = pq.read_table(f"{world_dir}/boundaries.parquet",
+                       columns=["muni_id", "minlon", "minlat", "maxlon", "maxlat",
+                                "sub_id"],
+                       filters=[("sub_id", "==", "-1")]).to_pandas()
+    zones_ref = ray.put((zt["muni_id"].to_numpy(np.int64),
+                         zt["minlon"].to_numpy(np.float64),
+                         zt["minlat"].to_numpy(np.float64),
+                         zt["maxlon"].to_numpy(np.float64),
+                         zt["maxlat"].to_numpy(np.float64)))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ix, iy = _tile_ix_iy(b["lon"].to_numpy(), b["lat"].to_numpy())
+        g = (pd.DataFrame({"cell": _cell_id(ix, iy), "ix": ix, "iy": iy})
+             .groupby(["cell", "ix", "iy"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def raster_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["cell", "ix", "iy"], as_index=False)
+               .agg(n_points=("n", "sum")))
+        out["n_points"] = out["n_points"].astype(np.int64)
+        return out
+
+    class ZoneAssign:
+        def __init__(self):
+            self.z = ray.get(zones_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            mid, lo_x, lo_y, hi_x, hi_y = self.z
+            cx = (b["ix"].to_numpy(np.float64) + 0.5) * TILE_RES_DEG - 180.0
+            cy = (b["iy"].to_numpy(np.float64) + 0.5) * TILE_RES_DEG - 90.0
+            frames = []
+            for j in range(len(mid)):
+                m = (cx >= lo_x[j]) & (cx <= hi_x[j]) & (cy >= lo_y[j]) & (cy <= hi_y[j])
+                if m.any():
+                    frames.append(pd.DataFrame({
+                        "muni_id": np.full(int(m.sum()), mid[j], dtype=np.int64),
+                        "cell": b["cell"].to_numpy(np.int64)[m],
+                        "n_points": b["n_points"].to_numpy(np.int64)[m]}))
+            if not frames:
+                return pd.DataFrame({"muni_id": pd.Series([], dtype=np.int64),
+                                     "cell": pd.Series([], dtype=np.int64),
+                                     "n_points": pd.Series([], dtype=np.int64)})
+            return pd.concat(frames, ignore_index=True)
+
+    def zone_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("muni_id", as_index=False)
+               .agg(n_cells=("cell", "size"), n_points=("n_points", "sum"),
+                    max_cell_points=("n_points", "max")))
+        for c in ("n_cells", "n_points", "max_cell_points"):
+            out[c] = out[c].astype(np.int64)
+        out["mean_cell_points"] = np.round(
+            out["n_points"].to_numpy(np.float64)
+            / out["n_cells"].to_numpy(np.float64), 6)
+        return out
+
+    raster = (_points(world_dir, ["lon", "lat"])
+              .map_batches(partial, batch_format="pandas")
+              .map_batches(_shard_cells(), batch_format="pandas")
+              .repartition(_shuffle_blocks())
+              .groupby("_shard")
+              .map_groups(lambda g: raster_shard(g.drop(columns=["_shard"])),
+                          batch_format="pandas"))
+    assigned = raster.map_batches(ZoneAssign, batch_format="pandas",
+                                  concurrency=(1, 4))
+
+    def shard_zone(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(b["muni_id"].to_numpy(np.int64))
+        return b.assign(_shard=(h % 16).astype(np.int64))
+
+    return (assigned.map_batches(shard_zone, batch_format="pandas")
+            .repartition(_shuffle_blocks())
+            .groupby("_shard")
+            .map_groups(lambda g: zone_shard(g.drop(columns=["_shard"])),
                         batch_format="pandas"))

@@ -79,6 +79,17 @@ def crafted_world(tmp_path_factory):
         "muni_id": pa.array([1] * len(pts), pa.int64()),
     })
     pq.write_table(t, str(d / "osm_addresses.parquet"))
+    # one zone bbox covering the L-shape + its cold neighbors, one covering
+    # the isolated cell (zonal-stats fixture)
+    bounds = pa.table({
+        "muni_id": pa.array([1, 2], pa.int64()),
+        "minlon": pa.array([(99 * res) - 180.0, (299 * res) - 180.0]),
+        "minlat": pa.array([(99 * res) - 90.0, (299 * res) - 90.0]),
+        "maxlon": pa.array([(104 * res) - 180.0, (302 * res) - 180.0]),
+        "maxlat": pa.array([(104 * res) - 90.0, (302 * res) - 90.0]),
+        "sub_id": pa.array(["-1", "-1"]),
+    })
+    pq.write_table(bounds, str(d / "boundaries.parquet"))
     return str(d)
 
 
@@ -156,3 +167,28 @@ class TestAssocStreetFix:
         assert df["street_fixed"].iloc[0] == "Schulstraße"
         assert df["tags_fixed"].iloc[0] == (
             "building=yes;addr:street=Schulstraße;" + MARKER_TAG)
+
+
+class TestKringAndZonal:
+    def test_kring_window_sums(self, ray_session, crafted_world):
+        from housenumbercore_ray.pipelines.tiles import tile_kring
+
+        df = tile_kring(crafted_world).to_pandas().set_index(["ix", "iy"])
+        # occupied cells only
+        assert len(df) == 6
+        # 3x3 window of (100,100): self 3 + (101,100) 3 + (100,101) 2
+        # + (101,101) 3 = 11
+        assert df.loc[(100, 100)]["ring3_points"] == 11
+        assert df.loc[(100, 100)]["n_points"] == 3
+        # isolated cell: window holds only itself
+        assert df.loc[(300, 300)]["ring3_points"] == 5
+
+    def test_zonal_rollup(self, ray_session, crafted_world):
+        from housenumbercore_ray.pipelines.tiles import tile_zonal_stats
+
+        df = tile_zonal_stats(crafted_world).to_pandas().set_index("muni_id")
+        # zone 1: 5 occupied cells (3+3+3+2+1 = 12 points), zone 2: 1 cell
+        assert df.loc[1]["n_cells"] == 5
+        assert df.loc[1]["n_points"] == 12
+        assert df.loc[1]["max_cell_points"] == 3
+        assert df.loc[2]["n_cells"] == 1 and df.loc[2]["n_points"] == 5
