@@ -6,8 +6,10 @@ exact-Jaccard verify) on the ``bench`` (800k pages) and ``bench4`` (3.2M
 pages) worlds in FRESH processes, and reports wall seconds, verified-pair
 counts, and the growth ratio. The r2 finding: with the default exact
 profile, FALSE LSH candidates grow ~quadratically (730 s at 3.2M vs 110 s
-at 800k); the scale profile (k=256 / 32×8 banding + prefilter) must bring
-the curve back to ~linear.
+at 800k). The r3 scale profile (k=192 / 24×8 banding, no prefilter — 8-row
+bands measured zero false candidates) plus the pre-groupby block coalesce
+(stages/shuffle.py) brings the curve SUBLINEAR: 58 s at 800k → 184 s at
+3.2M (3.15× for 4× data).
 
 Usage:
   python tools/neardup_curve.py [profile] [scales...]   # default: scale bench bench4
