@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hnr_boundary_import": lambda sf: __import__(
             "housenumbercore_ray.pipelines.import_list", fromlist=["boundary_import"]
         ).boundary_import(_world(sf)),
+        "hnr_assignment_stats": lambda sf: ev.assignment_stats(_world(sf)),
         "hnr_assoc_street_fix": lambda sf: __import__(
             "housenumbercore_ray.pipelines.workaround", fromlist=["assoc_street_fix"]
         ).assoc_street_fix(_world(sf)),
@@ -156,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize_plan": lambda sf: corpus.media_resize_plan(_world(sf)),
         # generic relational operator suite (TPC-H-ish tables)
         "rel_pricing_summary": relational.pricing_summary,
+        "rel_brand_revenue": relational.brand_revenue,
         "rel_top_customers": relational.top_customers,
         "rel_events_monthly": relational.events_monthly,
         "rel_events_mom_diff": relational.events_month_over_month,
@@ -369,6 +371,12 @@ SELECT url, src_w, src_h,
        CAST(CASE WHEN src_w >= src_h THEN 256 ELSE (src_w * 256) // src_h END AS BIGINT) AS dst_w,
        CAST(CASE WHEN src_w >= src_h THEN (src_h * 256) // src_w ELSE 256 END AS BIGINT) AS dst_h
 FROM d
+""",
+        "rel_brand_revenue": """
+SELECT p.p_brand, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
 """,
         "rel_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

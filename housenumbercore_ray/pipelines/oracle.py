@@ -293,6 +293,13 @@ SELECT muni_id,
        CAST(sum(CASE WHEN treffertyp = 'o' THEN 1 ELSE 0 END) AS BIGINT) AS number_osmonly
 FROM evaluation GROUP BY muni_id
 """,
+        "hnr_assignment_stats": pre + """
+SELECT muni_id, CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN matched_by_name THEN 1 ELSE 0 END) AS BIGINT) AS n_matched_by_name,
+       CAST(sum(CASE WHEN matched_by_name THEN 0 ELSE 1 END) AS BIGINT) AS n_knn_assigned,
+       CAST(count(DISTINCT street_key) AS BIGINT) AS n_streets
+FROM assigned GROUP BY muni_id
+""",
         "hnr_streets_missing_in_osm": pre + f"""
 SELECT DISTINCT b.muni_id, {_fold('l.street')} AS street_key
 FROM list_raw l JOIN bounds b ON b.official_ref = l.muni_ref

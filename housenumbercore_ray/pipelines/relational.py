@@ -505,3 +505,56 @@ def regional_revenue(sf_dir: str, region: str = "EUROPE",
         .groupby("c_nationkey")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def brand_revenue(sf_dir: str) -> rd.Dataset:
+    """Revenue per part brand — the LARGE×LARGE join shape done the
+    scalable way: lineitem is PARTIALLY AGGREGATED to (partkey, revenue,
+    n_items) inside map_batches BEFORE the join (aggregate-before-join:
+    the join input shrinks from one row per lineitem to one row per
+    distinct partkey per batch), then a hash-partitioned
+    ``bucketed_hash_join`` against part (both sides shuffle by partkey —
+    no broadcast assumption on either side), then a tiny brand rollup.
+
+    Output: (p_brand, revenue round-2, n_items)."""
+    import pyarrow as pa
+
+    from ..stages.join import bucketed_hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev = b["l_extendedprice"] * (1 - b["l_discount"])
+        g = (pd.DataFrame({"l_partkey": b["l_partkey"].to_numpy(np.int64),
+                           "rev": rev, "n": np.ones(len(b), dtype=np.int64)})
+             .groupby("l_partkey", as_index=False).sum())
+        return g.astype({"l_partkey": np.int64, "n": np.int64})
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    joined = bucketed_hash_join(
+        li.map_batches(li_partial, batch_format="pandas"), part,
+        "l_partkey", "p_partkey",
+        left_schema={"l_partkey": pa.int64(), "rev": pa.float64(),
+                     "n": pa.int64()},
+        right_schema={"p_partkey": pa.int64(), "p_brand": pa.string()},
+    )
+
+    def brand_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby("p_brand", as_index=False)
+             .agg(revenue=("rev", "sum"), n_items=("n", "sum")))
+        g["n_items"] = g["n_items"].astype(np.int64)
+        return g
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("p_brand", as_index=False)
+               .agg(revenue=("revenue", "sum"), n_items=("n_items", "sum")))
+        out["revenue"] = out["revenue"].round(2)
+        out["n_items"] = out["n_items"].astype(np.int64)
+        return out
+
+    return (joined.map_batches(brand_partial, batch_format="pandas")
+            .groupby("p_brand").map_groups(finish, batch_format="pandas"))

@@ -54,7 +54,8 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "dedup_ngram_jaccard", "geo_tile_assign", "geo_tile_rasterize",
             "geo_tile_pyramid", "geo_tile_vectorize", "hnr_assoc_street_fix",
             "dedup_semantic", "text_quality_classifier", "geo_tile_kring",
-            "geo_tile_zonal", "web_snapshot_diff", "corpus_length_histogram"]
+            "geo_tile_zonal", "web_snapshot_diff", "corpus_length_histogram",
+            "rel_brand_revenue", "hnr_assignment_stats"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
