@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": lambda sf: corpus.media_features(_world(sf)),
         "media_frame_samples": lambda sf: corpus.frame_samples(_world(sf)),
         "media_resize_plan": lambda sf: corpus.media_resize_plan(_world(sf)),
+        "media_phash": lambda sf: corpus.media_phash(_world(sf)),
+        "media_phash_pairs": lambda sf: corpus.media_phash_pairs(_world(sf)),
         # generic relational operator suite (TPC-H-ish tables)
         "rel_pricing_summary": relational.pricing_summary,
         "rel_brand_revenue": relational.brand_revenue,
@@ -600,6 +602,8 @@ def oracle_sql() -> dict[str, str]:
 
     dim = _embedding_dim(ORACLE_SF)
     out["dedup_simhash"] = co.simhash_sql()
+    out["media_phash"] = co.media_phash_sql(wd)
+    out["media_phash_pairs"] = co.media_phash_pairs_sql(wd)
     out["dedup_semantic"] = co.semantic_pairs_sql(dim=dim)
     out["text_winnow"] = co.winnow_sql()
     out["dedup_simhash_pairs"] = co.simhash_pairs_sql()

@@ -1902,6 +1902,12 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     EXACT for ``max_hamming ≤ 3``: with 4 bands and ≤3 differing bits, some
     band is identical (pigeonhole), so banding loses nothing vs the all-pairs
     filter — which is precisely what the SQL oracle computes."""
+    return _simhash_pairs_over(_docs(sf_dir), max_hamming)
+
+
+def _simhash_pairs_over(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
+    """Hamming-banded SimHash pair engine over ANY (doc_id, text) dataset —
+    shared by the document path and the media perceptual-hash path."""
     from ..stages.dedup import SimHasher
 
     SHIFTS = (0, 16, 32, 48)
@@ -1943,8 +1949,8 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
                                  "hamming": pd.Series([], dtype=np.int64)})
         return pd.concat(out, ignore_index=True)
 
-    bands = _docs(sf_dir).map_batches(Bands, batch_format="pandas", batch_size=1024,
-                                      concurrency=_heavy_pool(), num_cpus=1)
+    bands = ds.map_batches(Bands, batch_format="pandas", batch_size=1024,
+                           concurrency=_heavy_pool(), num_cpus=1)
     pairs = (
         bands.map_batches(_shard_on(["band_id", "band_val"]), batch_format="pandas")
         .repartition(_shuffle_blocks())
@@ -2555,3 +2561,70 @@ def length_histogram(sf_dir: str) -> rd.Dataset:
 
     return (_docs(sf_dir).map_batches(partial, batch_format="pandas")
             .groupby("bucket").map_groups(final, batch_format="pandas"))
+
+
+#: media perceptual-hash gram geometry: 8 hex chars (4 bytes) per gram,
+#: stride 4 — a deterministic byte-level feature in place of a real
+#: decoded-image pHash (no codecs in this container; the banding/verify
+#: plumbing is the real part, the gram extractor is the swappable stub).
+MEDIA_GRAM_W = 8
+MEDIA_GRAM_STRIDE = 4
+
+
+def _media_gram_text(world_dir: str) -> rd.Dataset:
+    """pages → (doc_id = page id, text = space-joined UPPERCASE hex grams of
+    the binary payload). UPPERCASE matches DuckDB's hex(); the gram text
+    feeds the SAME SimHash kernel and SQL oracle as the document path."""
+    def kernel(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["url"].str.extract(r"/seite/([0-9]+)")[0].astype(np.int64)
+        texts = []
+        for h in b["html"]:
+            hx = bytes(h).hex().upper()
+            texts.append(" ".join(
+                hx[i:i + MEDIA_GRAM_W]
+                for i in range(0, max(len(hx) - MEDIA_GRAM_W + 1, 0),
+                               MEDIA_GRAM_STRIDE)))
+        return pd.DataFrame({"doc_id": ids.to_numpy(np.int64), "text": texts})
+
+    return rd.read_parquet(f"{world_dir}/pages", columns=["url", "html"]).map_batches(
+        kernel, batch_format="pandas", batch_size=256)
+
+
+def media_phash(world_dir: str) -> rd.Dataset:
+    """Per-page 63-bit perceptual-hash-style sketch over the binary payload
+    (SimHash of byte grams): (page_id, phash). The multimodal analog of
+    ``dedup_simhash`` — binary columns get the same sketch/band machinery
+    text gets, without ever shuffling the payload itself."""
+    from ..stages.dedup import SimHasher
+
+    class Sketch:
+        def __init__(self):
+            self.hasher = SimHasher()
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "page_id": b["doc_id"].to_numpy(np.int64),
+                "phash": self.hasher.sketch_shifted(b["text"].tolist()),
+            })
+
+    return _media_gram_text(world_dir).map_batches(
+        Sketch, batch_format="pandas", batch_size=256,
+        concurrency=_heavy_pool(), num_cpus=1)
+
+
+def media_phash_pairs(world_dir: str, max_hamming: int = 1) -> rd.Dataset:
+    """NEAR-IDENTICAL media payloads: Hamming-banded pairs over the
+    byte-gram sketches (exact for d ≤ 3 by pigeonhole — identical guarantee
+    and oracle shape as ``dedup_simhash_pairs``). Output:
+    (page_a < page_b, hamming).
+
+    Scope: byte-level sketches detect near-identical PAYLOADS (re-encoded
+    or lightly patched binaries), not text-level near-dups — markup framing
+    dominates the byte stream, so the planted TEXT near-copies are the text
+    ops' job (``dedup_minhash_pages``). Default d ≤ 1 keeps the surfaced
+    pairs at "same file modulo a few bytes" tightness; the threshold is a
+    parameter, and banding stays exact up to d = 3."""
+    pairs = _simhash_pairs_over(_media_gram_text(world_dir), max_hamming)
+    return pairs.map_batches(
+        lambda b: b.rename(columns={"doc_id_a": "page_a", "doc_id_b": "page_b"}),
+        batch_format="pandas")

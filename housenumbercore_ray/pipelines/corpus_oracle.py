@@ -840,3 +840,34 @@ SELECT CAST(qid AS BIGINT) AS qid,
 FROM cand
 QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) <= {k}
 """
+
+
+def _media_gram_src(world_dir: str, width: int = 8, stride: int = 4) -> str:
+    """Derived (doc_id, text) source for the media perceptual-hash path:
+    text = space-joined UPPERCASE hex byte-grams of the binary payload —
+    the exact gram extractor of corpus._media_gram_text, so the standard
+    simhash oracles run unchanged on top of it."""
+    return (
+        "(SELECT CAST(regexp_extract(url, '/seite/([0-9]+)', 1) AS BIGINT) AS doc_id, "
+        "array_to_string(list_transform("
+        f"range(1, greatest(length(hex(html)) - {width - 1}, 0) + 1, {stride}), "
+        f"i -> substr(hex(html), i, {width})), ' ') AS text "
+        f"FROM read_parquet('{world_dir}/pages/*.parquet'))"
+    )
+
+
+def media_phash_sql(world_dir: str) -> str:
+    """media_phash: SimHash-of-byte-grams sketch recomputed in SQL."""
+    return f"""
+SELECT doc_id AS page_id, simhash AS phash
+FROM ({simhash_sql(_media_gram_src(world_dir))})
+"""
+
+
+def media_phash_pairs_sql(world_dir: str, max_hamming: int = 1) -> str:
+    """media_phash_pairs: banded candidate pairs + exact hamming filter over
+    the byte-gram sketches (pigeonhole-exact for d ≤ 3)."""
+    return f"""
+SELECT doc_id_a AS page_a, doc_id_b AS page_b, hamming
+FROM ({simhash_pairs_sql(_media_gram_src(world_dir), max_hamming=max_hamming)})
+"""

@@ -55,7 +55,8 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "geo_tile_pyramid", "geo_tile_vectorize", "hnr_assoc_street_fix",
             "dedup_semantic", "text_quality_classifier", "geo_tile_kring",
             "geo_tile_zonal", "web_snapshot_diff", "corpus_length_histogram",
-            "rel_brand_revenue", "hnr_assignment_stats"]
+            "rel_brand_revenue", "hnr_assignment_stats", "media_phash",
+            "media_phash_pairs"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
@@ -77,6 +78,8 @@ def test_extended_query_matches_oracle(entry, con, name):
 
     dim = _embedding_dim(SF)
     sqls["dedup_simhash"] = co.simhash_sql()
+    sqls["media_phash"] = co.media_phash_sql(wd)
+    sqls["media_phash_pairs"] = co.media_phash_pairs_sql(wd)
     sqls["dedup_semantic"] = co.semantic_pairs_sql(dim=dim)
     from housenumbercore_ray.pipelines.workaround import assoc_street_fix_sql
 
