@@ -63,6 +63,9 @@ class TheoCount:
         import ray
 
         self.ctx = ray.get(ctx_ref)
+        # vectorized membership probe for the relation dictionary (the
+        # per-row Python lambda was the stage's only row loop)
+        self.rel_ids = np.asarray(list(self.ctx.relations.keys()), dtype=np.float64)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         area = self.ctx.boundary_index.locate(batch["lon"].to_numpy(), batch["lat"].to_numpy())
@@ -76,9 +79,8 @@ class TheoCount:
                 "n": pd.Series([], dtype=np.int64),
             })
         batch = batch.assign(muni_id=batch["area_id"].map(self.ctx.area_to_muni))
-        rel_known = batch["assoc_rel_id"].map(
-            lambda r: r is not None and not pd.isna(r) and int(r) in self.ctx.relations
-        )
+        rel_known = pd.to_numeric(batch["assoc_rel_id"], errors="coerce").isin(
+            self.rel_ids).to_numpy()
         resolution = np.where(
             batch["addr_street"].notna(), "street",
             np.where(rel_known, "assoc",

@@ -68,13 +68,21 @@ def token_stats(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
 
 
 def quality_scores(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    # unique positional index — the explode/groupby(level=0) aggregation
+    # below silently merges rows under a duplicated caller index
+    batch = batch.reset_index(drop=True)
     text = _norm_ws(batch[col])
     toks = text.str.strip().str.split()
     n_tokens = toks.str.len().fillna(0).astype(np.int64)
     n_chars = text.str.len().astype(np.int64)
     punct = text.str.count(f"[{PUNCT}]").astype(np.int64)
     all_stop = set(w for ws in STOPWORDS.values() for w in ws)
-    stop_hits = toks.map(lambda ws: sum(1 for w in ws if w.lower() in all_stop) if isinstance(ws, list) else 0)
+    # vectorized stopword count: explode tokens once, C-speed lower+isin,
+    # re-aggregate by row (the per-token Python loop was the hot spot)
+    ex = toks.explode()
+    hit = ex.str.lower().isin(all_stop)
+    stop_hits = (hit.groupby(level=0).sum().reindex(batch.index, fill_value=0)
+                 .astype(np.int64))
     alpha_chars = text.str.count(r"[A-Za-zÄÖÜäöüß]").astype(np.int64)
     return pd.DataFrame({
         "doc_id": batch["doc_id"].astype(np.int64),
@@ -124,11 +132,14 @@ def quality_classifier(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
 
 
 def lang_id(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    batch = batch.reset_index(drop=True)
     toks = _norm_ws(batch[col]).str.strip().str.lower().str.split()
+    ex = toks.explode()  # one exploded pass shared by all four languages
     counts = {}
     for lang in LANG_ORDER:
-        sw = set(STOPWORDS[lang])
-        counts[lang] = toks.map(lambda ws: sum(1 for w in ws if w in sw) if isinstance(ws, list) else 0)
+        hit = ex.isin(set(STOPWORDS[lang]))
+        counts[lang] = (hit.groupby(level=0).sum()
+                        .reindex(batch.index, fill_value=0).astype(np.int64))
     cnt = pd.DataFrame(counts)
     best = cnt.max(axis=1)
     # argmax with fixed tie-break order; all-zero → 'unknown'
