@@ -101,6 +101,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_zonal": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["tile_zonal_stats"]
         ).tile_zonal_stats(_world(sf)),
+        # vector geometry over WKB columns (decode / measure / generalize)
+        "geo_street_vertices": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.geometry", fromlist=["street_vertices"]
+        ).street_vertices(_world(sf)),
+        "geo_muni_area": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.geometry", fromlist=["muni_area"]
+        ).muni_area(_world(sf)),
+        "geo_line_simplify": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.geometry", fromlist=["line_simplify"]
+        ).line_simplify(_world(sf)),
         # theoretical pipeline (osm_addresses table of the world)
         "theo_muni_summary": lambda sf: __import__(
             "housenumbercore_ray.pipelines.theoretical", fromlist=["theo_muni_summary"]
@@ -593,6 +603,11 @@ def oracle_sql() -> dict[str, str]:
     from housenumbercore_ray.pipelines.workaround import assoc_street_fix_sql
 
     out.update(tiles_sql(wd))
+    from housenumbercore_ray.pipelines import geometry_oracle as geo_o
+
+    out["geo_street_vertices"] = geo_o.street_vertices_sql(wd)
+    out["geo_muni_area"] = geo_o.muni_area_sql(wd)
+    out["geo_line_simplify"] = geo_o.line_simplify_sql(wd)
     out["hnr_assoc_street_fix"] = assoc_street_fix_sql(wd)
 
     # deterministic-approximate queries: full SQL recomputations (fixed

@@ -1,0 +1,283 @@
+"""Vector-geometry operators over the world's WKB columns.
+
+The reference moves geometry as PostGIS WKT/WKB through JDBC and leans on
+PostGIS for measurement/generalization (e.g. boundary polygon handling in
+TheoreticalHousenumbers.java:846-869, street segment assembly in
+util/OSMSegment.java:58-71); tile pipelines downstream of it (the regio-osm
+map layers) simplify street/boundary geometry per zoom level.  Here the same
+capabilities are Ray-Data-native batch kernels over Arrow ``binary`` WKB
+columns:
+
+- ``street_vertices``  — WKB linestring → one row per vertex, decoded with a
+  SINGLE ``np.frombuffer`` per batch (no per-row struct unpacking on the hot
+  axis).  Zero shuffle; scales with pages of the streets table.
+- ``muni_area``        — per-boundary shoelace area (deg² and km²) + exterior
+  centroid from ``polygon_wkb`` incl. holes.  Stateless map_batches over the
+  (small) boundary dimension table.
+- ``line_simplify``    — deterministic densify + Douglas-Peucker
+  generalization (the tile-zoom primitive).  Stateless map_batches, zero
+  shuffle: every geometry is simplified independently, so the operator
+  scales embarrassingly with the number of geometries.
+
+Every float expression here is mirrored LITERALLY in
+``geometry_oracle.py`` (DuckDB decodes the same WKB bytes via hex →
+IEEE-754 bit arithmetic), so the driver's value-hash comparison is exact —
+no tolerance, no approximate match.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+# --- shared densify/DP constants (mirrored in geometry_oracle.py) ---------
+DENSIFY_D = 8          # densified points per original segment
+DENSIFY_AMP = 0.0008   # max |perpendicular offset| in degrees
+SIMPLIFY_EPS = 0.0003  # Douglas-Peucker tolerance in degrees
+_HASH_M1 = 7349
+_HASH_M2 = 2654435761
+_HASH_M3 = 97
+
+
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] for int64 counts — fully vectorized."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def decode_linestrings(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a batch of little-endian WKB LineStrings.
+
+    Returns ``(npts, pts)``: per-row vertex counts (int64) and the stacked
+    ``(sum(npts), 2)`` float64 coordinate array.  One ``b"".join`` + one
+    ``np.frombuffer`` per batch — the vertex axis never touches Python.
+    """
+    if not bufs:
+        return np.zeros(0, dtype=np.int64), np.zeros((0, 2))
+    raw = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    if not (raw[starts] == 1).all() or not (raw[starts + 1] == 2).all():
+        raise ValueError("expected little-endian WKB LineString (type 2)")
+    npts = (lens - 9) // 16
+    # header-declared counts must agree with the byte length
+    declared = (
+        raw[starts + 5].astype(np.int64)
+        | (raw[starts + 6].astype(np.int64) << 8)
+        | (raw[starts + 7].astype(np.int64) << 16)
+        | (raw[starts + 8].astype(np.int64) << 24)
+    )
+    if not (declared == npts).all():
+        raise ValueError("WKB LineString header count mismatch")
+    counts = 16 * npts
+    idx = np.repeat(starts + 9, counts) + _ragged_arange(counts)
+    pts = np.frombuffer(raw[idx].tobytes(), dtype="<f8").reshape(-1, 2)
+    return npts, pts
+
+
+def street_vertices(world_dir: str) -> rd.Dataset:
+    """WKB → vertex rows: (osm_id, seq, lon, lat), one row per linestring
+    vertex.  The raster↔vector bridge every geometry operator builds on."""
+    streets = rd.read_parquet(
+        f"{world_dir}/osm_streets.parquet", columns=["osm_id", "linestring_wkb"]
+    )
+
+    def decode(b: pd.DataFrame) -> pd.DataFrame:
+        npts, pts = decode_linestrings(b["linestring_wkb"].tolist())
+        return pd.DataFrame({
+            "osm_id": np.repeat(b["osm_id"].to_numpy(np.int64), npts),
+            "seq": _ragged_arange(npts),
+            "lon": pts[:, 0],
+            "lat": pts[:, 1],
+        })
+
+    return streets.map_batches(decode, batch_format="pandas")
+
+
+# --- polygon measurement ---------------------------------------------------
+
+def muni_area(world_dir: str) -> rd.Dataset:
+    """Per-boundary (multi)polygon measurement: shoelace area (deg² and
+    km², exteriors minus holes across all parts) and the centroid of the
+    FIRST exterior ring (the primary part — documented contract).
+
+    Scale shape: the boundary table is a dimension table (SCALING.md bounds
+    it at admin-unit cardinality); the per-row ring walk is a short Python
+    loop over ≤ a few rings while the vertex math inside each ring is
+    vectorized.  Zero shuffle."""
+    from ..geo.wkb import wkb_rings
+    bounds = rd.read_parquet(
+        f"{world_dir}/boundaries.parquet",
+        columns=["area_id", "muni_id", "name", "polygon_wkb"],
+    )
+
+    def measure(b: pd.DataFrame) -> pd.DataFrame:
+        out = {k: [] for k in ("area_id", "muni_id", "name", "n_rings",
+                               "n_vertices", "area_deg2", "area_km2",
+                               "centroid_lon", "centroid_lat")}
+        for area_id, muni_id, name, wkb in zip(
+            b["area_id"], b["muni_id"], b["name"], b["polygon_wkb"]
+        ):
+            rings = wkb_rings(bytes(wkb))
+            # signed shoelace sum per ring: sum over k of cross(P_k, P_k+1),
+            # RE-CENTERED at the ring's first vertex (small cross products →
+            # no cancellation; matches geometry_oracle literally).  Rings
+            # are closed (last == first), so k runs 0..n-2.
+            area = 0.0
+            clon = clat = 0.0
+            seen_first_ext = False
+            for ring, is_ext in rings:
+                fx, fy = ring[0, 0], ring[0, 1]
+                x, y = ring[:, 0] - fx, ring[:, 1] - fy
+                cr = x[:-1] * y[1:] - x[1:] * y[:-1]
+                sum_cr = float(np.sum(cr))
+                if is_ext:
+                    area = area + abs(0.5 * sum_cr)
+                    if not seen_first_ext:
+                        seen_first_ext = True
+                        sum_cx = float(np.sum((x[:-1] + x[1:]) * cr))
+                        sum_cy = float(np.sum((y[:-1] + y[1:]) * cr))
+                        clon = fx + sum_cx / (3.0 * sum_cr)
+                        clat = fy + sum_cy / (3.0 * sum_cr)
+                else:
+                    area = area - abs(0.5 * sum_cr)
+            km2 = area * 111.32 * 111.32 * float(np.cos(np.pi * clat / 180.0))
+            out["area_id"].append(area_id)
+            out["muni_id"].append(muni_id)
+            out["name"].append(name)
+            out["n_rings"].append(len(rings))
+            out["n_vertices"].append(int(sum(len(r) for r, _ in rings)))
+            out["area_deg2"].append(area)
+            out["area_km2"].append(km2)
+            out["centroid_lon"].append(clon)
+            out["centroid_lat"].append(clat)
+        df = pd.DataFrame(out)
+        for c in ("area_id", "muni_id", "n_rings", "n_vertices"):
+            df[c] = df[c].astype(np.int64)
+        return df
+
+    return bounds.map_batches(measure, batch_format="pandas")
+
+
+# --- densify + Douglas-Peucker --------------------------------------------
+
+def _densify(osm_id: np.ndarray, npts: np.ndarray, pts: np.ndarray,
+             d: int = DENSIFY_D, amp: float = DENSIFY_AMP):
+    """Deterministically densify each linestring: between every consecutive
+    vertex pair insert d-1 points at t = k/d, displaced perpendicular by
+    amp · z where z ∈ [-1, 1) comes from integer hashing of
+    (osm_id, segment, k) — pure int64 arithmetic, so the DuckDB oracle
+    reproduces every coordinate bit-exactly.
+
+    Returns (street_row, seq, x, y) arrays sorted by (street_row, seq);
+    seq = segment·d + k, so the final vertex of street with m points is
+    (m-1)·d.  Vectorized across ALL segments of the batch at once."""
+    n_rows = len(npts)
+    ends = np.cumsum(npts)
+    starts = ends - npts
+    x, y = pts[:, 0], pts[:, 1]
+
+    # originals: every input vertex, seq = s*d
+    orig_row = np.repeat(np.arange(n_rows, dtype=np.int64), npts)
+    orig_seq = _ragged_arange(npts) * d
+
+    # segments: per street, vertices 0..m-2 pair with their successor
+    nseg = npts - 1
+    seg_row = np.repeat(np.arange(n_rows, dtype=np.int64), nseg)
+    seg_s = _ragged_arange(nseg)                       # segment index in street
+    a = np.repeat(starts, nseg) + seg_s                # global idx of segment start
+    x0, y0 = x[a], y[a]
+    dx, dy = x[a + 1] - x0, y[a + 1] - y0
+    ln = np.sqrt(dx * dx + dy * dy)
+
+    # inserted points: each segment × k = 1..d-1
+    k = np.tile(np.arange(1, d, dtype=np.int64), len(a))
+    rep = np.repeat(np.arange(len(a), dtype=np.int64), d - 1)
+    zint = (np.repeat(osm_id[seg_row], d - 1) * _HASH_M1
+            + np.repeat(seg_s, d - 1) * _HASH_M2 + k * _HASH_M3) % 2048
+    z = (zint - 1024) / 1024.0
+    t = k / float(d)
+    ins_x = x0[rep] + t * dx[rep] + (amp * z) * (-dy[rep]) / ln[rep]
+    ins_y = y0[rep] + t * dy[rep] + (amp * z) * dx[rep] / ln[rep]
+    ins_row = seg_row[rep]
+    ins_seq = seg_s[rep] * d + k
+
+    row = np.concatenate([orig_row, ins_row])
+    seq = np.concatenate([orig_seq, ins_seq])
+    xx = np.concatenate([x, ins_x])  # originals are already in global order
+    yy = np.concatenate([y, ins_y])
+    order = np.lexsort((seq, row))
+    return row[order], seq[order], xx[order], yy[order]
+
+
+def _dp_keep(x: np.ndarray, y: np.ndarray, eps: float) -> np.ndarray:
+    """Douglas-Peucker keep mask for one polyline.  The split point is the
+    FIRST (lowest-index) point attaining the maximum deviation — mirrored by
+    the oracle's ``ORDER BY d DESC, seq ASC`` tie-break.  Perpendicular
+    deviation uses the cross-product form; degenerate (zero-length) chords
+    fall back to distance-to-endpoint."""
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        xi, yi, xj, yj = x[i], y[i], x[j], y[j]
+        dx, dy = xj - xi, yj - yi
+        den = np.sqrt(dx * dx + dy * dy)
+        xs, ys = x[i + 1:j], y[i + 1:j]
+        if den == 0.0:
+            dist = np.sqrt((xs - xi) * (xs - xi) + (ys - yi) * (ys - yi))
+        else:
+            dist = np.abs(dx * (yi - ys) - (xi - xs) * dy) / den
+        kmax = int(np.argmax(dist))
+        if dist[kmax] > eps:
+            s = i + 1 + kmax
+            keep[s] = True
+            stack.append((s, j))
+            stack.append((i, s))
+    return keep
+
+
+def line_simplify(world_dir: str, d: int = DENSIFY_D, amp: float = DENSIFY_AMP,
+                  eps: float = SIMPLIFY_EPS) -> rd.Dataset:
+    """Densify-then-generalize: street linestrings are deterministically
+    densified (the high-resolution survey rendition) and Douglas-Peucker
+    reduces them back to tolerance ``eps`` — the per-zoom generalization
+    step of a tile pipeline.  Output: kept vertices (osm_id, seq, lon, lat).
+
+    Scale shape: stateless map_batches, ZERO shuffle — each geometry is
+    independent.  The vertex axis (densify + per-chord deviation) is numpy;
+    the only Python loop is the per-geometry DP stack, bounded by geometries
+    per batch with ~d·m work each."""
+    streets = rd.read_parquet(
+        f"{world_dir}/osm_streets.parquet", columns=["osm_id", "linestring_wkb"]
+    )
+
+    def simplify(b: pd.DataFrame) -> pd.DataFrame:
+        osm = b["osm_id"].to_numpy(np.int64)
+        npts, pts = decode_linestrings(b["linestring_wkb"].tolist())
+        row, seq, x, y = _densify(osm, npts, pts, d=d, amp=amp)
+        dcount = (npts - 1) * d + 1
+        ends = np.cumsum(dcount)
+        starts = ends - dcount
+        keep = np.zeros(len(x), dtype=bool)
+        for r in range(len(npts)):
+            s, e = starts[r], ends[r]
+            keep[s:e] = _dp_keep(x[s:e], y[s:e], eps)
+        return pd.DataFrame({
+            "osm_id": osm[row[keep]],
+            "seq": seq[keep],
+            "lon": x[keep],
+            "lat": y[keep],
+        })
+
+    return streets.map_batches(simplify, batch_format="pandas")

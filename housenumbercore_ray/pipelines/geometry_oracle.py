@@ -1,0 +1,242 @@
+"""Independent DuckDB recomputations for the geometry operators.
+
+No spatial extension is available in the sandbox, so these oracles decode
+the WKB ``binary`` columns from first principles inside SQL: ``hex()`` the
+blob, reassemble each little-endian 8-byte group as a UBIGINT, and evaluate
+the IEEE-754 double from sign/exponent/mantissa bit fields — bit-exact for
+every normal double (coordinates are never zero/denormal/inf here, and the
+decode CASEs u = 0 to 0.0 anyway).  On top of the decoded vertices:
+
+- ``street_vertices_sql`` — the decode itself is the query.
+- ``muni_area_sql``       — recursive ring walk over Polygon WKB (rings have
+  variable offsets), shoelace per ring, exterior centroid, km² conversion
+  with the SAME literal expression shapes as ``geometry.py`` (float adds
+  and multiplies associate identically, so values hash equal at the
+  driver's 9-dp rounding).
+- ``line_simplify_sql``   — the densify arithmetic is pure int64 hashing +
+  the identical float expression tree, and Douglas-Peucker itself runs as a
+  recursive CTE: each active chord joins its interior points, a window
+  ``row_number() OVER (... ORDER BY d DESC, seq)`` picks the split vertex,
+  and the chord splits while the max deviation exceeds eps.  Kept vertices
+  are the union of all chord endpoints.
+"""
+
+from __future__ import annotations
+
+from .geometry import (
+    DENSIFY_AMP,
+    DENSIFY_D,
+    SIMPLIFY_EPS,
+    _HASH_M1,
+    _HASH_M2,
+    _HASH_M3,
+)
+
+
+def _u64le(hx: str, off: str) -> str:
+    """UBIGINT from 8 little-endian bytes of hex string ``hx`` at 0-based
+    byte offset ``off`` (an SQL expression)."""
+    parts = " || ".join(
+        f"substr({hx}, 2*(({off})+{k})+1, 2)" for k in (7, 6, 5, 4, 3, 2, 1, 0)
+    )
+    return f"(('0x' || {parts})::UBIGINT)"
+
+
+def _u32le(hx: str, off: str) -> str:
+    parts = " || ".join(
+        f"substr({hx}, 2*(({off})+{k})+1, 2)" for k in (3, 2, 1, 0)
+    )
+    return f"(('0x' || {parts})::UBIGINT::BIGINT)"
+
+
+def _f64_from_u(u: str) -> str:
+    """IEEE-754 binary64 value of UBIGINT expression ``u``."""
+    return (
+        f"(CASE WHEN {u} = 0 THEN 0.0 ELSE "
+        f"(CASE WHEN ({u} >> 63) = 1 THEN -1.0 ELSE 1.0 END) * "
+        f"(1.0 + ({u} & 4503599627370495)::DOUBLE / 4503599627370496.0) * "
+        f"pow(2.0, (({u} >> 52) & 2047)::BIGINT - 1023) END)"
+    )
+
+
+def _street_verts_cte(world_dir: str) -> str:
+    """CTE body: (osm_id, seq, x, y) — every decoded street vertex."""
+    hdr = (
+        f"SELECT osm_id, hex(linestring_wkb) AS hx, "
+        f"{_u32le('hex(linestring_wkb)', '5')} AS n "
+        f"FROM read_parquet('{world_dir}/osm_streets.parquet')"
+    )
+    return f"""
+hdr AS ({hdr}),
+idx AS (SELECT osm_id, hx, unnest(range(n)) AS i FROM hdr),
+u AS (SELECT osm_id, i,
+        {_u64le('hx', '9 + 16*i')} AS ulon,
+        {_u64le('hx', '17 + 16*i')} AS ulat
+      FROM idx),
+verts AS (SELECT osm_id, i AS seq,
+        {_f64_from_u('ulon')} AS x, {_f64_from_u('ulat')} AS y
+      FROM u)
+"""
+
+
+def street_vertices_sql(world_dir: str) -> str:
+    return f"""
+WITH {_street_verts_cte(world_dir)}
+SELECT osm_id, seq, x AS lon, y AS lat FROM verts
+"""
+
+
+def muni_area_sql(world_dir: str) -> str:
+    return f"""
+WITH RECURSIVE
+h AS (SELECT area_id, muni_id, name, hex(polygon_wkb) AS hx,
+             {_u32le('hex(polygon_wkb)', '1')} AS gtype
+      FROM read_parquet('{world_dir}/boundaries.parquet')),
+-- normalize Polygon (type 3) / MultiPolygon (type 6): part 0's polygon
+-- header starts at byte 0 resp. 9
+hn AS (SELECT *, CASE WHEN gtype = 3 THEN 1 ELSE {_u32le('hx', '5')} END AS npolys,
+              CASE WHEN gtype = 3 THEN 0 ELSE 9 END AS p0
+       FROM h),
+-- linear walk over the (part, ring) chain: each ring knows its coord
+-- offset and count; the successor is either the next ring of the same
+-- part or ring 0 of the next part (whose own WKB header is skipped)
+rings(area_id, poly_idx, ring_idx, nrings, off, n) AS (
+  SELECT area_id, 0, 0, {_u32le('hx', 'p0 + 5')}, p0 + 13,
+         {_u32le('hx', 'p0 + 9')}
+  FROM hn
+  UNION ALL
+  SELECT r.area_id,
+    CASE WHEN r.ring_idx + 1 < r.nrings THEN r.poly_idx ELSE r.poly_idx + 1 END,
+    CASE WHEN r.ring_idx + 1 < r.nrings THEN r.ring_idx + 1 ELSE 0 END,
+    CASE WHEN r.ring_idx + 1 < r.nrings THEN r.nrings
+         ELSE {_u32le('hn.hx', 'r.off + 16*r.n + 5')} END,
+    CASE WHEN r.ring_idx + 1 < r.nrings THEN r.off + 16*r.n + 4
+         ELSE r.off + 16*r.n + 13 END,
+    CASE WHEN r.ring_idx + 1 < r.nrings THEN {_u32le('hn.hx', 'r.off + 16*r.n')}
+         ELSE {_u32le('hn.hx', 'r.off + 16*r.n + 9')} END
+  FROM rings r JOIN hn ON hn.area_id = r.area_id
+  WHERE r.ring_idx + 1 < r.nrings OR r.poly_idx + 1 < hn.npolys
+),
+idx AS (SELECT area_id, poly_idx, ring_idx, off, unnest(range(n)) AS i
+        FROM rings),
+u AS (SELECT area_id, poly_idx, ring_idx, i,
+        {_u64le('hn.hx', 'idx.off + 16*i')} AS ux,
+        {_u64le('hn.hx', 'idx.off + 16*i + 8')} AS uy
+      FROM idx JOIN hn USING (area_id)),
+verts AS (SELECT area_id, poly_idx, ring_idx, i,
+        {_f64_from_u('ux')} AS x, {_f64_from_u('uy')} AS y FROM u),
+-- rings are closed (last == first): shoelace terms pair i with i+1,
+-- RE-CENTERED at the ring's first vertex so the cross products stay small
+-- (no catastrophic cancellation → engine/SQL agree far inside the
+-- driver's 9-dp rounding regardless of SUM order)
+terms AS (
+  SELECT a.area_id, a.poly_idx, a.ring_idx, f.x AS fx, f.y AS fy,
+         (a.x - f.x) * (b.y - f.y) - (b.x - f.x) * (a.y - f.y) AS cr,
+         ((a.x - f.x) + (b.x - f.x))
+           * ((a.x - f.x) * (b.y - f.y) - (b.x - f.x) * (a.y - f.y)) AS cxterm,
+         ((a.y - f.y) + (b.y - f.y))
+           * ((a.x - f.x) * (b.y - f.y) - (b.x - f.x) * (a.y - f.y)) AS cyterm
+  FROM verts a
+  JOIN verts b ON b.area_id = a.area_id AND b.poly_idx = a.poly_idx
+              AND b.ring_idx = a.ring_idx AND b.i = a.i + 1
+  JOIN verts f ON f.area_id = a.area_id AND f.poly_idx = a.poly_idx
+              AND f.ring_idx = a.ring_idx AND f.i = 0
+),
+ring_sums AS (
+  SELECT area_id, poly_idx, ring_idx, sum(cr) AS scr,
+         sum(cxterm) AS scx, sum(cyterm) AS scy,
+         max(fx) AS fx, max(fy) AS fy,
+         count(*) + 1 AS nverts
+  FROM terms GROUP BY area_id, poly_idx, ring_idx
+),
+agg AS (
+  SELECT area_id,
+         count(*)::BIGINT AS n_rings,
+         sum(nverts)::BIGINT AS n_vertices,
+         sum(CASE WHEN ring_idx = 0 THEN abs(0.5 * scr)
+                  ELSE -abs(0.5 * scr) END) AS area_deg2,
+         max(CASE WHEN poly_idx = 0 AND ring_idx = 0
+                  THEN fx + scx / (3.0 * scr) END) AS clon,
+         max(CASE WHEN poly_idx = 0 AND ring_idx = 0
+                  THEN fy + scy / (3.0 * scr) END) AS clat
+  FROM ring_sums GROUP BY area_id
+)
+SELECT h.area_id, h.muni_id, h.name,
+       agg.n_rings, agg.n_vertices, agg.area_deg2,
+       agg.area_deg2 * 111.32 * 111.32 * cos(pi() * agg.clat / 180.0) AS area_km2,
+       agg.clon AS centroid_lon, agg.clat AS centroid_lat
+FROM agg JOIN h USING (area_id)
+"""
+
+
+def line_simplify_sql(world_dir: str, d: int = DENSIFY_D,
+                      amp: float = DENSIFY_AMP,
+                      eps: float = SIMPLIFY_EPS) -> str:
+    return f"""
+WITH RECURSIVE {_street_verts_cte(world_dir)},
+m AS (SELECT osm_id, max(seq) AS last_s FROM verts GROUP BY osm_id),
+seg AS (
+  SELECT a.osm_id, a.seq AS s, a.x AS x0, a.y AS y0,
+         b.x - a.x AS dx, b.y - a.y AS dy,
+         sqrt((b.x - a.x)*(b.x - a.x) + (b.y - a.y)*(b.y - a.y)) AS ln
+  FROM verts a JOIN verts b ON b.osm_id = a.osm_id AND b.seq = a.seq + 1
+),
+dens AS (
+  SELECT osm_id, seq * {d} AS seq, x, y FROM verts
+  UNION ALL
+  SELECT osm_id, s * {d} + k AS seq,
+         x0 + (k / {d}.0) * dx
+            + ({amp!r} * (((osm_id*{_HASH_M1} + s*{_HASH_M2} + k*{_HASH_M3})
+                           % 2048 - 1024) / 1024.0)) * (-dy) / ln AS x,
+         y0 + (k / {d}.0) * dy
+            + ({amp!r} * (((osm_id*{_HASH_M1} + s*{_HASH_M2} + k*{_HASH_M3})
+                           % 2048 - 1024) / 1024.0)) * dx / ln AS y
+  FROM seg, (SELECT unnest(range(1, {d})) AS k)
+),
+chord(osm_id, i, j) AS (
+  SELECT osm_id, 0::BIGINT, last_s * {d} FROM m
+  UNION ALL
+  SELECT q.osm_id,
+         CASE WHEN side.w = 0 THEN q.i ELSE q.split END,
+         CASE WHEN side.w = 0 THEN q.split ELSE q.j END
+  FROM (
+    SELECT c.osm_id, c.i, c.j, p.seq AS split,
+           CASE WHEN sqrt((pj.x - pi.x)*(pj.x - pi.x)
+                          + (pj.y - pi.y)*(pj.y - pi.y)) = 0.0
+                THEN sqrt((p.x - pi.x)*(p.x - pi.x)
+                          + (p.y - pi.y)*(p.y - pi.y))
+                ELSE abs((pj.x - pi.x)*(pi.y - p.y)
+                         - (pi.x - p.x)*(pj.y - pi.y))
+                     / sqrt((pj.x - pi.x)*(pj.x - pi.x)
+                            + (pj.y - pi.y)*(pj.y - pi.y)) END AS dist,
+           row_number() OVER (
+             PARTITION BY c.osm_id, c.i, c.j
+             ORDER BY CASE WHEN sqrt((pj.x - pi.x)*(pj.x - pi.x)
+                                     + (pj.y - pi.y)*(pj.y - pi.y)) = 0.0
+                           THEN sqrt((p.x - pi.x)*(p.x - pi.x)
+                                     + (p.y - pi.y)*(p.y - pi.y))
+                           ELSE abs((pj.x - pi.x)*(pi.y - p.y)
+                                    - (pi.x - p.x)*(pj.y - pi.y))
+                                / sqrt((pj.x - pi.x)*(pj.x - pi.x)
+                                       + (pj.y - pi.y)*(pj.y - pi.y)) END DESC,
+                      p.seq ASC) AS rn
+    FROM chord c
+    JOIN dens p  ON p.osm_id = c.osm_id AND p.seq > c.i AND p.seq < c.j
+    JOIN dens pi ON pi.osm_id = c.osm_id AND pi.seq = c.i
+    JOIN dens pj ON pj.osm_id = c.osm_id AND pj.seq = c.j
+  ) q, (SELECT unnest([0, 1]) AS w) side
+  WHERE q.rn = 1 AND q.dist > {eps!r}
+),
+kept AS (
+  -- NOTE: inside a WITH RECURSIVE list DuckDB treats a top-level UNION CTE
+  -- body as base/step and does not deduplicate across the two selects, so
+  -- the dedup happens in an outer DISTINCT over a UNION ALL subquery
+  SELECT DISTINCT osm_id, seq FROM (
+    SELECT osm_id, i AS seq FROM chord
+    UNION ALL
+    SELECT osm_id, j AS seq FROM chord
+  )
+)
+SELECT p.osm_id, p.seq, p.x AS lon, p.y AS lat
+FROM kept k JOIN dens p ON p.osm_id = k.osm_id AND p.seq = k.seq
+"""

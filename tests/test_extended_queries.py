@@ -56,7 +56,8 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "dedup_semantic", "text_quality_classifier", "geo_tile_kring",
             "geo_tile_zonal", "web_snapshot_diff", "corpus_length_histogram",
             "rel_brand_revenue", "hnr_assignment_stats", "media_phash",
-            "media_phash_pairs"]
+            "media_phash_pairs", "geo_street_vertices", "geo_muni_area",
+            "geo_line_simplify"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
@@ -91,6 +92,11 @@ def test_extended_query_matches_oracle(entry, con, name):
     sqls["dedup_minhash_pages"] = co.minhash_pages_sql(wd)
     sqls["ann_lsh_buckets"] = co.lsh_buckets_sql(dim)
     sqls["ann_lsh_topk"] = co.lsh_topk_sql(dim)
+    from housenumbercore_ray.pipelines import geometry_oracle as geo_o
+
+    sqls["geo_street_vertices"] = geo_o.street_vertices_sql(wd)
+    sqls["geo_muni_area"] = geo_o.muni_area_sql(wd)
+    sqls["geo_line_simplify"] = geo_o.line_simplify_sql(wd)
 
     got = entry.queries()[name](SF)
     got = got.to_pandas() if hasattr(got, "to_pandas") else pd.DataFrame(got)

@@ -1,0 +1,139 @@
+"""Vector-geometry kernel tests (pipelines/geometry.py): WKB batch decode
+round-trip, shoelace measurement on known shapes, densify determinism, and
+Douglas-Peucker invariants.  Oracle parity at sf0.001 is covered by
+test_extended_queries."""
+
+import numpy as np
+import pytest
+
+from housenumbercore_ray.geo.wkb import linestring_wkb, multipolygon_wkb, polygon_wkb
+from housenumbercore_ray.pipelines.geometry import (
+    DENSIFY_D,
+    _densify,
+    _dp_keep,
+    _ragged_arange,
+    decode_linestrings,
+)
+
+
+class TestDecode:
+    def test_ragged_arange(self):
+        out = _ragged_arange(np.array([3, 0, 2], dtype=np.int64))
+        assert out.tolist() == [0, 1, 2, 0, 1]
+
+    def test_round_trip(self):
+        lines = [
+            [(10.0, 50.0), (10.1, 50.1)],
+            [(9.5, 49.0), (9.6, 49.2), (9.7, 49.1)],
+            [(11.0, 51.0), (11.0, 51.5), (11.2, 51.5), (11.3, 51.6)],
+        ]
+        bufs = [linestring_wkb(c) for c in lines]
+        npts, pts = decode_linestrings(bufs)
+        assert npts.tolist() == [2, 3, 4]
+        flat = np.vstack([np.asarray(c) for c in lines])
+        assert np.array_equal(pts, flat)
+
+    def test_rejects_polygon(self):
+        with pytest.raises(ValueError):
+            decode_linestrings([polygon_wkb([(0, 0), (1, 0), (1, 1)])])
+
+    def test_empty_batch(self):
+        npts, pts = decode_linestrings([])
+        assert len(npts) == 0 and pts.shape == (0, 2)
+
+
+class TestShoelace:
+    def _measure(self, wkb):
+        # same re-centered shoelace the muni_area batch kernel applies
+        from housenumbercore_ray.geo.wkb import wkb_rings
+
+        rings = wkb_rings(wkb)
+        area = 0.0
+        for ring, is_ext in rings:
+            fx, fy = ring[0, 0], ring[0, 1]
+            x, y = ring[:, 0] - fx, ring[:, 1] - fy
+            cr = x[:-1] * y[1:] - x[1:] * y[:-1]
+            if is_ext:
+                area += abs(0.5 * float(np.sum(cr)))
+            else:
+                area -= abs(0.5 * float(np.sum(cr)))
+        return area
+
+    def test_unit_square(self):
+        wkb = polygon_wkb([(0, 0), (1, 0), (1, 1), (0, 1)])
+        assert self._measure(wkb) == pytest.approx(1.0)
+
+    def test_square_with_hole(self):
+        wkb = polygon_wkb(
+            [(0, 0), (4, 0), (4, 4), (0, 4)],
+            holes=[[(1, 1), (2, 1), (2, 2), (1, 2)]],
+        )
+        assert self._measure(wkb) == pytest.approx(16.0 - 1.0)
+
+    def test_multipolygon_sums_parts(self):
+        wkb = multipolygon_wkb([
+            [(0, 0), (1, 0), (1, 1), (0, 1)],
+            [(10, 10), (12, 10), (12, 11), (10, 11)],
+        ])
+        assert self._measure(wkb) == pytest.approx(1.0 + 2.0)
+
+
+class TestDensify:
+    def _one(self, osm_id=77):
+        coords = np.array([(10.0, 50.0), (10.01, 50.0), (10.01, 50.02)])
+        npts = np.array([len(coords)], dtype=np.int64)
+        return _densify(np.array([osm_id], dtype=np.int64), npts, coords)
+
+    def test_counts_and_order(self):
+        row, seq, x, y = self._one()
+        assert len(seq) == 2 * DENSIFY_D + 1
+        assert seq.tolist() == list(range(2 * DENSIFY_D + 1))
+        # originals preserved exactly at seq 0, D, 2D
+        assert (x[0], y[0]) == (10.0, 50.0)
+        assert (x[DENSIFY_D], y[DENSIFY_D]) == (10.01, 50.0)
+        assert (x[2 * DENSIFY_D], y[2 * DENSIFY_D]) == (10.01, 50.02)
+
+    def test_deterministic(self):
+        a = self._one()
+        b = self._one()
+        for u, v in zip(a, b):
+            assert np.array_equal(u, v)
+
+    def test_osm_id_changes_offsets(self):
+        _, _, x1, _ = self._one(osm_id=77)
+        _, _, x2, _ = self._one(osm_id=78)
+        interior = np.ones(len(x1), dtype=bool)
+        interior[[0, DENSIFY_D, 2 * DENSIFY_D]] = False
+        assert (x1[interior] != x2[interior]).any()
+
+
+class TestDouglasPeucker:
+    def test_straight_line_collapses(self):
+        x = np.linspace(0, 1, 20)
+        y = np.zeros(20)
+        keep = _dp_keep(x, y, eps=1e-9)
+        assert keep[0] and keep[-1] and keep.sum() == 2
+
+    def test_spike_kept(self):
+        x = np.arange(10, dtype=float)
+        y = np.zeros(10)
+        y[4] = 1.0
+        keep = _dp_keep(x, y, eps=0.1)
+        assert keep[4]
+
+    def test_idempotent(self):
+        rng = np.random.RandomState(11)
+        x = np.cumsum(rng.uniform(0.1, 1.0, 40))
+        y = rng.uniform(-1, 1, 40)
+        keep = _dp_keep(x, y, eps=0.3)
+        x2, y2 = x[keep], y[keep]
+        keep2 = _dp_keep(x2, y2, eps=0.3)
+        assert keep2.all()
+
+    def test_degenerate_chord_uses_endpoint_distance(self):
+        # closed loop: first == last → zero-length chord
+        x = np.array([0.0, 1.0, 0.5, 0.0])
+        y = np.array([0.0, 0.0, 2.0, 0.0])
+        keep = _dp_keep(x, y, eps=0.5)
+        assert keep[0] and keep[-1]
+        assert keep[1] or keep[2]
