@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_cms_counts": lambda sf: corpus.cms_token_counts(sf),
         "web_snapshot_diff": lambda sf: corpus.snapshot_diff(_world(sf)),
         "corpus_length_histogram": corpus.length_histogram,
+        "corpus_source_jaccard": corpus.source_vocab_jaccard,
+        "text_bigram_lm": corpus.bigram_lm_scores,
         "web_jsonl_import": lambda sf: __import__(
             "housenumbercore_ray.pipelines.import_list", fromlist=["jsonl_import"]
         ).jsonl_import(_world(sf)),
@@ -621,6 +623,8 @@ def oracle_sql() -> dict[str, str]:
     out["media_phash_pairs"] = co.media_phash_pairs_sql(wd)
     out["dedup_semantic"] = co.semantic_pairs_sql(dim=dim)
     out["text_winnow"] = co.winnow_sql()
+    out["corpus_source_jaccard"] = co.source_jaccard_sql()
+    out["text_bigram_lm"] = co.bigram_lm_sql()
     out["dedup_simhash_pairs"] = co.simhash_pairs_sql()
     out["ann_ivf_topk"] = co.ivf_topk_sql()
     out["dedup_minhash_pairs"] = co.minhash_pairs_sql()

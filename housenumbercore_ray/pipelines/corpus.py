@@ -2628,3 +2628,190 @@ def media_phash_pairs(world_dir: str, max_hamming: int = 1) -> rd.Dataset:
     return pairs.map_batches(
         lambda b: b.rename(columns={"doc_id_a": "page_a", "doc_id_b": "page_b"}),
         batch_format="pandas")
+
+
+def source_vocab_jaccard(sf_dir: str, k: int = 64) -> rd.Dataset:
+    """Vocabulary overlap between corpus slices (the domain-overlap /
+    corpus-audit primitive): per ``source`` a bottom-k sketch of the
+    distinct-token md5 hashes, then the standard bottom-k Jaccard estimator
+    for every source pair:  est = |B_k(A∪B) ∩ A ∩ B| / |B_k(A∪B)|.
+
+    Output: (source_a < source_b, sketch_shared, sketch_union, est_jaccard)
+    for ALL pairs — P (number of slices) is small by definition of a corpus
+    audit, so the pair stage is P²·k work in one task.
+
+    Scale shape: the corpus is streamed ONCE; each batch contributes at most
+    k rows per source it touches (per-batch distinct → hash uniques only →
+    partial bottom-k, which commutes with the merge), so the shuffle volume
+    is O(sources × k × batches), never O(tokens).  A deployment with large P
+    would replace the all-pairs stage with a shared-hash bucket join (the
+    LSH-banding trick used by dedup_minhash_pairs).  Tokenization is the
+    ``text_token_stats`` contract: exotic-whitespace normalize → trim →
+    split; hashes are ``_md5_hash64`` (SQL-recomputable bit-exactly)."""
+    from ..stages.dedup import _md5_hash64
+    from ..stages.textops import _norm_ws
+
+    docs = _docs(sf_dir, columns=("source", "text"))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = _norm_ws(b["text"]).str.strip().str.split()
+        pairs = (pd.DataFrame({"source": b["source"], "tok": toks})
+                 .explode("tok").dropna(subset=["tok"])
+                 .drop_duplicates())
+        uniq = pairs["tok"].unique()
+        hmap = {t: _md5_hash64(t) for t in uniq}
+        pairs["hv"] = pairs["tok"].map(hmap).astype(np.uint64)
+        pairs = pairs.sort_values(["source", "hv"])
+        topk = pairs.groupby("source", sort=False).head(k)
+        return topk[["source", "hv"]]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        hv = np.unique(g["hv"].to_numpy(np.uint64))[:k]
+        return pd.DataFrame({"source": [g["source"].iloc[0]], "sketch": [hv.tolist()]})
+
+    sketches = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+    def pairwise(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values("source").reset_index(drop=True)
+        rows = []
+        for i in range(len(b)):
+            a_sk = np.asarray(b["sketch"][i], dtype=np.uint64)
+            for j in range(i + 1, len(b)):
+                b_sk = np.asarray(b["sketch"][j], dtype=np.uint64)
+                union = np.union1d(a_sk, b_sk)[:k]
+                shared = np.intersect1d(a_sk, b_sk)
+                nsh = int(np.isin(union, shared).sum())
+                rows.append((b["source"][i], b["source"][j],
+                             nsh, len(union), nsh / len(union)))
+        return pd.DataFrame(rows, columns=["source_a", "source_b",
+                                           "sketch_shared", "sketch_union",
+                                           "est_jaccard"])
+
+    return sketches.repartition(1).map_batches(pairwise, batch_format="pandas")
+
+
+def bigram_lm_scores(sf_dir: str, n_shards: int = N_SHARDS) -> rd.Dataset:
+    """Corpus-LM quality scoring (the CCNet/KenLM perplexity-filter
+    primitive, reduced to an exactly-recomputable bigram model): train
+    add-one-smoothed bigram counts over the WHOLE corpus, then score every
+    document by its average negative log-likelihood
+    ``nll = -(1/m) Σ ln((c(w1,w2) + 1) / (c(w1) + V))`` over its m bigram
+    occurrences, V = distinct-token vocabulary size.
+
+    Output: (doc_id, n_bigrams, nll) for docs with ≥ 2 tokens.
+
+    Scale shape (the tfidf_topk discipline — NO model broadcast, a bigram
+    table over 10⁹ docs is unbounded):
+      1. count pass: per-batch bigram value_counts → ONE w1-sharded shuffle;
+         each shard is w1-complete, so c(w1,w2) and c(w1) reduce together;
+      2. V = distinct-token count via a vocab-bounded groupby (count-only);
+      3. score pass: per-doc (gram, occ) rows join the counts by
+         hash-partitioned ``bucketed_hash_join`` — the corpus and the model
+         meet shard-by-shard, never on one node — then a per-doc sum.
+    The corpus streams twice (count + score), like embedding_kmeans."""
+    from ..stages.join import bucketed_hash_join
+    from ..stages.textops import _norm_ws
+
+    SEP = "\x1f"  # in EXOTIC_WS_CLASS → normalized away, can't occur in tokens
+
+    def _doc_bigrams(b: pd.DataFrame) -> pd.DataFrame:
+        toks = _norm_ws(b["text"]).str.strip().str.split()
+        lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        if lens.sum() == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "gram": pd.Series([], dtype=object),
+                                 "occ": pd.Series([], dtype=np.int64)})
+        flat = np.concatenate([t for t in toks.tolist() if isinstance(t, list) and t])
+        doc = np.repeat(b["doc_id"].to_numpy(np.int64), lens)
+        pos = _ragged_pos(lens)
+        first = pos < (np.repeat(lens, lens) - 1)  # token starts a bigram
+        idx = np.nonzero(first)[0]
+        gram = pd.Series(flat[idx], dtype=object) + SEP + pd.Series(flat[idx + 1], dtype=object)
+        out = (pd.DataFrame({"doc_id": doc[idx], "gram": gram.to_numpy()})
+               .groupby(["doc_id", "gram"], sort=False).size()
+               .rename("occ").reset_index())
+        out["occ"] = out["occ"].astype(np.int64)
+        return out
+
+    docs = _docs(sf_dir, columns=("doc_id", "text"))
+
+    # --- pass 1: bigram + context counts, w1-sharded -----------------------
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        bg = _doc_bigrams(b)
+        g = bg.groupby("gram", sort=False)["occ"].sum().reset_index()
+        w1 = g["gram"].str.split(SEP, n=1).str[0]
+        g["shard"] = (pd.util.hash_array(w1.to_numpy(object)) % n_shards).astype(np.int64)
+        g["w1"] = w1
+        return g[["shard", "w1", "gram", "occ"]]
+
+    def count_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        c12 = g.groupby("gram", sort=False).agg(
+            c12=("occ", "sum"), w1=("w1", "first")).reset_index()
+        c1 = g.groupby("w1", sort=False)["occ"].sum()
+        c12["c1"] = c12["w1"].map(c1).astype(np.int64)
+        c12["c12"] = c12["c12"].astype(np.int64)
+        return c12[["gram", "c12", "c1"]]
+
+    counts = (
+        docs.map_batches(count_partial, batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("shard")
+        .map_groups(count_reduce, batch_format="pandas")
+    )
+
+    # --- V: distinct-token count (vocab-bounded, count-only shuffle) -------
+    def tok_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = _norm_ws(b["text"]).str.strip().str.split()
+        flat = [t for lst in toks.tolist() if isinstance(lst, list) for t in lst]
+        return pd.DataFrame({"tok": pd.unique(pd.Series(flat, dtype=object))})
+
+    vocab_n = int(
+        docs.map_batches(tok_partial, batch_format="pandas")
+        .groupby("tok").count().count()
+    )
+
+    # --- pass 2: per-doc score via hash-partitioned join -------------------
+    import pyarrow as pa
+
+    doc_grams = docs.map_batches(_doc_bigrams, batch_format="pandas")
+    joined = bucketed_hash_join(
+        doc_grams, counts, "gram", "gram",
+        left_schema={"doc_id": pa.int64(), "gram": pa.string(), "occ": pa.int64()},
+        right_schema={"gram": pa.string(), "c12": pa.int64(), "c1": pa.int64()},
+    )
+
+    def score_partial(b: pd.DataFrame) -> pd.DataFrame:
+        lp = np.log((b["c12"].to_numpy(np.int64) + 1)
+                    / (b["c1"].to_numpy(np.int64) + vocab_n))
+        occ = b["occ"].to_numpy(np.int64)
+        part = (pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
+                              "slp": occ * lp, "m": occ})
+                .groupby("doc_id", sort=False).sum().reset_index())
+        return part
+
+    def score_final(g: pd.DataFrame) -> pd.DataFrame:
+        s = float(g["slp"].sum())
+        m = int(g["m"].sum())
+        return pd.DataFrame({"doc_id": [np.int64(g["doc_id"].iloc[0])],
+                             "n_bigrams": pd.Series([m], dtype=np.int64),
+                             "nll": [(-s) / m]})
+
+    return (
+        joined.map_batches(score_partial, batch_format="pandas")
+        .groupby("doc_id")
+        .map_groups(score_final, batch_format="pandas")
+    )
+
+
+def _ragged_pos(lens: np.ndarray) -> np.ndarray:
+    """[0..l0-1, 0..l1-1, ...] — position of each flattened token."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)

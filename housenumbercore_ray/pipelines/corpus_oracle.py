@@ -871,3 +871,85 @@ def media_phash_pairs_sql(world_dir: str, max_hamming: int = 1) -> str:
 SELECT doc_id_a AS page_a, doc_id_b AS page_b, hamming
 FROM ({simhash_pairs_sql(_media_gram_src(world_dir), max_hamming=max_hamming)})
 """
+
+
+def source_jaccard_sql(k: int = 64) -> str:
+    """corpus_source_jaccard: the bottom-k sketch and estimator replayed
+    exactly — distinct (source, token) → _md5_hash64 (bit-identical via
+    '0x'||substr(md5(tok),17,16)) → per-source k smallest → per-pair union
+    sketch → |U ∩ A ∩ B| / |U|."""
+    from ..stages.textops import EXOTIC_WS_RE2
+
+    return f"""
+WITH d0 AS (SELECT source,
+                   regexp_replace(text, '{EXOTIC_WS_RE2}', ' ', 'g') AS text
+            FROM documents),
+toks AS (SELECT DISTINCT source,
+                unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         FROM d0 WHERE trim(text) <> ''),
+h AS (SELECT DISTINCT source,
+             ('0x' || substr(md5(tok), 17, 16))::UBIGINT AS hv FROM toks),
+sk AS (SELECT source, hv FROM (
+         SELECT source, hv,
+                row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+         FROM h)
+       WHERE rn <= {k}),
+srcs AS (SELECT DISTINCT source FROM sk),
+pairs AS (SELECT a.source AS sa, b.source AS sb
+          FROM srcs a JOIN srcs b ON a.source < b.source),
+uh AS (SELECT DISTINCT p.sa, p.sb, s.hv
+       FROM pairs p JOIN sk s ON s.source IN (p.sa, p.sb)),
+uk AS (SELECT sa, sb, hv FROM (
+         SELECT sa, sb, hv,
+                row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn
+         FROM uh)
+       WHERE rn <= {k}),
+est AS (SELECT uk.sa, uk.sb,
+               count(*) AS n_union,
+               sum(CASE WHEN ia.hv IS NOT NULL AND ib.hv IS NOT NULL
+                        THEN 1 ELSE 0 END) AS n_shared
+        FROM uk
+        LEFT JOIN sk ia ON ia.source = uk.sa AND ia.hv = uk.hv
+        LEFT JOIN sk ib ON ib.source = uk.sb AND ib.hv = uk.hv
+        GROUP BY uk.sa, uk.sb)
+SELECT sa AS source_a, sb AS source_b,
+       n_shared::BIGINT AS sketch_shared,
+       n_union::BIGINT AS sketch_union,
+       n_shared::DOUBLE / n_union AS est_jaccard
+FROM est
+"""
+
+
+def bigram_lm_sql() -> str:
+    """text_bigram_lm: the whole two-pass model replayed — bigram counts,
+    context counts, V, then per-doc  -(Σ occ·ln((c12+1)/(c1+V)))/Σ occ  with
+    the engine's exact expression shapes (occ·lp, not lp repeated)."""
+    from ..stages.textops import EXOTIC_WS_RE2
+
+    return f"""
+WITH d0 AS (SELECT doc_id,
+                   regexp_replace(text, '{EXOTIC_WS_RE2}', ' ', 'g') AS text
+            FROM documents),
+tl AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       FROM d0 WHERE trim(text) <> ''),
+bg0 AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(l)),
+                                     i -> l[i] || chr(31) || l[i+1])) AS gram
+        FROM tl WHERE len(l) >= 2),
+bg AS (SELECT doc_id, gram, count(*)::BIGINT AS occ
+       FROM bg0 GROUP BY doc_id, gram),
+cnt AS (SELECT gram, sum(occ)::BIGINT AS c12 FROM bg GROUP BY gram),
+ctx AS (SELECT split_part(gram, chr(31), 1) AS w1, sum(occ)::BIGINT AS c1
+        FROM bg GROUP BY 1),
+vv AS (SELECT count(DISTINCT tok) AS v
+       FROM (SELECT unnest(l) AS tok FROM tl)),
+s AS (SELECT b.doc_id, b.occ,
+             b.occ * ln((c.c12 + 1)::DOUBLE / (x.c1 + (SELECT v FROM vv))) AS slp
+      FROM bg b
+      JOIN cnt c USING (gram)
+      JOIN ctx x ON x.w1 = split_part(b.gram, chr(31), 1))
+SELECT doc_id,
+       sum(occ)::BIGINT AS n_bigrams,
+       (-sum(slp)) / sum(occ) AS nll
+FROM s GROUP BY doc_id
+"""
