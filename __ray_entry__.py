@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_length_histogram": corpus.length_histogram,
         "corpus_source_jaccard": corpus.source_vocab_jaccard,
         "text_bigram_lm": corpus.bigram_lm_scores,
+        "dedup_substring_spans": corpus.substring_dup_spans,
         "web_jsonl_import": lambda sf: __import__(
             "housenumbercore_ray.pipelines.import_list", fromlist=["jsonl_import"]
         ).jsonl_import(_world(sf)),
@@ -625,6 +626,7 @@ def oracle_sql() -> dict[str, str]:
     out["text_winnow"] = co.winnow_sql()
     out["corpus_source_jaccard"] = co.source_jaccard_sql()
     out["text_bigram_lm"] = co.bigram_lm_sql()
+    out["dedup_substring_spans"] = co.substring_spans_sql()
     out["dedup_simhash_pairs"] = co.simhash_pairs_sql()
     out["ann_ivf_topk"] = co.ivf_topk_sql()
     out["dedup_minhash_pairs"] = co.minhash_pairs_sql()

@@ -2815,3 +2815,149 @@ def _ragged_pos(lens: np.ndarray) -> np.ndarray:
     ends = np.cumsum(lens)
     starts = ends - lens
     return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+
+def substring_dup_spans(sf_dir: str, w: int = 8, min_shared: int = 2,
+                        max_h_docs: int = 64) -> rd.Dataset:
+    """EXACT-substring dedup (Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better"): full-density w-token window hashes
+    (stride 1 — every window, unlike winnowing's sampled fingerprints),
+    pairs of docs sharing windows, and per pair the longest run of
+    consecutive doc_a windows whose hash also occurs in doc_b — i.e. the
+    longest exactly-shared token span.
+
+    Output: (doc_id_a < doc_id_b, shared_windows, max_run_windows,
+    max_span_tokens = max_run + w - 1).
+
+    Contract details (mirrored in corpus_oracle.substring_spans_sql):
+    window hash = _md5_hash64(" ".join(tokens[i:i+w])) >> 1 on raw
+    ``str.split()`` tokens; PAIR CANDIDACY uses the boilerplate-capped
+    membership (hashes in > max_h_docs docs never expand pairs — the same
+    exact-global cap as dedup_winnow_pairs, counted into metrics), while
+    the SPAN is measured against the UNCAPPED membership so boilerplate
+    inside a genuine clone still counts toward its length.
+
+    Scale shape: window rows are O(tokens) (the inherent cost of exact
+    substring dedup); two sharded shuffles (h-sharded pair expansion,
+    pair-sharded count) plus two hash-partitioned joins to flag doc_a's
+    positions against doc_b's membership — the corpus text itself never
+    moves, only 8-byte hashes and positions."""
+    from ..stages.dedup import _md5_hash64
+    from ..stages.join import bucketed_hash_join
+
+    def win_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids, poss, hs = [], [], []
+        join = " ".join
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            toks = text.split()
+            if len(toks) < w:
+                continue
+            for p, g in enumerate(map(join, zip(*(toks[i:] for i in range(w)))),
+                                  start=1):
+                ids.append(doc_id)
+                poss.append(p)
+                hs.append(_md5_hash64(g) >> 1)
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
+                             "pos": pd.Series(poss, dtype=np.int64),
+                             "h": pd.Series(hs, dtype=np.int64)})
+
+    docs = _docs(sf_dir)
+    wins = docs.map_batches(win_rows, batch_format="pandas")
+    mem = wins.map_batches(
+        lambda b: b[["doc_id", "h"]].drop_duplicates(), batch_format="pandas")
+
+    def h_group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from itertools import combinations
+
+        from ..state import metrics
+
+        g = g.drop_duplicates(["doc_id", "h"])
+        sizes = g.groupby("h")["doc_id"].transform("size")
+        capped = sizes > max_h_docs
+        if capped.any():
+            metrics.incr("substring_capped_hashes", g.loc[capped, "h"].nunique())
+        g = g[(sizes > 1) & (sizes <= max_h_docs)]
+        out_a, out_b = [], []
+        for _, sub in g.groupby("h", sort=True):
+            for a, b2 in combinations(sorted(sub["doc_id"]), 2):
+                out_a.append(a)
+                out_b.append(b2)
+        return pd.DataFrame({"doc_id_a": pd.Series(out_a, dtype=np.int64),
+                             "doc_id_b": pd.Series(out_b, dtype=np.int64)})
+
+    def count_shard(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["doc_id_a", "doc_id_b"]).size()
+             .reset_index(name="shared_windows"))
+        c["shared_windows"] = c["shared_windows"].astype(np.int64)
+        return c[c["shared_windows"] >= min_shared]
+
+    pairs = (
+        mem.map_batches(_shard_on(["h"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(h_group_pairs, batch_format="pandas")
+        .map_batches(_shard_on(["doc_id_a", "doc_id_b"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(count_shard, batch_format="pandas")
+    )
+
+    import pyarrow as pa
+
+    # doc_a's windows attached to each pair...
+    a_wins = bucketed_hash_join(
+        pairs, wins, "doc_id_a", "doc_id",
+        left_schema={"doc_id_a": pa.int64(), "doc_id_b": pa.int64(),
+                     "shared_windows": pa.int64()},
+        right_schema={"doc_id": pa.int64(), "pos": pa.int64(), "h": pa.int64()},
+    )
+
+    def add_bkey(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop(columns=["doc_id"])
+        b["bkey"] = b["doc_id_b"].astype(str) + ":" + b["h"].astype(str)
+        return b
+
+    def mem_key(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "mkey": b["doc_id"].astype(str) + ":" + b["h"].astype(str),
+            "hit": np.ones(len(b), dtype=np.int64),
+        })
+
+    # ...flagged (LEFT join) against doc_b's uncapped membership
+    flagged = bucketed_hash_join(
+        a_wins.map_batches(add_bkey, batch_format="pandas"),
+        mem.map_batches(mem_key, batch_format="pandas"),
+        "bkey", "mkey", how="left",
+        left_schema={"doc_id_a": pa.int64(), "doc_id_b": pa.int64(),
+                     "shared_windows": pa.int64(), "pos": pa.int64(),
+                     "h": pa.int64(), "bkey": pa.string()},
+        right_schema={"mkey": pa.string(), "hit": pa.int64()},
+    )
+
+    def run_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (a, b2), sub in g.groupby(["doc_id_a", "doc_id_b"], sort=False):
+            sub = sub.sort_values("pos")
+            flag = sub["hit"].notna().to_numpy()
+            pos = sub["pos"].to_numpy(np.int64)[flag]
+            if len(pos) == 0:
+                mr = 0
+            else:
+                # dense positions → islands of consecutive flagged pos
+                isl = pos - np.arange(len(pos), dtype=np.int64)
+                _, cnts = np.unique(isl, return_counts=True)
+                mr = int(cnts.max())
+            rows.append((a, b2, int(sub["shared_windows"].iloc[0]), mr,
+                         mr + w - 1 if mr > 0 else 0))
+        return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b",
+                                           "shared_windows",
+                                           "max_run_windows",
+                                           "max_span_tokens"]).astype(np.int64)
+
+    return (
+        flagged.map_batches(_shard_on(["doc_id_a", "doc_id_b"]),
+                            batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(run_reduce, batch_format="pandas")
+    )

@@ -953,3 +953,54 @@ SELECT doc_id,
        (-sum(slp)) / sum(occ) AS nll
 FROM s GROUP BY doc_id
 """
+
+
+def substring_spans_sql(w: int = 8, min_shared: int = 2,
+                        max_h_docs: int = 64) -> str:
+    """dedup_substring_spans: full-density w-token window hashes, capped
+    pair candidacy, and the longest consecutive flagged-position run per
+    pair (gaps-and-islands), all recomputed independently."""
+    gram = " || ' ' || ".join(f"ts[i+{j}]" for j in range(w)) \
+        .replace("ts[i+0]", "ts[i]")
+    h64 = _HASH64.format(s="gram")
+    return f"""
+WITH {_tokens_cte("documents", "doc_id", "text")},
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) < {w} THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(range(1, len(ts) - {w - 2}), i -> {gram}) END AS grams
+  FROM tok
+),
+e AS (SELECT doc_id, unnest(grams) AS gram,
+             generate_subscripts(grams, 1) AS pos FROM g),
+wn AS (SELECT doc_id, pos, CAST(({h64} >> 1) AS BIGINT) AS h FROM e),
+mem AS (SELECT DISTINCT doc_id, h FROM wn),
+ok AS (SELECT h FROM mem GROUP BY h HAVING count(*) BETWEEN 2 AND {max_h_docs}),
+mf AS (SELECT mem.doc_id, mem.h FROM mem JOIN ok USING (h)),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+  FROM mf a JOIN mf b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_shared}
+),
+flags AS (
+  SELECT p.da, p.db, wa.pos,
+         CASE WHEN mb.h IS NOT NULL THEN 1 ELSE 0 END AS f
+  FROM pairs p
+  JOIN wn wa ON wa.doc_id = p.da
+  LEFT JOIN mem mb ON mb.doc_id = p.db AND mb.h = wa.h
+),
+fl AS (SELECT da, db, pos,
+              pos - row_number() OVER (PARTITION BY da, db ORDER BY pos) AS isl
+       FROM flags WHERE f = 1),
+mr AS (SELECT da, db, max(cnt) AS max_run FROM (
+         SELECT da, db, isl, count(*) AS cnt FROM fl GROUP BY da, db, isl)
+       GROUP BY da, db)
+SELECT p.da AS doc_id_a, p.db AS doc_id_b,
+       p.shared::BIGINT AS shared_windows,
+       coalesce(mr.max_run, 0)::BIGINT AS max_run_windows,
+       (CASE WHEN coalesce(mr.max_run, 0) > 0
+             THEN coalesce(mr.max_run, 0) + {w} - 1 ELSE 0 END)::BIGINT
+         AS max_span_tokens
+FROM pairs p LEFT JOIN mr ON mr.da = p.da AND mr.db = p.db
+"""

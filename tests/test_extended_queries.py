@@ -57,7 +57,8 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "geo_tile_zonal", "web_snapshot_diff", "corpus_length_histogram",
             "rel_brand_revenue", "hnr_assignment_stats", "media_phash",
             "media_phash_pairs", "geo_street_vertices", "geo_muni_area",
-            "geo_line_simplify", "corpus_source_jaccard", "text_bigram_lm"]
+            "geo_line_simplify", "corpus_source_jaccard", "text_bigram_lm",
+            "dedup_substring_spans"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
@@ -99,6 +100,7 @@ def test_extended_query_matches_oracle(entry, con, name):
     sqls["geo_line_simplify"] = geo_o.line_simplify_sql(wd)
     sqls["corpus_source_jaccard"] = co.source_jaccard_sql()
     sqls["text_bigram_lm"] = co.bigram_lm_sql()
+    sqls["dedup_substring_spans"] = co.substring_spans_sql()
 
     got = entry.queries()[name](SF)
     got = got.to_pandas() if hasattr(got, "to_pandas") else pd.DataFrame(got)
