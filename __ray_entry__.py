@@ -111,6 +111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_line_simplify": lambda sf: __import__(
             "housenumbercore_ray.pipelines.geometry", fromlist=["line_simplify"]
         ).line_simplify(_world(sf)),
+        "geo_reverse_geocode": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.geometry", fromlist=["reverse_geocode"]
+        ).reverse_geocode(_world(sf)),
         # theoretical pipeline (osm_addresses table of the world)
         "theo_muni_summary": lambda sf: __import__(
             "housenumbercore_ray.pipelines.theoretical", fromlist=["theo_muni_summary"]
@@ -611,6 +614,7 @@ def oracle_sql() -> dict[str, str]:
     out["geo_street_vertices"] = geo_o.street_vertices_sql(wd)
     out["geo_muni_area"] = geo_o.muni_area_sql(wd)
     out["geo_line_simplify"] = geo_o.line_simplify_sql(wd)
+    out["geo_reverse_geocode"] = geo_o.reverse_geocode_sql(wd)
     out["hnr_assoc_street_fix"] = assoc_street_fix_sql(wd)
 
     # deterministic-approximate queries: full SQL recomputations (fixed

@@ -281,3 +281,68 @@ def line_simplify(world_dir: str, d: int = DENSIFY_D, amp: float = DENSIFY_AMP,
         })
 
     return streets.map_batches(simplify, batch_format="pandas")
+
+
+#: equirectangular longitude scale at the reference latitude 50°N —
+#: a LITERAL shared with the SQL oracle (a runtime cos() could differ in
+#: the last ulp between libm builds and flip a near-tie argmin)
+COS_REF_LAT = 0.6427876096865393
+
+
+def reverse_geocode(world_dir: str) -> rd.Dataset:
+    """Reverse geocoding: assign every OSM address point to the NEAREST
+    admin-unit center (bbox midpoint), with the equirectangular squared
+    metric  d2 = ((lon-cx)·COS_REF_LAT)² + (lat-cy)²  and ties broken by
+    lowest area_id.  Output: (osm_id, area_id, d2).
+
+    Scale shape: the boundary table is the admin-unit dimension table
+    (SCALING.md bounds it); centers are ``ray.put`` ONCE and fetched in
+    each actor's ``__init__`` (the ST5 broadcast pattern).  The per-batch
+    argmin runs over center CHUNKS of 1024 with a running (best_d2, best_id)
+    so memory stays batch×chunk regardless of admin-unit count; chunks are
+    scanned in ascending area_id order and updates are strict ``<``, which
+    reproduces the oracle's ``ORDER BY d2, area_id`` tie-break exactly.
+    Dense deployments beyond ~10⁵ units would switch to the cell-ring kNN
+    (geo/index.py J8 path); this operator is the broadcast-dimension
+    variant."""
+    import pyarrow.parquet as pq
+    import ray
+
+    centers_tbl = pq.read_table(
+        f"{world_dir}/boundaries.parquet",
+        columns=["area_id", "minlon", "minlat", "maxlon", "maxlat"],
+    ).to_pandas().sort_values("area_id")
+    cx = ((centers_tbl["minlon"].to_numpy() + centers_tbl["maxlon"].to_numpy())
+          / 2.0)
+    cy = ((centers_tbl["minlat"].to_numpy() + centers_tbl["maxlat"].to_numpy())
+          / 2.0)
+    ref = ray.put((centers_tbl["area_id"].to_numpy(np.int64), cx, cy))
+
+    class Nearest:
+        def __init__(self):
+            self.ids, self.cx, self.cy = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            lon = b["lon"].to_numpy(np.float64)[:, None]
+            lat = b["lat"].to_numpy(np.float64)[:, None]
+            best_d2 = np.full(len(b), np.inf)
+            best_id = np.zeros(len(b), dtype=np.int64)
+            for s in range(0, len(self.ids), 1024):
+                ccx = self.cx[None, s:s + 1024]
+                ccy = self.cy[None, s:s + 1024]
+                d2 = ((lon - ccx) * COS_REF_LAT) ** 2 + (lat - ccy) ** 2
+                j = np.argmin(d2, axis=1)          # first min = lowest id
+                dmin = d2[np.arange(len(b)), j]
+                upd = dmin < best_d2               # strict → earlier id wins ties
+                best_d2[upd] = dmin[upd]
+                best_id[upd] = self.ids[s:s + 1024][j[upd]]
+            return pd.DataFrame({
+                "osm_id": b["osm_id"].to_numpy(np.int64),
+                "area_id": best_id,
+                "d2": best_d2,
+            })
+
+    pts = rd.read_parquet(
+        f"{world_dir}/osm_addresses.parquet", columns=["osm_id", "lon", "lat"]
+    )
+    return pts.map_batches(Nearest, batch_format="pandas", concurrency=4)

@@ -240,3 +240,29 @@ kept AS (
 SELECT p.osm_id, p.seq, p.x AS lon, p.y AS lat
 FROM kept k JOIN dens p ON p.osm_id = k.osm_id AND p.seq = k.seq
 """
+
+
+def reverse_geocode_sql(world_dir: str) -> str:
+    """geo_reverse_geocode: nearest admin-unit center replayed via window
+    argmin with the engine's exact literal metric and (d2, area_id)
+    tie-break."""
+    from .geometry import COS_REF_LAT
+
+    return f"""
+WITH c AS (SELECT area_id,
+                  (minlon + maxlon) / 2.0 AS cx,
+                  (minlat + maxlat) / 2.0 AS cy
+           FROM read_parquet('{world_dir}/boundaries.parquet')),
+p AS (SELECT osm_id, lon, lat
+      FROM read_parquet('{world_dir}/osm_addresses.parquet')),
+d AS (SELECT p.osm_id, c.area_id,
+             ((p.lon - c.cx) * {COS_REF_LAT!r}) * ((p.lon - c.cx) * {COS_REF_LAT!r})
+               + (p.lat - c.cy) * (p.lat - c.cy) AS d2,
+             row_number() OVER (PARTITION BY p.osm_id
+                                ORDER BY ((p.lon - c.cx) * {COS_REF_LAT!r})
+                                           * ((p.lon - c.cx) * {COS_REF_LAT!r})
+                                         + (p.lat - c.cy) * (p.lat - c.cy) ASC,
+                                         c.area_id ASC) AS rn
+      FROM p CROSS JOIN c)
+SELECT osm_id, area_id, d2 FROM d WHERE rn = 1
+"""

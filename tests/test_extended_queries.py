@@ -58,7 +58,7 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "rel_brand_revenue", "hnr_assignment_stats", "media_phash",
             "media_phash_pairs", "geo_street_vertices", "geo_muni_area",
             "geo_line_simplify", "corpus_source_jaccard", "text_bigram_lm",
-            "dedup_substring_spans"]
+            "dedup_substring_spans", "geo_reverse_geocode"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
@@ -98,6 +98,7 @@ def test_extended_query_matches_oracle(entry, con, name):
     sqls["geo_street_vertices"] = geo_o.street_vertices_sql(wd)
     sqls["geo_muni_area"] = geo_o.muni_area_sql(wd)
     sqls["geo_line_simplify"] = geo_o.line_simplify_sql(wd)
+    sqls["geo_reverse_geocode"] = geo_o.reverse_geocode_sql(wd)
     sqls["corpus_source_jaccard"] = co.source_jaccard_sql()
     sqls["text_bigram_lm"] = co.bigram_lm_sql()
     sqls["dedup_substring_spans"] = co.substring_spans_sql()
