@@ -137,3 +137,59 @@ class TestDouglasPeucker:
         keep = _dp_keep(x, y, eps=0.5)
         assert keep[0] and keep[-1]
         assert keep[1] or keep[2]
+
+
+class TestDouglasPeuckerProperties:
+    """_dp_keep vs an O(n²) reference implementation on random polylines."""
+
+    @staticmethod
+    def _dp_reference(x, y, eps):
+        n = len(x)
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[-1] = True
+
+        def rec(i, j):
+            if j - i < 2:
+                return
+            xi, yi, xj, yj = x[i], y[i], x[j], y[j]
+            dx, dy = xj - xi, yj - yi
+            den = np.sqrt(dx * dx + dy * dy)
+            best_d, best_k = -1.0, -1
+            for p in range(i + 1, j):
+                if den == 0.0:
+                    d = np.sqrt((x[p] - xi) ** 2 + (y[p] - yi) ** 2)
+                else:
+                    d = abs(dx * (yi - y[p]) - (xi - x[p]) * dy) / den
+                if d > best_d:
+                    best_d, best_k = d, p
+            if best_d > eps:
+                keep[best_k] = True
+                rec(i, best_k)
+                rec(best_k, j)
+
+        rec(0, n - 1)
+        return keep
+
+    def test_matches_reference_on_random_polylines(self):
+        from housenumbercore_ray.pipelines.geometry import _dp_keep
+
+        rng = np.random.RandomState(7)
+        for trial in range(25):
+            n = rng.randint(3, 60)
+            x = np.cumsum(rng.uniform(-0.5, 1.0, n))
+            y = rng.uniform(-2, 2, n)
+            eps = float(rng.uniform(0.05, 1.5))
+            got = _dp_keep(x, y, eps)
+            want = self._dp_reference(x, y, eps)
+            assert np.array_equal(got, want), f"trial {trial}"
+
+    def test_decode_fuzz_round_trip(self):
+        from housenumbercore_ray.geo.wkb import linestring_wkb
+        from housenumbercore_ray.pipelines.geometry import decode_linestrings
+
+        rng = np.random.RandomState(13)
+        lines = [rng.uniform(-180, 180, (rng.randint(2, 40), 2))
+                 for _ in range(50)]
+        npts, pts = decode_linestrings([linestring_wkb(c) for c in lines])
+        assert npts.tolist() == [len(c) for c in lines]
+        assert np.array_equal(pts, np.vstack(lines))
