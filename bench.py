@@ -119,6 +119,20 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         corpus.semantic_dedup_pairs(sf_dir).count()
         queries["semantic_dedup"] = round(time.time() - t, 3)
 
+        from housenumbercore_ray.pipelines import geometry
+
+        t = time.time()
+        geometry.line_simplify(wd).count()
+        queries["line_simplify"] = round(time.time() - t, 3)
+
+        t = time.time()
+        geometry.reverse_geocode(wd).count()
+        queries["reverse_geocode"] = round(time.time() - t, 3)
+
+        t = time.time()
+        corpus.substring_dup_spans(sf_dir).count()
+        queries["substring_spans"] = round(time.time() - t, 3)
+
     headline = queries["evaluation_full"]
     result = {
         "metric": "housenumber evaluation pipeline wall-clock (pages->extract->spatial join->street kNN->treffertyp merge->aggregate)",

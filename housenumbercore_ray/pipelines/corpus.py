@@ -2904,6 +2904,20 @@ def substring_dup_spans(sf_dir: str, w: int = 8, min_shared: int = 2,
 
     import pyarrow as pa
 
+    # adaptive semi-join (the minhash verify-stage pattern): the joins below
+    # only need windows/membership of docs that appear in some pair, so
+    # re-derive both join sides from the candidate-filtered DOCS — the md5
+    # window kernel and the join shuffles then run over O(dup-doc tokens),
+    # and the full corpus is scanned exactly once (the pair-discovery pass)
+    pairs = pairs.materialize()
+    cand_ids = _candidate_id_array(pairs)
+    if len(cand_ids) <= SEMI_FILTER_MAX_IDS:
+        docs_f = _semi_filter(docs, "doc_id", cand_ids)
+        wins = docs_f.map_batches(win_rows, batch_format="pandas")
+        mem = wins.map_batches(
+            lambda b: b[["doc_id", "h"]].drop_duplicates(),
+            batch_format="pandas")
+
     # doc_a's windows attached to each pair...
     a_wins = bucketed_hash_join(
         pairs, wins, "doc_id_a", "doc_id",
