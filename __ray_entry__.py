@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize_plan": lambda sf: corpus.media_resize_plan(_world(sf)),
         "media_phash": lambda sf: corpus.media_phash(_world(sf)),
         "media_phash_pairs": lambda sf: corpus.media_phash_pairs(_world(sf)),
+        "media_type_sniff": lambda sf: corpus.media_type_sniff(_world(sf)),
         # generic relational operator suite (TPC-H-ish tables)
         "rel_pricing_summary": relational.pricing_summary,
         "rel_brand_revenue": relational.brand_revenue,
@@ -631,6 +632,7 @@ def oracle_sql() -> dict[str, str]:
     out["corpus_source_jaccard"] = co.source_jaccard_sql()
     out["text_bigram_lm"] = co.bigram_lm_sql()
     out["dedup_substring_spans"] = co.substring_spans_sql()
+    out["media_type_sniff"] = co.media_type_sniff_sql(wd)
     out["dedup_simhash_pairs"] = co.simhash_pairs_sql()
     out["ann_ivf_topk"] = co.ivf_topk_sql()
     out["dedup_minhash_pairs"] = co.minhash_pairs_sql()

@@ -2975,3 +2975,16 @@ def substring_dup_spans(sf_dir: str, w: int = 8, min_shared: int = 2,
         .groupby("_shard")
         .map_groups(run_reduce, batch_format="pandas")
     )
+
+
+def media_type_sniff(world_dir: str) -> rd.Dataset:
+    """Payload-type triage over the binary column (stages/multimodal.TypeSniff):
+    magic-number MIME detection + Shannon byte entropy — the ingest stage
+    that routes payloads to decoders and drops encrypted/garbage blobs.
+    Stateless actor-pool stream, small binary batches, zero shuffle."""
+    from ..stages.multimodal import TypeSniff
+
+    return rd.read_parquet(f"{world_dir}/pages", columns=["url", "html"]).map_batches(
+        TypeSniff, fn_constructor_args=("html", "url"),
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4), num_cpus=1,
+    )

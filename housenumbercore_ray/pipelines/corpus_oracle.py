@@ -1004,3 +1004,28 @@ SELECT p.da AS doc_id_a, p.db AS doc_id_b,
          AS max_span_tokens
 FROM pairs p LEFT JOIN mr ON mr.da = p.da AND mr.db = p.db
 """
+
+
+def media_type_sniff_sql(world_dir: str) -> str:
+    """media_type_sniff: the magic-number CASE (same fixed order) and the
+    byte-histogram entropy recomputed from hex pairs."""
+    return f"""
+WITH p AS (SELECT url, hex(html) AS hx, octet_length(html) AS n
+           FROM read_parquet('{world_dir}/pages/*.parquet')),
+b AS (SELECT url, n, substr(hx, 2*i + 1, 2) AS byte
+      FROM (SELECT url, n, hx, unnest(range(n)) AS i FROM p)),
+cnt AS (SELECT url, n, byte, count(*) AS c FROM b GROUP BY url, n, byte),
+ent AS (SELECT url, -sum((c::DOUBLE / n) * log2(c::DOUBLE / n)) AS h
+        FROM cnt GROUP BY url)
+SELECT p.url,
+       CASE WHEN substr(p.hx, 1, 4) = '1F8B' THEN 'application/gzip'
+            WHEN substr(p.hx, 1, 8) = '89504E47' THEN 'image/png'
+            WHEN substr(p.hx, 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+            WHEN substr(p.hx, 1, 8) = '25504446' THEN 'application/pdf'
+            WHEN substr(p.hx, 1, 8) = '47494638' THEN 'image/gif'
+            WHEN substr(p.hx, 1, 2) = '3C' THEN 'text/html'
+            ELSE 'application/octet-stream' END AS mime,
+       p.n::BIGINT AS n_bytes,
+       coalesce(ent.h, 0.0) AS entropy_bits
+FROM p LEFT JOIN ent USING (url)
+"""

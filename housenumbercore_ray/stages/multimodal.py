@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -125,4 +126,59 @@ class ResizePlan:
             "src_h": pa.array(src_h, pa.int64()),
             "dst_w": pa.array(dst_w, pa.int64()),
             "dst_h": pa.array(dst_h, pa.int64()),
+        })
+
+
+class TypeSniff:
+    """Payload type detection + byte-entropy — the media-ingest triage
+    stage (route to image/video/audio decoders, reject junk). Magic-number
+    table checked in FIXED order (mirrored by the SQL oracle's CASE);
+    entropy is the Shannon bits/byte of the payload's byte histogram,
+    computed with ONE bincount over (row·256 + byte) for the whole batch —
+    no per-payload Python on the byte axis."""
+
+    MAGIC = (
+        (b"\x1f\x8b", "application/gzip"),
+        (b"\x89PNG", "image/png"),
+        (b"\xff\xd8\xff", "image/jpeg"),
+        (b"%PDF", "application/pdf"),
+        (b"GIF8", "image/gif"),
+        (b"<", "text/html"),
+    )
+
+    def __init__(self, col: str = "payload", id_col: str = "url"):
+        self.col = col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        payloads = [x if isinstance(x, bytes) else bytes(x)
+                    for x in batch[self.col].to_pylist()]
+        mimes = []
+        for b in payloads:
+            for magic, t in self.MAGIC:
+                if b.startswith(magic):
+                    mimes.append(t)
+                    break
+            else:
+                mimes.append("application/octet-stream")
+        n = len(payloads)
+        lens = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=n)
+        if lens.sum():
+            u8 = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.int64)
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            cnt = np.bincount(rows * 256 + u8,
+                              minlength=n * 256).reshape(n, 256)
+        else:
+            cnt = np.zeros((n, 256), dtype=np.int64)
+        safe = np.maximum(lens, 1)[:, None]
+        p = cnt / safe
+        logp = np.zeros_like(p)
+        np.log2(p, out=logp, where=cnt > 0)
+        ent = -np.sum(p * logp, axis=1)
+        return pa.table({
+            self.id_col: pa.array(ids),
+            "mime": pa.array(mimes, pa.string()),
+            "n_bytes": pa.array(lens, pa.int64()),
+            "entropy_bits": pa.array(ent, pa.float64()),
         })

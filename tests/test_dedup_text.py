@@ -155,6 +155,41 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             resize_stub(pd.DataFrame())
 
+    def test_type_sniff_magic_and_entropy(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from housenumbercore_ray.stages.multimodal import TypeSniff
+
+        payloads = [
+            b"\x1f\x8b\x08rest",          # gzip
+            b"\x89PNG\r\n\x1a\n...",      # png
+            b"\xff\xd8\xff\xe0jfif",      # jpeg
+            b"%PDF-1.7 x",                # pdf
+            b"GIF89a....",                # gif
+            b"<html><body>",              # html
+            b"\x00\xfeopaque",            # unknown
+            b"\x00" * 64,                 # zero entropy
+            bytes(range(256)),            # max entropy (8 bits)
+        ]
+        t = pa.table({"url": [str(i) for i in range(len(payloads))],
+                      "payload": payloads})
+        out = TypeSniff(col="payload", id_col="url")(t)
+        assert out["mime"].to_pylist() == [
+            "application/gzip", "image/png", "image/jpeg",
+            "application/pdf", "image/gif", "text/html",
+            "application/octet-stream", "application/octet-stream",
+            "application/octet-stream",
+        ]
+        ent = out["entropy_bits"].to_pylist()
+        assert ent[7] == 0.0
+        assert ent[8] == pytest.approx(8.0)
+        assert all(0.0 <= e <= 8.0 + 1e-12 for e in ent)
+        # gzip prefix beats the generic fallback even with '<' inside
+        mixed = TypeSniff(col="payload", id_col="url")(
+            pa.table({"url": ["m"], "payload": [b"\x1f\x8b<html>"]}))
+        assert mixed["mime"].to_pylist() == ["application/gzip"]
+
 
 class TestRepetitionMetrics:
     """Gopher repetition kernel — engine kernel vs an in-test DuckDB

@@ -193,3 +193,52 @@ class TestDouglasPeuckerProperties:
         npts, pts = decode_linestrings([linestring_wkb(c) for c in lines])
         assert npts.tolist() == [len(c) for c in lines]
         assert np.array_equal(pts, np.vstack(lines))
+
+
+class TestLongStreetOracleParity:
+    """The worldgen streets have 2-3 vertices; this pins the DP recursive
+    CTE and the engine stack on a CRAFTED 30-vertex street (densified to
+    233 points, recursion depth ~8) written to a scratch world dir."""
+
+    def test_long_street_parity(self, ray_session, tmp_path):
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from housenumbercore_ray.pipelines import geometry as g
+        from housenumbercore_ray.pipelines import geometry_oracle as go
+
+        rng = np.random.RandomState(42)
+        n = 30
+        lon = 10.0 + np.cumsum(rng.uniform(0.0005, 0.003, n))
+        lat = 50.0 + np.cumsum(rng.uniform(-0.002, 0.002, n))
+        coords = np.column_stack([lon, lat])
+        wkb = linestring_wkb(coords)
+        short = linestring_wkb([(9.0, 49.0), (9.1, 49.05)])
+        tbl = pa.table({
+            "osm_id": pa.array([501, 502], type=pa.int64()),
+            "linestring_wkb": pa.array([wkb, short], type=pa.binary()),
+        })
+        wd = str(tmp_path / "world")
+        import os
+        os.makedirs(wd, exist_ok=True)
+        pq.write_table(tbl, f"{wd}/osm_streets.parquet")
+
+        eng = g.line_simplify(wd).to_pandas()
+        ora = duckdb.sql(go.line_simplify_sql(wd)).df()
+
+        def norm(df):
+            df = df.copy()
+            for c in ("osm_id", "seq"):
+                df[c] = df[c].astype(np.int64)
+            return (df.sort_values(["osm_id", "seq"])
+                      .reset_index(drop=True)[["osm_id", "seq", "lon", "lat"]])
+
+        a, b = norm(eng), norm(ora)
+        assert len(a) == len(b)
+        pd.testing.assert_frame_equal(a, b)
+        # the long street must actually exercise DP: some but not all
+        # densified points kept
+        n_kept = (a["osm_id"] == 501).sum()
+        assert 2 < n_kept < (n - 1) * DENSIFY_D + 1
