@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_source_jaccard": corpus.source_vocab_jaccard,
         "text_bigram_lm": corpus.bigram_lm_scores,
         "dedup_substring_spans": corpus.substring_dup_spans,
+        "text_pagerank": corpus.text_pagerank,
         "web_jsonl_import": lambda sf: __import__(
             "housenumbercore_ray.pipelines.import_list", fromlist=["jsonl_import"]
         ).jsonl_import(_world(sf)),
@@ -633,6 +634,7 @@ def oracle_sql() -> dict[str, str]:
     out["text_bigram_lm"] = co.bigram_lm_sql()
     out["dedup_substring_spans"] = co.substring_spans_sql()
     out["media_type_sniff"] = co.media_type_sniff_sql(wd)
+    out["text_pagerank"] = co.pagerank_sql()
     out["dedup_simhash_pairs"] = co.simhash_pairs_sql()
     out["ann_ivf_topk"] = co.ivf_topk_sql()
     out["dedup_minhash_pairs"] = co.minhash_pairs_sql()

@@ -2694,6 +2694,64 @@ def source_vocab_jaccard(sf_dir: str, k: int = 64) -> rd.Dataset:
     return sketches.repartition(1).map_batches(pairwise, batch_format="pandas")
 
 
+BIGRAM_SEP = "\x1f"  # in EXOTIC_WS_CLASS -> normalized away, can't occur in tokens
+
+
+def _doc_bigram_rows(b: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc distinct (gram, occ) bigram rows; gram = w1 + BIGRAM_SEP + w2
+    over the text_token_stats tokenizer."""
+    from ..stages.textops import _norm_ws
+
+    toks = _norm_ws(b["text"]).str.strip().str.split()
+    lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+    if lens.sum() == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "gram": pd.Series([], dtype=object),
+                             "occ": pd.Series([], dtype=np.int64)})
+    flat = np.concatenate([t for t in toks.tolist() if isinstance(t, list) and t])
+    doc = np.repeat(b["doc_id"].to_numpy(np.int64), lens)
+    pos = _ragged_pos(lens)
+    first = pos < (np.repeat(lens, lens) - 1)  # token starts a bigram
+    idx = np.nonzero(first)[0]
+    gram = (pd.Series(flat[idx], dtype=object) + BIGRAM_SEP
+            + pd.Series(flat[idx + 1], dtype=object))
+    out = (pd.DataFrame({"doc_id": doc[idx], "gram": gram.to_numpy()})
+           .groupby(["doc_id", "gram"], sort=False).size()
+           .rename("occ").reset_index())
+    out["occ"] = out["occ"].astype(np.int64)
+    return out
+
+
+def _bigram_counts(sf_dir: str, n_shards: int = N_SHARDS) -> rd.Dataset:
+    """Corpus bigram model table (gram, c12, c1): per-batch bigram
+    value_counts -> ONE w1-sharded shuffle; each shard is w1-complete, so
+    c(w1,w2) and the context total c(w1) reduce together."""
+    docs = _docs(sf_dir, columns=("doc_id", "text"))
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        bg = _doc_bigram_rows(b)
+        g = bg.groupby("gram", sort=False)["occ"].sum().reset_index()
+        w1 = g["gram"].str.split(BIGRAM_SEP, n=1).str[0]
+        g["shard"] = (pd.util.hash_array(w1.to_numpy(object)) % n_shards).astype(np.int64)
+        g["w1"] = w1
+        return g[["shard", "w1", "gram", "occ"]]
+
+    def count_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        c12 = g.groupby("gram", sort=False).agg(
+            c12=("occ", "sum"), w1=("w1", "first")).reset_index()
+        c1 = g.groupby("w1", sort=False)["occ"].sum()
+        c12["c1"] = c12["w1"].map(c1).astype(np.int64)
+        c12["c12"] = c12["c12"].astype(np.int64)
+        return c12[["gram", "c12", "c1"]]
+
+    return (
+        docs.map_batches(count_partial, batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("shard")
+        .map_groups(count_reduce, batch_format="pandas")
+    )
+
+
 def bigram_lm_scores(sf_dir: str, n_shards: int = N_SHARDS) -> rd.Dataset:
     """Corpus-LM quality scoring (the CCNet/KenLM perplexity-filter
     primitive, reduced to an exactly-recomputable bigram model): train
@@ -2716,52 +2774,8 @@ def bigram_lm_scores(sf_dir: str, n_shards: int = N_SHARDS) -> rd.Dataset:
     from ..stages.join import bucketed_hash_join
     from ..stages.textops import _norm_ws
 
-    SEP = "\x1f"  # in EXOTIC_WS_CLASS → normalized away, can't occur in tokens
-
-    def _doc_bigrams(b: pd.DataFrame) -> pd.DataFrame:
-        toks = _norm_ws(b["text"]).str.strip().str.split()
-        lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
-        if lens.sum() == 0:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
-                                 "gram": pd.Series([], dtype=object),
-                                 "occ": pd.Series([], dtype=np.int64)})
-        flat = np.concatenate([t for t in toks.tolist() if isinstance(t, list) and t])
-        doc = np.repeat(b["doc_id"].to_numpy(np.int64), lens)
-        pos = _ragged_pos(lens)
-        first = pos < (np.repeat(lens, lens) - 1)  # token starts a bigram
-        idx = np.nonzero(first)[0]
-        gram = pd.Series(flat[idx], dtype=object) + SEP + pd.Series(flat[idx + 1], dtype=object)
-        out = (pd.DataFrame({"doc_id": doc[idx], "gram": gram.to_numpy()})
-               .groupby(["doc_id", "gram"], sort=False).size()
-               .rename("occ").reset_index())
-        out["occ"] = out["occ"].astype(np.int64)
-        return out
-
     docs = _docs(sf_dir, columns=("doc_id", "text"))
-
-    # --- pass 1: bigram + context counts, w1-sharded -----------------------
-    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
-        bg = _doc_bigrams(b)
-        g = bg.groupby("gram", sort=False)["occ"].sum().reset_index()
-        w1 = g["gram"].str.split(SEP, n=1).str[0]
-        g["shard"] = (pd.util.hash_array(w1.to_numpy(object)) % n_shards).astype(np.int64)
-        g["w1"] = w1
-        return g[["shard", "w1", "gram", "occ"]]
-
-    def count_reduce(g: pd.DataFrame) -> pd.DataFrame:
-        c12 = g.groupby("gram", sort=False).agg(
-            c12=("occ", "sum"), w1=("w1", "first")).reset_index()
-        c1 = g.groupby("w1", sort=False)["occ"].sum()
-        c12["c1"] = c12["w1"].map(c1).astype(np.int64)
-        c12["c12"] = c12["c12"].astype(np.int64)
-        return c12[["gram", "c12", "c1"]]
-
-    counts = (
-        docs.map_batches(count_partial, batch_format="pandas")
-        .repartition(_shuffle_blocks())
-        .groupby("shard")
-        .map_groups(count_reduce, batch_format="pandas")
-    )
+    counts = _bigram_counts(sf_dir, n_shards)
 
     # --- V: distinct-token count (vocab-bounded, count-only shuffle) -------
     def tok_partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -2777,7 +2791,7 @@ def bigram_lm_scores(sf_dir: str, n_shards: int = N_SHARDS) -> rd.Dataset:
     # --- pass 2: per-doc score via hash-partitioned join -------------------
     import pyarrow as pa
 
-    doc_grams = docs.map_batches(_doc_bigrams, batch_format="pandas")
+    doc_grams = docs.map_batches(_doc_bigram_rows, batch_format="pandas")
     joined = bucketed_hash_join(
         doc_grams, counts, "gram", "gram",
         left_schema={"doc_id": pa.int64(), "gram": pa.string(), "occ": pa.int64()},
@@ -2988,3 +3002,114 @@ def media_type_sniff(world_dir: str) -> rd.Dataset:
         TypeSniff, fn_constructor_args=("html", "url"),
         batch_format="pyarrow", batch_size=256, concurrency=(1, 4), num_cpus=1,
     )
+
+
+def text_pagerank(sf_dir: str, damping: float = 0.85,
+                  iters: int = 6) -> rd.Dataset:
+    """TextRank (Mihalcea & Tarau 2004): PageRank over the corpus bigram
+    co-occurrence graph — nodes are tokens, directed edges w1→w2 weighted
+    by the corpus bigram count c(w1,w2), out-weight normalizer c(w1) — the
+    engine's iterative weighted-GRAPH pattern (keyword salience scoring,
+    complementing dedup_components and embedding_kmeans).
+
+    Deterministic contract (unrolled bit-for-bit by the SQL oracle):
+    r0 = 1/N over N = |tokens in any bigram|;
+    r_{k+1}(u) = round((1-d)/N + d·Σ_{(v,u)∈E} r_k(v)·c(v,u)/c(v), 9) —
+    per-iteration round-9 (the kmeans round-6 trick at the driver's own
+    comparison granularity). Dangling tokens (never a bigram's FIRST word)
+    contribute nothing (their mass is dropped — documented TextRank
+    simplification); tokens with no in-edges decay toward (1-d)/N.
+    Output: (token, rank).
+
+    Scale shape: the graph is the bigram model table (vocab-bounded, built
+    by ONE w1-sharded shuffle — _bigram_counts); rank state is O(vocab).
+    Each iteration: one hash-partitioned edges×ranks join, one dst-sharded
+    sum, one nodes-LEFT-JOIN-sums to keep zero-inbound nodes alive — 3
+    bounded shuffles, materialized per iteration like the kmeans loop."""
+    import pyarrow as pa
+
+    from ..stages.join import bucketed_hash_join
+
+    counts = _bigram_counts(sf_dir)
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        parts = b["gram"].str.split(BIGRAM_SEP, n=1)
+        return pd.DataFrame({
+            "src": parts.str[0].to_numpy(object),
+            "dst": parts.str[1].to_numpy(object),
+            "w": b["c12"].to_numpy(np.int64),
+            "ww": b["c1"].to_numpy(np.int64),
+        })
+
+    edges = counts.map_batches(to_edges, batch_format="pandas").materialize()
+
+    def node_rows(b: pd.DataFrame) -> pd.DataFrame:
+        u = pd.unique(np.concatenate([b["src"].to_numpy(object),
+                                      b["dst"].to_numpy(object)]))
+        return pd.DataFrame({"node": u})
+
+    def node_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["node"])[["node"]]
+
+    nodes = (
+        edges.map_batches(node_rows, batch_format="pandas")
+        .map_batches(_shard_on(["node"]), batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(node_dedup, batch_format="pandas")
+    ).materialize()
+    n_nodes = nodes.count()
+
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].to_numpy(object),
+                                "r": np.full(len(b), 1.0 / n_nodes)}),
+        batch_format="pandas").materialize()
+
+    edge_schema = {"src": pa.string(), "dst": pa.string(),
+                   "w": pa.int64(), "ww": pa.int64()}
+    rank_schema = {"node": pa.string(), "r": pa.float64()}
+    sum_schema = {"dst": pa.string(), "s": pa.float64()}
+    node_schema = {"node": pa.string()}
+
+    for _ in range(iters):
+        joined = bucketed_hash_join(
+            edges, ranks, "src", "node",
+            left_schema=edge_schema, right_schema=rank_schema,
+        )
+
+        def contrib(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "dst": b["dst"].to_numpy(object),
+                "c": b["r"].to_numpy(np.float64) * b["w"].to_numpy(np.float64)
+                     / b["ww"].to_numpy(np.float64),
+            })
+
+        def sum_shard(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby("dst", sort=False)["c"].sum().reset_index(name="s")
+            return s[["dst", "s"]]
+
+        sums = (
+            joined.map_batches(contrib, batch_format="pandas")
+            .map_batches(_shard_on(["dst"]), batch_format="pandas")
+            .groupby("_shard")
+            .map_groups(sum_shard, batch_format="pandas")
+        )
+
+        filled = bucketed_hash_join(
+            nodes, sums, "node", "dst", how="left",
+            left_schema=node_schema, right_schema=sum_schema,
+        )
+
+        def update(b: pd.DataFrame) -> pd.DataFrame:
+            sv = b["s"].fillna(0.0).to_numpy(np.float64)
+            return pd.DataFrame({
+                "node": b["node"].to_numpy(object),
+                "r": np.round(base + damping * sv, 9),
+            })
+
+        ranks = filled.map_batches(update, batch_format="pandas").materialize()
+
+    return ranks.map_batches(
+        lambda b: pd.DataFrame({"token": b["node"].to_numpy(object),
+                                "rank": b["r"].to_numpy(np.float64)}),
+        batch_format="pandas")

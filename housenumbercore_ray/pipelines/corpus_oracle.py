@@ -1029,3 +1029,41 @@ SELECT p.url,
        coalesce(ent.h, 0.0) AS entropy_bits
 FROM p LEFT JOIN ent USING (url)
 """
+
+
+def pagerank_sql(damping: float = 0.85, iters: int = 6) -> str:
+    """text_pagerank: TextRank over the bigram graph, fully unrolled (the
+    kmeans round-6 precedent, here round-9 = the driver's own comparison
+    granularity). Edges/weights recomputed independently from the tokens;
+    zero-inbound nodes kept alive by the LEFT JOIN, danging mass dropped
+    exactly as the engine does."""
+    from ..stages.textops import EXOTIC_WS_RE2
+
+    e_cte = f"""
+d0 AS (SELECT doc_id,
+              regexp_replace(text, '{EXOTIC_WS_RE2}', ' ', 'g') AS text
+       FROM documents),
+tl AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       FROM d0 WHERE trim(text) <> ''),
+bg AS (SELECT unnest(list_transform(range(1, len(l)), i -> l[i])) AS src,
+              unnest(list_transform(range(1, len(l)), i -> l[i+1])) AS dst
+       FROM tl WHERE len(l) >= 2),
+e AS (SELECT src, dst, count(*)::BIGINT AS w FROM bg GROUP BY src, dst),
+ctx AS (SELECT src, sum(w)::BIGINT AS ww FROM e GROUP BY src),
+ew AS (SELECT e.src, e.dst, e.w, ctx.ww FROM e JOIN ctx USING (src)),
+nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+s{k} AS (SELECT ew.dst, sum(p.r * ew.w / ew.ww) AS s
+        FROM ew JOIN r{k - 1} p ON p.node = ew.src
+        GROUP BY ew.dst),
+r{k} AS (SELECT n.node,
+               round((1.0 - {damping!r}) / (SELECT n FROM nn)
+                     + {damping!r} * coalesce(s{k}.s, 0.0), 9) AS r
+        FROM nodes n LEFT JOIN s{k} ON s{k}.dst = n.node)""")
+    return (f"WITH {e_cte}," + ",".join(steps)
+            + f"\nSELECT node AS token, r AS rank FROM r{iters}")

@@ -58,7 +58,8 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "rel_brand_revenue", "hnr_assignment_stats", "media_phash",
             "media_phash_pairs", "geo_street_vertices", "geo_muni_area",
             "geo_line_simplify", "corpus_source_jaccard", "text_bigram_lm",
-            "dedup_substring_spans", "geo_reverse_geocode", "media_type_sniff"]
+            "dedup_substring_spans", "geo_reverse_geocode", "media_type_sniff",
+            "text_pagerank"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
@@ -103,6 +104,7 @@ def test_extended_query_matches_oracle(entry, con, name):
     sqls["text_bigram_lm"] = co.bigram_lm_sql()
     sqls["dedup_substring_spans"] = co.substring_spans_sql()
     sqls["media_type_sniff"] = co.media_type_sniff_sql(wd)
+    sqls["text_pagerank"] = co.pagerank_sql()
 
     got = entry.queries()[name](SF)
     got = got.to_pandas() if hasattr(got, "to_pandas") else pd.DataFrame(got)
