@@ -345,4 +345,8 @@ def reverse_geocode(world_dir: str) -> rd.Dataset:
     pts = rd.read_parquet(
         f"{world_dir}/osm_addresses.parquet", columns=["osm_id", "lon", "lat"]
     )
-    return pts.map_batches(Nearest, batch_format="pandas", concurrency=4)
+    # autoscaling pool (min 1): a FIXED pool of 4 × num_cpus=1 actors would
+    # consume every CPU of a small (e.g. 4-cpu test) session and starve the
+    # upstream read — the documented 4-cpu starvation mode
+    return pts.map_batches(Nearest, batch_format="pandas",
+                           concurrency=(1, 4), num_cpus=1)

@@ -1,0 +1,67 @@
+"""Supplementary N→4N scaling evidence for a representative CORPUS operator
+(the north-rule criterion is measured on the flagship pipeline by
+``bench.py --scaling``; this tool shows the curation ops scale the same way).
+
+Runs ``web_line_dedup`` (partial line-counts → one sharded sum → broadcast
+boilerplate set → per-page rewrite) over the 800k-page ``bench`` world at 8
+and 32 cpus in fresh processes, min-of-REPS interleaved (the VM-steal
+protocol), and prints one JSON line.
+
+Usage: python tools/scaling_corpus.py [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _one(ncpu: int) -> float:
+    code = """
+import time, ray, os, sys
+sys.path.insert(0, %r)
+ray.init(address="local", num_cpus=%d, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+ctx = DataContext.get_current(); ctx.enable_progress_bars = False
+ctx.target_max_block_size = 8 * 1024 * 1024
+from housenumbercore_ray.sources.worldgen import ensure_world_scale
+from housenumbercore_ray.pipelines import corpus
+wd = ensure_world_scale("bench")
+corpus.host_stats(wd).count()  # warm page cache with a cheap pass
+t = time.time()
+corpus.line_dedup(wd).count()
+print("RESULT", time.time() - t)
+ray.shutdown()
+""" % (REPO, ncpu)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, check=True).stdout
+    for line in out.splitlines():
+        if line.startswith("RESULT"):
+            return float(line.split()[1])
+    raise RuntimeError(out[-2000:])
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    lo_runs, hi_runs = [], []
+    for _ in range(reps):
+        lo_runs.append(_one(8))
+        hi_runs.append(_one(32))
+    lo, hi = min(lo_runs), min(hi_runs)
+    print(json.dumps({
+        "metric": "corpus-op scaling (web_line_dedup, bench world 800k pages)",
+        "sec_8": round(lo, 2), "sec_32": round(hi, 2),
+        "sec_8_all": [round(x, 2) for x in lo_runs],
+        "sec_32_all": [round(x, 2) for x in hi_runs],
+        "scaling_efficiency": round((lo / hi) / 4.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
