@@ -369,7 +369,8 @@ def _split_flat(texts):
     return flat, counts
 
 
-def line_dedup(world_dir: str, min_pages: int = 100) -> rd.Dataset:
+def line_dedup(world_dir: str, min_pages: int = 100,
+               batch_size: int = 16384) -> rd.Dataset:
     """CCNet-style line-level boilerplate removal over the crawl pages:
     drop every line that occurs in more than ``min_pages`` distinct pages
     (nav bars, footers, cookie banners), emit per-page
@@ -415,7 +416,8 @@ def line_dedup(world_dir: str, min_pages: int = 100) -> rd.Dataset:
         return s.astype({"line_hash": np.int64, "n": np.int64})
 
     bp_rows = (
-        pages.map_batches(line_counter, batch_format="pandas", batch_size=4096)
+        pages.map_batches(line_counter, batch_format="pandas",
+                          batch_size=batch_size)
         .map_batches(_shard_on(["line_hash"]), batch_format="pandas")
         .repartition(_shuffle_blocks())
         .groupby("_shard")
@@ -461,7 +463,12 @@ def line_dedup(world_dir: str, min_pages: int = 100) -> rd.Dataset:
             "clean_md5": md5s,
         })
 
-    return pages.map_batches(clean_pages, batch_format="pandas", batch_size=4096)
+    # big batches: the partial-count shuffle volume is O(distinct lines per
+    # batch × batches) and crawl lines are template-heavy, so 4× larger
+    # batches cut the shuffle rows ~4× (text stays bounded: 16k pages ≈
+    # a few tens of MB)
+    return pages.map_batches(clean_pages, batch_format="pandas",
+                             batch_size=batch_size)
 
 
 def host_stats(world_dir: str) -> rd.Dataset:

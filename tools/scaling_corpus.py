@@ -3,9 +3,14 @@
 ``bench.py --scaling``; this tool shows the curation ops scale the same way).
 
 Runs ``web_line_dedup`` (partial line-counts → one sharded sum → broadcast
-boilerplate set → per-page rewrite) over the 800k-page ``bench`` world at 8
+boilerplate set → per-page rewrite) over the 3.2M-page ``bench4`` world at 8
 and 32 cpus in fresh processes, min-of-REPS interleaved (the VM-steal
 protocol), and prints one JSON line.
+
+The 800k ``bench`` world is NOT used: its pages sit in 40 single-row-group
+files, so the fused read+map stage is wave-quantized at 32 cpus (40 tasks =
+2 waves, the second 25%% full) and the measurement reflects file-count
+granularity, not the operator. bench4's 160 files give 5 exact waves.
 
 Usage: python tools/scaling_corpus.py [reps]
 """
@@ -32,7 +37,7 @@ ctx = DataContext.get_current(); ctx.enable_progress_bars = False
 ctx.target_max_block_size = 8 * 1024 * 1024
 from housenumbercore_ray.sources.worldgen import ensure_world_scale
 from housenumbercore_ray.pipelines import corpus
-wd = ensure_world_scale("bench")
+wd = ensure_world_scale("bench4")
 corpus.host_stats(wd).count()  # warm page cache with a cheap pass
 t = time.time()
 corpus.line_dedup(wd).count()
@@ -55,7 +60,7 @@ def main() -> None:
         hi_runs.append(_one(32))
     lo, hi = min(lo_runs), min(hi_runs)
     print(json.dumps({
-        "metric": "corpus-op scaling (web_line_dedup, bench world 800k pages)",
+        "metric": "corpus-op scaling (web_line_dedup, bench4 world 3.2M pages)",
         "sec_8": round(lo, 2), "sec_32": round(hi, 2),
         "sec_8_all": [round(x, 2) for x in lo_runs],
         "sec_32_all": [round(x, 2) for x in hi_runs],
