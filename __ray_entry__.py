@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bigram_lm": corpus.bigram_lm_scores,
         "dedup_substring_spans": corpus.substring_dup_spans,
         "text_pagerank": corpus.text_pagerank,
+        "corpus_clean": corpus.corpus_clean,
         "web_jsonl_import": lambda sf: __import__(
             "housenumbercore_ray.pipelines.import_list", fromlist=["jsonl_import"]
         ).jsonl_import(_world(sf)),
@@ -635,6 +636,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_substring_spans"] = co.substring_spans_sql()
     out["media_type_sniff"] = co.media_type_sniff_sql(wd)
     out["text_pagerank"] = co.pagerank_sql()
+    out["corpus_clean"] = co.corpus_clean_sql(out["text_quality_classifier"])
     out["dedup_simhash_pairs"] = co.simhash_pairs_sql()
     out["ann_ivf_topk"] = co.ivf_topk_sql()
     out["dedup_minhash_pairs"] = co.minhash_pairs_sql()

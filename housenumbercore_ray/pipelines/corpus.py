@@ -3120,3 +3120,113 @@ def text_pagerank(sf_dir: str, damping: float = 0.85,
         lambda b: pd.DataFrame({"token": b["node"].to_numpy(object),
                                 "rank": b["r"].to_numpy(np.float64)}),
         batch_format="pandas")
+
+
+def corpus_clean(sf_dir: str, bench_mod: int = 25,
+                 max_rounds: int = 8) -> rd.Dataset:
+    """END-TO-END cleaning decision per training document — the composition
+    a corpus pipeline actually ships, built entirely from already-verified
+    stages: (1) remove the benchmark carve-out (doc_id % bench_mod == 0 —
+    those ARE the eval set), (2) cluster exact duplicates (content-hash
+    star pairs) together with MinHash near-duplicates via connected
+    components over the union pair graph and keep only each cluster's
+    canonical (min doc_id), (3) apply the logistic quality filter,
+    (4) flag benchmark n-gram contamination.
+
+    Output: (doc_id, cluster, is_canonical, clf_keep, contaminated, keep)
+    for every non-benchmark doc, keep = is_canonical ∧ clf_keep ∧
+    ¬contaminated.
+
+    Scale shape: pure composition of bounded stages — star exact pairs
+    (one content-hash shuffle), banded minhash pairs, log-round star
+    contraction, and two hash-partitioned doc-keyed joins to bring the
+    three per-doc columns together. Nothing new materializes beyond the
+    component labels (O(docs))."""
+    import pyarrow as pa
+
+    from ..stages.join import bucketed_hash_join
+    from ..stages.textops import quality_classifier
+
+    def non_bench(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["doc_id"] % bench_mod != 0]
+
+    docs_nb = _docs(sf_dir).map_batches(non_bench, batch_format="pandas")
+
+    # exact-dup STAR pairs (min-id hub per content-hash group): connectivity-
+    # equivalent to the all-pairs clique, O(group) instead of O(group²)
+    def star_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        lo = g.groupby("content_hash", sort=False)["doc_id"].transform("min")
+        ids = g["doc_id"].to_numpy(np.int64)
+        lo = lo.to_numpy(np.int64)
+        m = ids != lo
+        return pd.DataFrame({"doc_id_a": lo[m], "doc_id_b": ids[m]})
+
+    ex_pairs = (
+        docs_nb.map_batches(add_content_hash, batch_format="pandas")
+        .map_batches(_shard_on(["content_hash"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(star_pairs, batch_format="pandas")
+    )
+
+    mh_pairs = minhash_near_dup_pairs(sf_dir).map_batches(
+        lambda b: b.loc[(b["doc_id_a"] % bench_mod != 0)
+                        & (b["doc_id_b"] % bench_mod != 0),
+                        ["doc_id_a", "doc_id_b"]],
+        batch_format="pandas")
+
+    pairs = ex_pairs.union(mh_pairs)
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["doc_id_a"].to_numpy(np.int64)
+        bb = b["doc_id_b"].to_numpy(np.int64)
+        return pd.DataFrame({"src": np.concatenate([a, bb]),
+                             "dst": np.concatenate([bb, a])})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pandas")
+    nodes = docs_nb.map_batches(
+        lambda b: pd.DataFrame({"node": b["doc_id"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    labels = connected_components(nodes, edges, max_rounds=max_rounds,
+                                  metrics_prefix="corpus_clean")
+
+    comp = labels.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["node"].to_numpy(np.int64),
+            "cluster": b["label"].to_numpy(np.int64),
+            "is_canonical": (b["node"] == b["label"]).to_numpy().astype(np.int64),
+        }), batch_format="pandas")
+
+    clf = docs_nb.map_batches(quality_classifier, batch_format="pandas") \
+        .map_batches(lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "clf_keep": b["keep"].to_numpy(np.int64)}), batch_format="pandas")
+
+    dec = decontaminate(sf_dir, bench_mod=bench_mod).map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "contaminated": b["contaminated"].to_numpy(np.int64)}),
+        batch_format="pandas")
+
+    j1 = bucketed_hash_join(
+        comp, clf, "doc_id", "doc_id",
+        left_schema={"doc_id": pa.int64(), "cluster": pa.int64(),
+                     "is_canonical": pa.int64()},
+        right_schema={"doc_id": pa.int64(), "clf_keep": pa.int64()},
+    )
+    j2 = bucketed_hash_join(
+        j1, dec, "doc_id", "doc_id",
+        left_schema={"doc_id": pa.int64(), "cluster": pa.int64(),
+                     "is_canonical": pa.int64(), "clf_keep": pa.int64()},
+        right_schema={"doc_id": pa.int64(), "contaminated": pa.int64()},
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        keep = ((b["is_canonical"] == 1) & (b["clf_keep"] == 1)
+                & (b["contaminated"] == 0)).astype(np.int64)
+        out = b[["doc_id", "cluster", "is_canonical", "clf_keep",
+                 "contaminated"]].copy()
+        out["keep"] = keep
+        return out.astype(np.int64)
+
+    return j2.map_batches(finish, batch_format="pandas")

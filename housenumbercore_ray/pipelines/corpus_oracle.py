@@ -1067,3 +1067,41 @@ r{k} AS (SELECT n.node,
         FROM nodes n LEFT JOIN s{k} ON s{k}.dst = n.node)""")
     return (f"WITH {e_cte}," + ",".join(steps)
             + f"\nSELECT node AS token, r AS rank FROM r{iters}")
+
+
+def corpus_clean_sql(classifier_sql: str, bench_mod: int = 25) -> str:
+    """corpus_clean: the full composition recomputed — exact-dup clique
+    (md5(text) equality — connectivity-identical to the engine's star
+    pairs), the minhash pair recomputation, recursive reachability closure,
+    the classifier keep, and the decontamination flag, joined per doc."""
+    return f"""
+WITH RECURSIVE
+mh AS (SELECT doc_id_a, doc_id_b FROM ({minhash_pairs_sql()})
+       WHERE doc_id_a % {bench_mod} <> 0 AND doc_id_b % {bench_mod} <> 0),
+dh AS (SELECT doc_id, md5(text) AS h FROM documents
+       WHERE doc_id % {bench_mod} <> 0),
+ex AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+       FROM dh a JOIN dh b ON a.h = b.h AND a.doc_id < b.doc_id),
+p AS (SELECT * FROM mh UNION ALL SELECT * FROM ex),
+e AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM p
+      UNION ALL SELECT doc_id_b, doc_id_a FROM p),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id % {bench_mod} <> 0
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node
+),
+comp AS (SELECT node AS doc_id, min(label) AS cluster,
+                CASE WHEN node = min(label) THEN 1 ELSE 0 END AS is_can
+         FROM walk GROUP BY node),
+clf AS (SELECT doc_id, keep AS clf_keep FROM ({classifier_sql})),
+dec AS (SELECT doc_id, contaminated FROM ({decontaminate_sql(bench_mod=bench_mod)}))
+SELECT CAST(comp.doc_id AS BIGINT) AS doc_id,
+       CAST(comp.cluster AS BIGINT) AS cluster,
+       CAST(comp.is_can AS BIGINT) AS is_canonical,
+       CAST(clf.clf_keep AS BIGINT) AS clf_keep,
+       CAST(dec.contaminated AS BIGINT) AS contaminated,
+       CAST(CASE WHEN comp.is_can = 1 AND clf.clf_keep = 1
+                      AND dec.contaminated = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM comp JOIN clf USING (doc_id) JOIN dec USING (doc_id)
+"""

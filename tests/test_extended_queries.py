@@ -59,7 +59,7 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "media_phash_pairs", "geo_street_vertices", "geo_muni_area",
             "geo_line_simplify", "corpus_source_jaccard", "text_bigram_lm",
             "dedup_substring_spans", "geo_reverse_geocode", "media_type_sniff",
-            "text_pagerank"]
+            "text_pagerank", "corpus_clean"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
@@ -105,6 +105,7 @@ def test_extended_query_matches_oracle(entry, con, name):
     sqls["dedup_substring_spans"] = co.substring_spans_sql()
     sqls["media_type_sniff"] = co.media_type_sniff_sql(wd)
     sqls["text_pagerank"] = co.pagerank_sql()
+    sqls["corpus_clean"] = co.corpus_clean_sql(sqls["text_quality_classifier"])
 
     got = entry.queries()[name](SF)
     got = got.to_pandas() if hasattr(got, "to_pandas") else pd.DataFrame(got)
