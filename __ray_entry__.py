@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substring_spans": corpus.substring_dup_spans,
         "text_pagerank": corpus.text_pagerank,
         "corpus_clean": corpus.corpus_clean,
+        "corpus_chunk_overlap": corpus.chunk_overlap,
+        "corpus_quality_filter": corpus.quality_percentile_filter,
         "web_jsonl_import": lambda sf: __import__(
             "housenumbercore_ray.pipelines.import_list", fromlist=["jsonl_import"]
         ).jsonl_import(_world(sf)),
@@ -167,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_buckets": corpus.ann_lsh_buckets,
         "ann_lsh_topk": corpus.ann_lsh_topk,
         "ann_ivf_topk": corpus.ann_ivf_topk,
+        "ann_sq_topk": corpus.ann_sq_topk,
         "dedup_embedding_pairs": corpus.embedding_near_dup_pairs,
         "dedup_semantic": corpus.semantic_dedup_pairs,
         # multimodal plumbing (binary column of pages)
@@ -264,7 +267,7 @@ FROM {docs_norm}
             f"+ {_qw['alpha_ratio']} * alpha_ratio "
             f"+ {_qw['mean_token_len']} * mean_token_len "
             f"+ {_qw['log_tokens']} * ln(1.0 + n_tokens))")
-    return {
+    out = {
         "dedup_exact": """
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups,
        md5(text) AS content_hash
@@ -523,6 +526,10 @@ GROUP BY q.quantile
 """,
         "theo_muni_summary": _theo_oracle(world_dir),
     }
+    out["ann_sq_topk"] = co.sq_topk_sql()
+    out["corpus_chunk_overlap"] = co.chunk_overlap_sql()
+    out["corpus_quality_filter"] = co.quality_filter_sql(out["text_quality_classifier"])
+    return out
 
 
 def _theo_oracle(world_dir: str) -> str:

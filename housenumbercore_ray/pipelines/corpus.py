@@ -1161,6 +1161,132 @@ def pack_sequences(sf_dir: str, capacity: int = 128,
     )
 
 
+def chunk_overlap(sf_dir: str, size: int = 64, stride: int = 48) -> rd.Dataset:
+    """Fixed-size token chunking with overlap — the RAG-index / pretraining
+    windowing step: each document explodes into windows of ``size`` tokens
+    starting every ``stride`` tokens (overlap = size − stride; the tail
+    window may be shorter; empty docs emit nothing). Emits (doc_id,
+    chunk_id, tok_offset, n_tok, chunk_md5) where chunk_md5 hashes the
+    space-joined window — the value proof that both engines cut identical
+    token spans.
+
+    Stateless zero-shuffle stream: chunking is per-document, so 100 TB
+    chunks at read parallelism with no exchange; output rows ≈ rows ×
+    ceil(tokens/stride) land directly in the sink. Tokenization is the
+    module-standard exotic-ws-normalized whitespace split (textops._norm_ws)
+    so the RE2 oracle tokenizes identically on ALL inputs."""
+    import hashlib
+
+    from ..stages.textops import _norm_ws
+
+    def chunks(b: pd.DataFrame) -> pd.DataFrame:
+        tok_lists = _norm_ws(b["text"]).str.strip().str.split()
+        ids, cids, offs, ns, md5s = [], [], [], [], []
+        for doc_id, toks in zip(b["doc_id"].to_numpy(np.int64), tok_lists):
+            if not isinstance(toks, list) or not toks:
+                continue
+            n = len(toks)
+            for ci, off in enumerate(range(0, n, stride)):
+                window = toks[off:off + size]
+                ids.append(doc_id)
+                cids.append(ci)
+                offs.append(off)
+                ns.append(len(window))
+                md5s.append(hashlib.md5(" ".join(window).encode("utf-8")).hexdigest())
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype=np.int64),
+            "chunk_id": pd.Series(cids, dtype=np.int64),
+            "tok_offset": pd.Series(offs, dtype=np.int64),
+            "n_tok": pd.Series(ns, dtype=np.int64),
+            "chunk_md5": pd.Series(md5s, dtype=object),
+        })
+
+    return _docs(sf_dir).map_batches(chunks, batch_format="pandas")
+
+
+def quality_percentile_filter(sf_dir: str, keep_num: int = 1,
+                              keep_den: int = 5) -> rd.Dataset:
+    """Per-language top-p% quality selection (the FineWeb-style curation
+    step): keep the best ``ceil(n · keep_num / keep_den)`` documents of each
+    language by classifier score, ties broken by doc_id. Exact at any scale
+    without a global sort:
+
+    - pass 1 streams per-batch partial counts keyed by (lang, score·1e6):
+      the classifier score is ROUND-6, so the count table is bounded by the
+      VALUE DOMAIN (≤ 1e6+1 bins/lang), never the corpus — the exact
+      distributed-quantile trick for bounded-cardinality scores. The driver
+      walks each language's cumulative counts to the threshold score and the
+      residual quota r at the threshold.
+    - pass 2 re-streams the scores: rows strictly above threshold pass a
+      vectorized filter (zero shuffle); rows AT the threshold go through a
+      per-lang bounded top-r reduce on doc_id — the only shuffle, sized by
+      the tie count (which is the minimal possible work for exact ties).
+
+    Output (doc_id, lang, score) = the union of both branches."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.textops import quality_classifier
+
+    def scored(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        out = quality_classifier(b)
+        return pd.DataFrame({"doc_id": out["doc_id"].to_numpy(np.int64),
+                             "lang": b["lang"].to_numpy(),
+                             "score": out["score"].to_numpy(np.float64)})
+
+    def stream():
+        return _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+            scored, batch_format="pandas")
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        s6 = np.rint(b["score"].to_numpy(np.float64) * 1e6).astype(np.int64)
+        key = b["lang"].astype(str) + "|" + pd.Series(s6, index=b.index).astype(str)
+        cnt = key.value_counts()
+        return pd.DataFrame({"key": cnt.index.to_numpy(object),
+                             "cnt": cnt.to_numpy(np.int64)})
+
+    hist_rows = (stream().map_batches(hist_partial, batch_format="pandas")
+                 .groupby("key").aggregate(Sum("cnt")).take_all())
+    per_lang: dict[str, list[tuple[int, int]]] = {}
+    totals: dict[str, int] = {}
+    for r in hist_rows:
+        lang, s6s = r["key"].rsplit("|", 1)
+        c = int(r["sum(cnt)"])
+        per_lang.setdefault(lang, []).append((int(s6s), c))
+        totals[lang] = totals.get(lang, 0) + c
+    thr: dict[str, int] = {}
+    quota: dict[str, int] = {}
+    for lang, bins in per_lang.items():
+        keep_n = (totals[lang] * keep_num + keep_den - 1) // keep_den
+        cum = 0
+        for s6, c in sorted(bins, reverse=True):
+            if cum + c >= keep_n:
+                thr[lang] = s6
+                quota[lang] = keep_n - cum
+                break
+            cum += c
+    thr_ref = ray.put((thr, quota))
+
+    def split_mask(b: pd.DataFrame, at_threshold: bool) -> pd.DataFrame:
+        t, _ = ray.get(thr_ref)
+        s6 = np.rint(b["score"].to_numpy(np.float64) * 1e6).astype(np.int64)
+        lang_thr = b["lang"].map(t).to_numpy()
+        mask = (s6 == lang_thr) if at_threshold else (s6 > lang_thr)
+        return b.loc[mask, ["doc_id", "lang", "score"]]
+
+    above = stream().map_batches(lambda b: split_mask(b, False), batch_format="pandas")
+
+    def take_quota(g: pd.DataFrame) -> pd.DataFrame:
+        _, q = ray.get(thr_ref)
+        lang = str(g["lang"].iloc[0])
+        g = g.sort_values("doc_id", kind="mergesort").head(q.get(lang, 0))
+        return g[["doc_id", "lang", "score"]]
+
+    tied = (stream().map_batches(lambda b: split_mask(b, True), batch_format="pandas")
+            .groupby("lang").map_groups(take_quota, batch_format="pandas"))
+    return above.union(tied)
+
+
 #: PII patterns — constructs restricted to the RE2 ∩ Python-re common
 #: subset (char classes, counted reps, \b, greedy ?) so the DuckDB oracle
 #: runs the IDENTICAL pattern strings. Real deployments extend this list;
@@ -2461,6 +2587,63 @@ def ann_ivf_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK,
         Probe, batch_format="pandas", batch_size=4096, concurrency=(1, 4), num_cpus=1,
     )
     return partials.groupby("qid").map_groups(lambda g: topk_finalize(g, k), batch_format="pandas")
+
+
+def _sq_minmax(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension global (min, max) for SQ8 quantization in ONE streaming
+    pass: each batch emits d partial rows (dim, mn, mx), a d-key groupby
+    reduces them, the driver receives exactly d rows — O(d) driver state at
+    any corpus size (the kmeans O(k·d) init pattern)."""
+    from ray.data.aggregate import Max, Min
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({"dim": np.arange(X.shape[1], dtype=np.int64),
+                             "mn": X.min(axis=0), "mx": X.max(axis=0)})
+
+    rows = (emb.map_batches(partial, batch_format="pandas", batch_size=4096)
+            .groupby("dim").aggregate(Min("mn"), Max("mx")).take_all())
+    rows.sort(key=lambda r: r["dim"])
+    mn = np.asarray([r["min(mn)"] for r in rows], dtype=np.float64)
+    mx = np.asarray([r["max(mx)"] for r in rows], dtype=np.float64)
+    return mn, mx
+
+
+def ann_sq_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK) -> rd.Dataset:
+    """SQ8 scalar-quantized ANN top-k — the memory-bound scale path of the
+    ANN family (uint8 codes: 4 bytes/dim → 1, and the scan becomes an
+    integer matmul): per-dimension (min, max) from one streaming pass
+    (:func:`_sq_minmax`), query vectors from a filtered read, codes computed
+    per batch inside the scan actor, int64 dot-product scores, per-batch
+    partial top-k → tiny final reduce. Output (qid, rank, vec_id, score_q)
+    with exact integer scores; corpus_oracle.sq_topk_sql replays the
+    quantization and scoring end-to-end in SQL."""
+    from ..stages.similarity import ScalarQuantTopK, sq_quantize
+
+    mn, mx = _sq_minmax(sf_dir)
+    qv = _fetch_vectors(sf_dir, query_ids)
+    qids = np.asarray(sorted(qv), dtype=np.int64)
+    Qq = sq_quantize(np.stack([qv[int(q)] for q in qids]), mn, mx)
+    side_ref = ray.put((qids, Qq, mn, mx))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        ScalarQuantTopK, fn_constructor_args=(side_ref, k),
+        batch_format="pandas", batch_size=4096, concurrency=(1, 4), num_cpus=1,
+    )
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["score_q", "vec_id"], ascending=[False, True], kind="mergesort")
+             .head(k).reset_index(drop=True))
+        return pd.DataFrame({
+            "qid": g["qid"].astype(np.int64),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            "vec_id": g["vec_id"].astype(np.int64),
+            "score_q": g["score_q"].astype(np.int64),
+        })
+
+    return partials.groupby("qid").map_groups(fin, batch_format="pandas")
 
 
 def media_features(world_dir: str) -> rd.Dataset:

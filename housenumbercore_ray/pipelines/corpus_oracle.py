@@ -1105,3 +1105,88 @@ SELECT CAST(comp.doc_id AS BIGINT) AS doc_id,
                  THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM comp JOIN clf USING (doc_id) JOIN dec USING (doc_id)
 """
+
+
+def sq_topk_sql(query_ids=(0, 1, 2, 3), k: int = 5) -> str:
+    """ann_sq_topk: the SQ8 path fully recomputed in SQL — per-dimension
+    min/max over the DOUBLE-cast embedding column, the quantizer expression
+    ``clip(floor((x - mn) / (mx - mn) * 255 + 0.5), 0, 255)`` replayed
+    IEEE-754 op-for-op (stages.similarity.sq_quantize), integer dot-product
+    scores, window top-k by (score desc, vec_id)."""
+    qlist = ", ".join(str(q) for q in query_ids)
+    return f"""
+WITH u AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i
+  FROM embeddings
+),
+mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i),
+qz AS (
+  SELECT u.vec_id, u.i,
+         CASE WHEN mm.mx > mm.mn
+              THEN CAST(least(greatest(floor((u.x - mm.mn) / (mm.mx - mm.mn)
+                                             * 255.0 + 0.5), 0.0), 255.0) AS BIGINT)
+              ELSE 0 END AS qv
+  FROM u JOIN mm USING (i)
+),
+qq AS (SELECT vec_id AS qid, i, qv FROM qz WHERE vec_id IN ({qlist})),
+s AS (
+  SELECT qq.qid, z.vec_id, sum(z.qv * qq.qv) AS score_q
+  FROM qz z JOIN qq USING (i)
+  WHERE z.vec_id <> qq.qid
+  GROUP BY qq.qid, z.vec_id
+)
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(row_number() OVER w AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(score_q AS BIGINT) AS score_q
+FROM s
+WINDOW w AS (PARTITION BY qid ORDER BY score_q DESC, vec_id)
+QUALIFY row_number() OVER w <= {k}
+"""
+
+
+def chunk_overlap_sql(size: int = 64, stride: int = 48) -> str:
+    """corpus_chunk_overlap: windows of ``size`` tokens every ``stride``
+    tokens per document (tail may be short; empty docs emit nothing), md5 of
+    the space-joined window. Tokenization = exotic-ws normalize + trim +
+    RE2 \\s+ split — identical to textops._norm_ws + str.split()."""
+    from ..stages.textops import EXOTIC_WS_RE2
+
+    return f"""
+WITH dn AS (SELECT doc_id,
+                   regexp_replace(text, '{EXOTIC_WS_RE2}', ' ', 'g') AS text
+            FROM documents),
+d AS (SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\\s+') END AS ts
+      FROM dn),
+o AS (SELECT doc_id, ts, len(ts) AS n,
+             unnest(range(0, len(ts), {stride})) AS off
+      FROM d WHERE len(ts) > 0)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(off // {stride} AS BIGINT) AS chunk_id,
+       CAST(off AS BIGINT) AS tok_offset,
+       CAST(least({size}, n - off) AS BIGINT) AS n_tok,
+       md5(array_to_string(ts[off + 1 : off + {size}], ' ')) AS chunk_md5
+FROM o
+"""
+
+
+def quality_filter_sql(classifier_sql: str, keep_num: int = 1,
+                       keep_den: int = 5) -> str:
+    """corpus_quality_filter: per-language top-p% by classifier score with
+    doc_id tie-break — the window-rank recomputation of the engine's
+    histogram-threshold selection. keep_n = ceil(n·num/den) in exact integer
+    arithmetic ((n·num + den − 1) // den) on both sides."""
+    return f"""
+WITH scored AS ({classifier_sql}),
+j AS (SELECT s.doc_id, d.lang, s.score
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY score DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM j)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, score
+FROM r WHERE rn <= (n * {keep_num} + {keep_den} - 1) // {keep_den}
+"""

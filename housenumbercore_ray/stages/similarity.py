@@ -16,7 +16,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["BruteForceTopK", "topk_finalize", "SignedProjectionLSH"]
+__all__ = ["BruteForceTopK", "topk_finalize", "SignedProjectionLSH",
+           "ScalarQuantTopK", "sq_quantize"]
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -73,6 +74,57 @@ def topk_finalize(group: pd.DataFrame, k: int = 5) -> pd.DataFrame:
         "rank": np.arange(1, len(g) + 1, dtype=np.int64),
         "vec_id": g["vec_id"].astype(np.int64),
     })
+
+
+def sq_quantize(X: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
+    """SQ8 scalar quantization: ``q = clip(floor((x - mn) / (mx - mn) * 255
+    + 0.5), 0, 255)`` per dimension; constant dimensions (mx == mn) code to
+    0. Float64 arithmetic in exactly this op order — the SQL oracle replays
+    the expression IEEE-754 op-for-op, so codes agree bit-exactly."""
+    rng = mx - mn
+    safe = np.where(rng > 0, rng, 1.0)
+    q = np.floor((X - mn) / safe * 255.0 + 0.5)
+    q = np.where(rng > 0, q, 0.0)
+    return np.clip(q, 0.0, 255.0).astype(np.int64)
+
+
+class ScalarQuantTopK:
+    """map_batches actor for the SQ8 ANN scan (the 4×-memory-reduction scale
+    path of the ANN family: 1 byte/dim instead of 4): quantize the batch
+    against broadcast per-dimension (min, max), integer matmul against the
+    quantized query matrix, per-batch partial top-k. Scores are int64 sums
+    of uint8-domain products — exact integers, hash-safe across engines.
+
+    A real deployment persists the codes column once and scans codes only;
+    computing them in the scan keeps this operator single-pass over the
+    driver's embeddings table without a side output."""
+
+    def __init__(self, side_ref, k: int = 5):
+        import ray
+
+        self.qids, self.Qq, self.mn, self.mx = ray.get(side_ref)
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        X = _to_matrix(batch["embedding"])
+        Xq = sq_quantize(X, self.mn, self.mx)
+        S = Xq @ self.Qq.T  # (batch, nq) int64
+        vec_ids = batch["vec_id"].to_numpy(dtype=np.int64)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(self.qids):
+            s = S[:, j]
+            idx = np.flatnonzero(vec_ids != qid)
+            if len(idx) == 0:
+                continue
+            order = idx[np.lexsort((vec_ids[idx], -s[idx]))][: self.k]
+            out_q.extend([qid] * len(order))
+            out_v.extend(vec_ids[order])
+            out_s.extend(s[order])
+        return pd.DataFrame({
+            "qid": pd.Series(out_q, dtype=np.int64),
+            "vec_id": pd.Series(out_v, dtype=np.int64),
+            "score_q": pd.Series(out_s, dtype=np.int64),
+        })
 
 
 class BandedProjectionLSH:
