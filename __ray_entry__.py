@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": corpus.ann_lsh_topk,
         "ann_ivf_topk": corpus.ann_ivf_topk,
         "ann_sq_topk": corpus.ann_sq_topk,
+        "embedding_label_centroids": corpus.embedding_label_centroids,
+        "corpus_dup_rate_by_source": corpus.dup_rate_by_source,
         "dedup_embedding_pairs": corpus.embedding_near_dup_pairs,
         "dedup_semantic": corpus.semantic_dedup_pairs,
         # multimodal plumbing (binary column of pages)
@@ -527,6 +529,8 @@ GROUP BY q.quantile
         "theo_muni_summary": _theo_oracle(world_dir),
     }
     out["ann_sq_topk"] = co.sq_topk_sql()
+    out["embedding_label_centroids"] = co.label_centroids_sql()
+    out["corpus_dup_rate_by_source"] = co.dup_rate_by_source_sql()
     out["corpus_chunk_overlap"] = co.chunk_overlap_sql()
     out["corpus_quality_filter"] = co.quality_filter_sql(out["text_quality_classifier"])
     return out

@@ -2646,6 +2646,91 @@ def ann_sq_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK) -> rd.D
     return partials.groupby("qid").map_groups(fin, batch_format="pandas")
 
 
+def embedding_label_centroids(sf_dir: str) -> rd.Dataset:
+    """Per-label class prototypes over the embedding column (the
+    curriculum/balancing analytics step): for each label, count, centroid
+    L2 norm and mean squared distance to the centroid (dispersion).
+
+    One streaming pass: per-batch partials (label, n, Σx per dim, Σ‖x‖²)
+    — O(labels · d) rows per batch — reduced by a labels-sized groupby;
+    final scalars derived on the driver from O(labels · d) state. Outputs
+    round to 6 decimals so cross-engine summation order is absorbed
+    (the embedding_kmeans determinism contract). Scalar columns only —
+    list-of-float outputs hash differently across engines."""
+    from ray.data.aggregate import Sum
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["embedding", "label"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        lab = b["label"].to_numpy(np.int64)
+        out = []
+        for lb in np.unique(lab):
+            M = X[lab == lb]
+            row = {"label": int(lb), "n": len(M), "sumsq": float((M * M).sum())}
+            for i, s in enumerate(M.sum(axis=0)):
+                row[f"s{i}"] = float(s)
+            out.append(row)
+        return pd.DataFrame(out)
+
+    sums = None
+    rows = None
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        scols = sorted((c for c in g.columns if c.startswith("s") and c != "sumsq"),
+                       key=lambda c: int(c[1:]))
+        n = int(g["n"].sum())
+        sv = g[scols].to_numpy(np.float64).sum(axis=0)
+        c = sv / n
+        cnorm = float(np.sqrt((c * c).sum()))
+        # E||x - c||^2 = E||x||^2 - 2 c·E[x] + ||c||^2, from first-pass sums
+        disp = float(g["sumsq"].sum() / n - 2.0 * (c * (sv / n)).sum() + (c * c).sum())
+        return pd.DataFrame({"label": [np.int64(g["label"].iloc[0])],
+                             "n": [np.int64(n)],
+                             "centroid_norm": [np.round(cnorm, 6)],
+                             "dispersion": [np.round(disp, 6)]})
+
+    return (emb.map_batches(partial, batch_format="pandas", batch_size=4096)
+            .groupby("label").map_groups(fin, batch_format="pandas"))
+
+
+def dup_rate_by_source(sf_dir: str) -> rd.Dataset:
+    """Duplication analytics per source slice (the where-is-my-corpus-dirty
+    report): per source, document count, distinct-text count and duplicate
+    count. Content-hash sharded groupby (a hash lives wholly in one shard,
+    so per-shard distinct counts sum exactly); final reduce is a
+    sources-sized groupby."""
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+
+    def shard_stats(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("source", sort=True).agg(
+            n_docs=("content_hash", "size"),
+            n_unique=("content_hash", "nunique")).reset_index()
+        return per.astype({"n_docs": np.int64, "n_unique": np.int64})
+
+    per_shard = (docs.map_batches(add_content_hash, batch_format="pandas")
+                 .map_batches(lambda b: b[["source", "content_hash"]],
+                              batch_format="pandas")
+                 .map_batches(_shard_on(["content_hash"]), batch_format="pandas")
+                 .repartition(_shuffle_blocks())
+                 .groupby("_shard")
+                 .map_groups(shard_stats, batch_format="pandas"))
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        n_docs = int(g["n_docs"].sum())
+        n_unique = int(g["n_unique"].sum())
+        return pd.DataFrame({"source": [g["source"].iloc[0]],
+                             "n_docs": [np.int64(n_docs)],
+                             "n_unique": [np.int64(n_unique)],
+                             "n_dups": [np.int64(n_docs - n_unique)]})
+
+    return per_shard.groupby("source").map_groups(fin, batch_format="pandas")
+
+
 def media_features(world_dir: str) -> rd.Dataset:
     """Multimodal plumbing over the binary html column: small batches sized
     for binary payloads, actor pool, typed metadata out."""

@@ -1190,3 +1190,37 @@ r AS (SELECT *, row_number() OVER (PARTITION BY lang
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, score
 FROM r WHERE rn <= (n * {keep_num} + {keep_den} - 1) // {keep_den}
 """
+
+
+def label_centroids_sql() -> str:
+    """embedding_label_centroids: per-label count, centroid norm and mean
+    squared distance to centroid recomputed from per-dimension sums; round-6
+    absorbs cross-engine summation order (the kmeans contract)."""
+    return """
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT label, count(*) AS n,
+             sum(list_sum(list_transform(v, x -> x * x))) AS sumsq
+      FROM e GROUP BY label),
+u AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e),
+s AS (SELECT label, i, sum(x) AS sx FROM u GROUP BY label, i),
+c AS (SELECT s.label, sum((s.sx / n.n) * (s.sx / n.n)) AS c2
+      FROM s JOIN n USING (label) GROUP BY s.label)
+SELECT CAST(n.label AS BIGINT) AS label,
+       CAST(n.n AS BIGINT) AS n,
+       round(sqrt(c.c2), 6) AS centroid_norm,
+       round(n.sumsq / n.n - c.c2, 6) AS dispersion
+FROM n JOIN c USING (label)
+"""
+
+
+def dup_rate_by_source_sql() -> str:
+    """corpus_dup_rate_by_source: per-source doc / distinct-text /
+    duplicate counts — md5(text) is the engine's content hash."""
+    return """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups
+FROM documents
+GROUP BY source
+"""

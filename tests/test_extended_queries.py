@@ -60,7 +60,8 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "geo_line_simplify", "corpus_source_jaccard", "text_bigram_lm",
             "dedup_substring_spans", "geo_reverse_geocode", "media_type_sniff",
             "text_pagerank", "corpus_clean", "ann_sq_topk",
-            "corpus_chunk_overlap", "corpus_quality_filter"]
+            "corpus_chunk_overlap", "corpus_quality_filter",
+            "embedding_label_centroids", "corpus_dup_rate_by_source"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
