@@ -2599,7 +2599,9 @@ def _sq_minmax(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        X = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        from ..stages.similarity import l2_normalize
+
+        X = l2_normalize(np.stack(b["embedding"].to_numpy()).astype(np.float64))
         return pd.DataFrame({"dim": np.arange(X.shape[1], dtype=np.int64),
                              "mn": X.min(axis=0), "mx": X.max(axis=0)})
 
@@ -2613,19 +2615,21 @@ def _sq_minmax(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
 
 def ann_sq_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK) -> rd.Dataset:
     """SQ8 scalar-quantized ANN top-k — the memory-bound scale path of the
-    ANN family (uint8 codes: 4 bytes/dim → 1, and the scan becomes an
-    integer matmul): per-dimension (min, max) from one streaming pass
-    (:func:`_sq_minmax`), query vectors from a filtered read, codes computed
-    per batch inside the scan actor, int64 dot-product scores, per-batch
-    partial top-k → tiny final reduce. Output (qid, rank, vec_id, score_q)
+    ANN family (int8 codes: 4 bytes/dim → 1, and the scan becomes an
+    integer matmul): vectors are L2-NORMALIZED before quantization so the
+    integer dot ranks like cosine (faiss SQ+inner-product convention);
+    per-dimension (min, max) from one streaming pass (:func:`_sq_minmax`),
+    query vectors from a filtered read, codes computed per batch inside the
+    scan actor, int64 dot-product scores, per-batch partial top-k → tiny
+    final reduce. Output (qid, rank, vec_id, score_q)
     with exact integer scores; corpus_oracle.sq_topk_sql replays the
     quantization and scoring end-to-end in SQL."""
-    from ..stages.similarity import ScalarQuantTopK, sq_quantize
+    from ..stages.similarity import ScalarQuantTopK, l2_normalize, sq_quantize
 
     mn, mx = _sq_minmax(sf_dir)
     qv = _fetch_vectors(sf_dir, query_ids)
     qids = np.asarray(sorted(qv), dtype=np.int64)
-    Qq = sq_quantize(np.stack([qv[int(q)] for q in qids]), mn, mx)
+    Qq = sq_quantize(l2_normalize(np.stack([qv[int(q)] for q in qids])), mn, mx)
     side_ref = ray.put((qids, Qq, mn, mx))
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     partials = ds.map_batches(

@@ -1108,24 +1108,34 @@ FROM comp JOIN clf USING (doc_id) JOIN dec USING (doc_id)
 
 
 def sq_topk_sql(query_ids=(0, 1, 2, 3), k: int = 5) -> str:
-    """ann_sq_topk: the SQ8 path fully recomputed in SQL — per-dimension
-    min/max over the DOUBLE-cast embedding column, the quantizer expression
-    ``clip(floor((x - mn) / (mx - mn) * 255 + 0.5), 0, 255)`` replayed
-    IEEE-754 op-for-op (stages.similarity.sq_quantize), integer dot-product
-    scores, window top-k by (score desc, vec_id)."""
+    """ann_sq_topk: the SQ8 path fully recomputed in SQL — row L2
+    normalization (cosine-compatible codes, the faiss SQ+IP convention),
+    per-dimension symmetric scale s = max(|min|, |max|) over the normalized
+    values, the quantizer expression
+    ``clip(floor(x / s * 127 + 0.5), -127, 127)`` replayed IEEE-754
+    op-for-op (stages.similarity.sq_quantize), integer
+    dot-product scores, window top-k by (score desc, vec_id)."""
     qlist = ", ".join(str(q) for q in query_ids)
     return f"""
-WITH u AS (
-  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i
-  FROM embeddings
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nrm AS (
+  SELECT vec_id, v,
+         CASE WHEN sqrt(list_sum(list_transform(v, y -> y * y))) > 0
+              THEN sqrt(list_sum(list_transform(v, y -> y * y)))
+              ELSE 1.0 END AS nz
+  FROM e
 ),
-mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i),
+u AS (
+  SELECT vec_id, unnest(v) / nz AS x,
+         CAST(generate_subscripts(v, 1) AS BIGINT) AS i
+  FROM nrm
+),
+mm AS (SELECT i, greatest(abs(min(x)), abs(max(x))) AS s FROM u GROUP BY i),
 qz AS (
   SELECT u.vec_id, u.i,
-         CASE WHEN mm.mx > mm.mn
-              THEN CAST(least(greatest(floor((u.x - mm.mn) / (mm.mx - mm.mn)
-                                             * 255.0 + 0.5), 0.0), 255.0) AS BIGINT)
+         CASE WHEN mm.s > 0
+              THEN CAST(least(greatest(floor(u.x / mm.s * 127.0 + 0.5),
+                                       -127.0), 127.0) AS BIGINT)
               ELSE 0 END AS qv
   FROM u JOIN mm USING (i)
 ),

@@ -76,16 +76,31 @@ def topk_finalize(group: pd.DataFrame, k: int = 5) -> pd.DataFrame:
     })
 
 
+def l2_normalize(X: np.ndarray) -> np.ndarray:
+    """Row-wise L2 normalization (zero rows pass through): SQ8 quantizes
+    NORMALIZED vectors so integer dot products rank like cosine — the faiss
+    convention for SQ + inner-product metric."""
+    n = np.sqrt((X * X).sum(axis=1, keepdims=True))
+    return X / np.where(n > 0, n, 1.0)
+
+
 def sq_quantize(X: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
-    """SQ8 scalar quantization: ``q = clip(floor((x - mn) / (mx - mn) * 255
-    + 0.5), 0, 255)`` per dimension; constant dimensions (mx == mn) code to
-    0. Float64 arithmetic in exactly this op order — the SQL oracle replays
-    the expression IEEE-754 op-for-op, so codes agree bit-exactly."""
-    rng = mx - mn
-    safe = np.where(rng > 0, rng, 1.0)
-    q = np.floor((X - mn) / safe * 255.0 + 0.5)
-    q = np.where(rng > 0, q, 0.0)
-    return np.clip(q, 0.0, 255.0).astype(np.int64)
+    """SQ8 scalar quantization, SYMMETRIC signed variant:
+    ``q = clip(floor(x / s * 127 + 0.5), -127, 127)`` with per-dimension
+    scale ``s = max(|mn|, |mx|)``; all-zero dimensions code to 0. Symmetric
+    (offset-free) codes are what makes the INTEGER dot product a faithful
+    cosine proxy: an affine (min/max-offset) quantizer would leave a
+    candidate-dependent Σ mn·x cross-term inside Σ qa·qb and scramble the
+    ranking. Float64 arithmetic in exactly this op order — the SQL oracle
+    replays the expression IEEE-754 op-for-op, so codes agree bit-exactly
+    (the only cross-engine freedom is the norm's summation order, whose
+    ≤4-ulp noise would have to land a value within ~1e-14 of a quantizer
+    boundary to matter)."""
+    s = np.maximum(np.abs(mn), np.abs(mx))
+    safe = np.where(s > 0, s, 1.0)
+    q = np.floor(X / safe * 127.0 + 0.5)
+    q = np.where(s > 0, q, 0.0)
+    return np.clip(q, -127.0, 127.0).astype(np.int64)
 
 
 class ScalarQuantTopK:
@@ -93,7 +108,7 @@ class ScalarQuantTopK:
     path of the ANN family: 1 byte/dim instead of 4): quantize the batch
     against broadcast per-dimension (min, max), integer matmul against the
     quantized query matrix, per-batch partial top-k. Scores are int64 sums
-    of uint8-domain products — exact integers, hash-safe across engines.
+    of int8-domain products — exact integers, hash-safe across engines.
 
     A real deployment persists the codes column once and scans codes only;
     computing them in the scan keeps this operator single-pass over the
@@ -106,7 +121,7 @@ class ScalarQuantTopK:
         self.k = k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        X = _to_matrix(batch["embedding"])
+        X = l2_normalize(_to_matrix(batch["embedding"]))
         Xq = sq_quantize(X, self.mn, self.mx)
         S = Xq @ self.Qq.T  # (batch, nq) int64
         vec_ids = batch["vec_id"].to_numpy(dtype=np.int64)

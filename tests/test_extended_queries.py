@@ -258,3 +258,52 @@ class TestRegionalRevenue:
         """).df().sort_values("nation").reset_index(drop=True)
         import pandas as pd
         pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
+
+
+class TestR3LateOps:
+    def test_quality_filter_quota_exact(self, ray_session):
+        """Per language, exactly ceil(n/5) docs survive, and every kept doc
+        dominates every dropped doc under (score desc, doc_id asc)."""
+        from housenumbercore_ray.pipelines.corpus import quality_percentile_filter
+        from housenumbercore_ray.stages.textops import quality_classifier
+        import pyarrow.parquet as pq
+
+        kept = quality_percentile_filter(SF).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text", "lang"]).to_pandas()
+        allscores = quality_classifier(docs).merge(docs[["doc_id", "lang"]], on="doc_id")
+        for lang, grp in allscores.groupby("lang"):
+            n = len(grp)
+            want_n = (n + 4) // 5
+            got = kept[kept["lang"] == lang]
+            assert len(got) == want_n, (lang, len(got), want_n)
+            ordered = grp.sort_values(["score", "doc_id"],
+                                      ascending=[False, True], kind="mergesort")
+            want_ids = set(ordered.head(want_n)["doc_id"])
+            assert set(got["doc_id"]) == want_ids
+
+    def test_chunk_overlap_covers_every_token(self, ray_session):
+        """Window bookkeeping: offsets step by stride, spans cover [0, n)
+        with the configured overlap, and n_tok sums to n + overlap*extra."""
+        from housenumbercore_ray.pipelines.corpus import chunk_overlap
+
+        out = chunk_overlap(SF, size=64, stride=48).to_pandas()
+        for doc_id, g in out.groupby("doc_id"):
+            g = g.sort_values("chunk_id").reset_index(drop=True)
+            assert (g["tok_offset"] == g["chunk_id"] * 48).all()
+            # doc length implied by the tail chunk; every window is then
+            # exactly min(size, n - off) tokens and offsets tile [0, n)
+            n = int(g["tok_offset"].iloc[-1] + g["n_tok"].iloc[-1])
+            assert (g["n_tok"] == np.minimum(64, n - g["tok_offset"])).all()
+            assert len(g) == (n + 47) // 48
+
+    def test_sq_topk_recall_vs_exact(self, ray_session):
+        """SQ8 quantization must recover most of the exact cosine top-k on
+        the test embeddings (unnormalized dot on uint8 codes is a coarse
+        proxy; recall bound is deliberately loose)."""
+        import __ray_entry__ as e
+
+        exact = e.queries()["ann_topk_cosine"](SF).to_pandas()
+        sq = e.queries()["ann_sq_topk"](SF).to_pandas()
+        hit = exact.merge(sq, on=["qid", "vec_id"], how="inner")
+        assert len(hit) / len(exact) >= 0.6
