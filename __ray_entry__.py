@@ -101,6 +101,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_zonal": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["tile_zonal_stats"]
         ).tile_zonal_stats(_world(sf)),
+        "geo_tile_compact": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.tiles", fromlist=["tile_compact"]
+        ).tile_compact(_world(sf)),
         # vector geometry over WKB columns (decode / measure / generalize)
         "geo_street_vertices": lambda sf: __import__(
             "housenumbercore_ray.pipelines.geometry", fromlist=["street_vertices"]

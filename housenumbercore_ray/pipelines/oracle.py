@@ -606,4 +606,29 @@ SELECT CAST(muni_id AS BIGINT) AS muni_id,
        round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS mean_cell_points
 FROM assigned GROUP BY muni_id
 """,
+        # compact: a zoom-z parent is complete iff all 4 children are
+        # complete (z0 = occupied); keep complete cells whose parent is not.
+        "geo_tile_compact": f"""
+WITH b AS ({base}),
+l0 AS (SELECT DISTINCT ix, iy FROM b),
+c1 AS (SELECT ix >> 1 AS ix, iy >> 1 AS iy FROM l0
+       GROUP BY 1, 2 HAVING count(*) = 4),
+c2 AS (SELECT ix >> 1 AS ix, iy >> 1 AS iy FROM c1
+       GROUP BY 1, 2 HAVING count(*) = 4),
+c3 AS (SELECT ix >> 1 AS ix, iy >> 1 AS iy FROM c2
+       GROUP BY 1, 2 HAVING count(*) = 4)
+SELECT CAST(0 AS BIGINT) AS zoom, ix, iy, (ix << 22) | iy AS cell FROM l0
+WHERE NOT EXISTS (SELECT 1 FROM c1
+                  WHERE c1.ix = l0.ix >> 1 AND c1.iy = l0.iy >> 1)
+UNION ALL
+SELECT 1, ix, iy, (ix << 22) | iy FROM c1
+WHERE NOT EXISTS (SELECT 1 FROM c2
+                  WHERE c2.ix = c1.ix >> 1 AND c2.iy = c1.iy >> 1)
+UNION ALL
+SELECT 2, ix, iy, (ix << 22) | iy FROM c2
+WHERE NOT EXISTS (SELECT 1 FROM c3
+                  WHERE c3.ix = c2.ix >> 1 AND c3.iy = c2.iy >> 1)
+UNION ALL
+SELECT 3, ix, iy, (ix << 22) | iy FROM c3
+""",
     }

@@ -420,3 +420,100 @@ def tile_zonal_stats(world_dir: str) -> rd.Dataset:
             .groupby("_shard")
             .map_groups(lambda g: zone_shard(g.drop(columns=["_shard"])),
                         batch_format="pandas"))
+
+
+def tile_compact(world_dir: str, max_zoom: int = N_ZOOMS - 1) -> rd.Dataset:
+    """Compact the occupied z0 cover into a minimal multi-zoom cover — the
+    ``h3.compact`` analog: a zoom-z parent is COMPLETE iff all 4 of its
+    zoom-(z−1) children are complete (z0 cells are complete iff occupied);
+    the compact cover keeps every complete cell whose parent is NOT
+    complete. Output (zoom, ix, iy, cell) tiles the occupied set exactly
+    once (coverage + disjointness pinned by a property test).
+
+    Scale shape: the distinct occupied z0 set comes from the rasterize
+    partial pattern (per-batch distinct → one sharded distinct); each zoom
+    is then ONE sharded count==4 groupby on a ≥4×-shrinking cell set, and
+    each keep filter is ONE sharded anti-join of level z against the
+    complete parents at z+1 (children hash to their parent's shard, so both
+    are exact). Levels are materialized between rounds — they are the
+    iterative state, bounded by the occupied-cell count and shrinking
+    geometrically (the kmeans/components iterative-state pattern)."""
+
+    def occ_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ix, iy = _tile_ix_iy(b["lon"].to_numpy(), b["lat"].to_numpy())
+        u = pd.DataFrame({"ix": ix, "iy": iy}).drop_duplicates()
+        return u.assign(cell=_cell_id(u["ix"].to_numpy(np.int64),
+                                      u["iy"].to_numpy(np.int64)))
+
+    def distinct_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["ix", "iy"])[["ix", "iy"]].astype(np.int64)
+
+    level = (_points(world_dir, ["lon", "lat"])
+             .map_batches(occ_partial, batch_format="pandas")
+             .map_batches(_shard_cells(), batch_format="pandas")
+             .repartition(_shuffle_blocks())
+             .groupby("_shard")
+             .map_groups(lambda g: distinct_shard(g), batch_format="pandas")
+             .materialize())
+
+    def to_parent(b: pd.DataFrame) -> pd.DataFrame:
+        pix = b["ix"].to_numpy(np.int64) >> 1
+        piy = b["iy"].to_numpy(np.int64) >> 1
+        return pd.DataFrame({"ix": pix, "iy": piy, "cell": _cell_id(pix, piy)})
+
+    def complete_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["ix", "iy"], as_index=False).size()
+        return out[out["size"] == 4][["ix", "iy"]].astype(np.int64)
+
+    def keyed_child(b: pd.DataFrame) -> pd.DataFrame:
+        pix = b["ix"].to_numpy(np.int64) >> 1
+        piy = b["iy"].to_numpy(np.int64) >> 1
+        return pd.DataFrame({"ix": b["ix"].to_numpy(np.int64),
+                             "iy": b["iy"].to_numpy(np.int64),
+                             "cell": _cell_id(pix, piy), "_side": 0})
+
+    def keyed_parent(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"ix": b["ix"].to_numpy(np.int64),
+                             "iy": b["iy"].to_numpy(np.int64),
+                             "cell": _cell_id(b["ix"].to_numpy(np.int64),
+                                              b["iy"].to_numpy(np.int64)),
+                             "_side": 1})
+
+    def anti_shard(g: pd.DataFrame) -> pd.DataFrame:
+        blocked = set(g.loc[g["_side"] == 1, "cell"])
+        keep = g[(g["_side"] == 0) & ~g["cell"].isin(blocked)]
+        return keep[["ix", "iy"]].astype(np.int64)
+
+    kept_frames: list[rd.Dataset] = []
+    for z in range(max_zoom + 1):
+        if z < max_zoom:
+            parents = (level.map_batches(to_parent, batch_format="pandas")
+                       .map_batches(_shard_cells(), batch_format="pandas")
+                       .repartition(_shuffle_blocks())
+                       .groupby("_shard")
+                       .map_groups(lambda g: complete_shard(g), batch_format="pandas")
+                       .materialize())
+            kept = (level.map_batches(keyed_child, batch_format="pandas")
+                    .union(parents.map_batches(keyed_parent, batch_format="pandas"))
+                    .map_batches(_shard_cells(), batch_format="pandas")
+                    .repartition(_shuffle_blocks())
+                    .groupby("_shard")
+                    .map_groups(lambda g: anti_shard(g), batch_format="pandas"))
+        else:
+            parents = None
+            kept = level
+
+        def stamp(b: pd.DataFrame, _z=z) -> pd.DataFrame:
+            ix = b["ix"].to_numpy(np.int64)
+            iy = b["iy"].to_numpy(np.int64)
+            return pd.DataFrame({"zoom": np.full(len(b), _z, dtype=np.int64),
+                                 "ix": ix, "iy": iy, "cell": _cell_id(ix, iy)})
+
+        kept_frames.append(kept.map_batches(stamp, batch_format="pandas"))
+        if parents is not None:
+            level = parents
+
+    out = kept_frames[0]
+    for f in kept_frames[1:]:
+        out = out.union(f)
+    return out

@@ -61,7 +61,8 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "dedup_substring_spans", "geo_reverse_geocode", "media_type_sniff",
             "text_pagerank", "corpus_clean", "ann_sq_topk",
             "corpus_chunk_overlap", "corpus_quality_filter",
-            "embedding_label_centroids", "corpus_dup_rate_by_source"]
+            "embedding_label_centroids", "corpus_dup_rate_by_source",
+            "geo_tile_compact"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
@@ -307,3 +308,30 @@ class TestR3LateOps:
         sq = e.queries()["ann_sq_topk"](SF).to_pandas()
         hit = exact.merge(sq, on=["qid", "vec_id"], how="inner")
         assert len(hit) / len(exact) >= 0.6
+
+
+def test_tile_compact_tiles_occupied_set_exactly(ray_session):
+    """Compact-cover invariant: expanding every kept cell back to z0 and
+    intersecting with the occupied set reproduces each occupied cell
+    EXACTLY once (coverage + disjointness), and no kept z>0 cell is
+    partially occupied."""
+    import housenumbercore_ray.sources.worldgen as wg
+    from housenumbercore_ray.pipelines import tiles as T
+
+    wd = wg.ensure_world(SF)
+    kept = T.tile_compact(wd).to_pandas()
+    pts = T._points(wd, ["lon", "lat"]).to_pandas()
+    ix, iy = T._tile_ix_iy(pts["lon"].to_numpy(), pts["lat"].to_numpy())
+    occ = set(zip(ix.tolist(), iy.tolist()))
+    covered: list[tuple[int, int]] = []
+    for _, r in kept.iterrows():
+        z, cx, cy = int(r["zoom"]), int(r["ix"]), int(r["iy"])
+        cells = [(x, y)
+                 for x in range(cx << z, (cx + 1) << z)
+                 for y in range(cy << z, (cy + 1) << z)]
+        if z > 0:
+            # a kept parent is COMPLETE: every z0 descendant is occupied
+            assert all(c in occ for c in cells), (z, cx, cy)
+        covered.extend(cells)
+    occupied_covered = [c for c in covered if c in occ]
+    assert len(occupied_covered) == len(set(occupied_covered)) == len(occ)
