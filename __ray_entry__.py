@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": corpus.corpus_clean,
         "corpus_chunk_overlap": corpus.chunk_overlap,
         "corpus_quality_filter": corpus.quality_percentile_filter,
+        "corpus_shuffle_shards": corpus.shuffle_shards,
         "web_jsonl_import": lambda sf: __import__(
             "housenumbercore_ray.pipelines.import_list", fromlist=["jsonl_import"]
         ).jsonl_import(_world(sf)),
@@ -534,6 +535,7 @@ GROUP BY q.quantile
     out["ann_sq_topk"] = co.sq_topk_sql()
     out["embedding_label_centroids"] = co.label_centroids_sql()
     out["corpus_dup_rate_by_source"] = co.dup_rate_by_source_sql()
+    out["corpus_shuffle_shards"] = co.shuffle_shards_sql()
     out["corpus_chunk_overlap"] = co.chunk_overlap_sql()
     out["corpus_quality_filter"] = co.quality_filter_sql(out["text_quality_classifier"])
     return out

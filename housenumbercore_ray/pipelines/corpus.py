@@ -2650,6 +2650,44 @@ def ann_sq_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK) -> rd.D
     return partials.groupby("qid").map_groups(fin, batch_format="pandas")
 
 
+def shuffle_shards(sf_dir: str, n_shards: int = 16) -> rd.Dataset:
+    """Deterministic training-data shuffle: every document gets an
+    md5-derived shard and a within-shard position — the seedless
+    reproducible global permutation a pretraining dataloader shards on
+    (no RNG state ⇒ retries/resume reproduce the identical layout, the
+    engine-wide determinism contract).
+
+    key = md5(str(doc_id)) bytes 8..16 (stages.dedup._md5_hash64);
+    shard = key % n_shards; pos = rank of (key, doc_id) within the shard.
+    ONE shuffle on the shard id; the within-shard rank is a vectorized
+    argsort per shard — at scale a shard is one output file, so the sort
+    is the per-file work, never global. Output (doc_id, shard, pos)."""
+    from ..stages.dedup import _md5_hash64
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        key = np.fromiter((_md5_hash64(str(int(i))) for i in ids),
+                          dtype=np.uint64, count=len(ids))
+        return pd.DataFrame({"doc_id": ids,
+                             "shard": (key % np.uint64(n_shards)).astype(np.int64),
+                             "_key": key.view(np.int64)})
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["_key"].to_numpy().view(np.uint64)
+        ids = g["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((ids, key))
+        pos = np.empty(len(g), dtype=np.int64)
+        pos[order] = np.arange(len(g), dtype=np.int64)
+        return pd.DataFrame({"doc_id": ids, "shard": g["shard"].to_numpy(np.int64),
+                             "pos": pos})
+
+    return (docs.map_batches(keyed, batch_format="pandas")
+            .repartition(_shuffle_blocks())
+            .groupby("shard").map_groups(rank, batch_format="pandas"))
+
+
 def embedding_label_centroids(sf_dir: str) -> rd.Dataset:
     """Per-label class prototypes over the embedding column (the
     curriculum/balancing analytics step): for each label, count, centroid

@@ -1234,3 +1234,18 @@ SELECT source,
 FROM documents
 GROUP BY source
 """
+
+
+def shuffle_shards_sql(n_shards: int = 16) -> str:
+    """corpus_shuffle_shards: the md5-keyed deterministic permutation
+    recomputed in SQL — same base hash as the engine
+    (bytes 8..16 of md5, big-endian)."""
+    key = _HASH64.format(s="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH k AS (SELECT doc_id, {key} AS key FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(key % {n_shards} AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY key % {n_shards}
+                               ORDER BY key, doc_id) - 1 AS BIGINT) AS pos
+FROM k
+"""
