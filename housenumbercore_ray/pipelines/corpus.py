@@ -2699,8 +2699,6 @@ def embedding_label_centroids(sf_dir: str) -> rd.Dataset:
     round to 6 decimals so cross-engine summation order is absorbed
     (the embedding_kmeans determinism contract). Scalar columns only —
     list-of-float outputs hash differently across engines."""
-    from ray.data.aggregate import Sum
-
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["embedding", "label"])
 
@@ -2715,9 +2713,6 @@ def embedding_label_centroids(sf_dir: str) -> rd.Dataset:
                 row[f"s{i}"] = float(s)
             out.append(row)
         return pd.DataFrame(out)
-
-    sums = None
-    rows = None
 
     def fin(g: pd.DataFrame) -> pd.DataFrame:
         scols = sorted((c for c in g.columns if c.startswith("s") and c != "sumsq"),
@@ -2743,8 +2738,6 @@ def dup_rate_by_source(sf_dir: str) -> rd.Dataset:
     count. Content-hash sharded groupby (a hash lives wholly in one shard,
     so per-shard distinct counts sum exactly); final reduce is a
     sources-sized groupby."""
-    from ray.data.aggregate import Sum
-
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "source"])
 
