@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_domain_cap": corpus.source_quality_cap,
         "corpus_pack_sequences": lambda sf: corpus.pack_sequences(sf),
         "corpus_sample_stratified": corpus.stratified_sample,
+        "corpus_mix_weights": corpus.mix_weights,
+        "corpus_sample_weighted": corpus.sample_weighted,
         "corpus_top_ngrams": corpus.top_ngrams,
         # webtext crawl ops (pages table of the world)
         "web_line_dedup": lambda sf: corpus.line_dedup(_world(sf)),
@@ -200,6 +202,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_regional_revenue": relational.regional_revenue,
         "rel_top_suppliers_per_nation": relational.top_suppliers_per_nation,
         "rel_price_quantiles": relational.price_quantiles,
+        "rel_order_gaps": relational.order_gaps,
+        "rel_events_funnel": relational.events_funnel,
     }
     return q
 
@@ -322,6 +326,21 @@ WHERE rn <= 3
         "text_decontaminate": co.decontaminate_sql(),
         "corpus_pack_sequences": co.pack_sequences_sql(),
         "corpus_sample_stratified": co.stratified_sample_sql(),
+        "corpus_mix_weights": f"""
+WITH t AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({ntok}) AS BIGINT) AS n_tokens
+  FROM {docs_norm} d GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / sum(CAST(n_tokens AS DOUBLE)) OVER (), 6) AS token_share,
+       CASE WHEN n_tokens > 0 THEN
+         round((1.0 / count(*) OVER ())
+               / (CAST(n_tokens AS DOUBLE) / sum(CAST(n_tokens AS DOUBLE)) OVER ()), 6)
+       ELSE 0.0 END AS mix_weight
+FROM t
+""",
+        "corpus_sample_weighted": co.sample_weighted_sql(),
         "corpus_top_ngrams": co.top_ngrams_sql(),
         "web_line_dedup": co.line_dedup_sql(world_dir),
         "web_host_stats": co.host_stats_sql(world_dir),
@@ -500,6 +519,27 @@ WHERE r.r_name = 'EUROPE'
   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
   AND o.o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n.n_name
+""",
+        "rel_order_gaps": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+       o_orderdate,
+       lag(o_orderdate) OVER w AS prev_orderdate,
+       CAST(coalesce(date_diff('day', lag(o_orderdate) OVER w, o_orderdate), -1) AS BIGINT) AS gap_days
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+        "rel_events_funnel": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY e.user_id)
+SELECT CAST(u.user_id AS BIGINT) AS user_id,
+       v.t1 AS ts_view, c.t2 AS ts_click, p.t3 AS ts_purchase,
+       CAST(CASE WHEN p.t3 IS NOT NULL THEN 3 WHEN c.t2 IS NOT NULL THEN 2
+                 WHEN v.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
 """,
         "dedup_winnow_pairs": co.winnow_pairs_sql(),
         "rel_top_suppliers_per_nation": """

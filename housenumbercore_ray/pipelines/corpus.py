@@ -3533,3 +3533,87 @@ def corpus_clean(sf_dir: str, bench_mod: int = 25,
         return out.astype(np.int64)
 
     return j2.map_batches(finish, batch_format="pandas")
+
+
+def mix_weights(sf_dir: str) -> rd.Dataset:
+    """Per-source mixture weights for a uniform-target training mix: each
+    source's doc/token counts, its share of corpus tokens, and the
+    importance weight ``(1/n_sources) / token_share`` a sampler multiplies
+    in to hit a uniform source mixture (the domain-reweighting step of a
+    pretraining data recipe; DoReMi-style recipes swap in a different
+    target vector, the shape is identical).
+
+    Scale shape: per-batch partial (source, docs, tokens) counts → one
+    sources-sized groupby-sum → a single finalize group over the ≤|sources|
+    summary rows for the global total (bounded by the source vocabulary,
+    like the TF-IDF DF reduce). Token counts via stages.textops.token_stats'
+    whitespace rule so the SQL oracle replays them exactly."""
+    from ..stages.textops import token_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        nt = token_stats(b)["n_tokens"].to_numpy(np.int64)
+        g = (pd.DataFrame({"source": b["source"].to_numpy(), "n_docs": 1,
+                           "n_tokens": nt})
+             .groupby("source", as_index=False).sum())
+        return g.astype({"n_docs": np.int64, "n_tokens": np.int64})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("source", as_index=False).sum()
+        out["_one"] = np.int64(0)
+        return out.astype({"n_docs": np.int64, "n_tokens": np.int64})
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        total = float(g["n_tokens"].sum())
+        nsrc = len(g)
+        share = g["n_tokens"].to_numpy(np.float64) / total
+        w = np.where(g["n_tokens"].to_numpy(np.int64) > 0,
+                     (1.0 / nsrc) / np.where(share > 0, share, 1.0), 0.0)
+        return pd.DataFrame({
+            "source": g["source"].to_numpy(),
+            "n_docs": g["n_docs"].astype(np.int64),
+            "n_tokens": g["n_tokens"].astype(np.int64),
+            "token_share": np.round(share, 6),
+            "mix_weight": np.round(w, 6),
+        })
+
+    return (docs.map_batches(partial, batch_format="pandas")
+            .groupby("source").map_groups(merge, batch_format="pandas")
+            .groupby("_one").map_groups(finalize, batch_format="pandas"))
+
+
+def sample_weighted(sf_dir: str, ppm_scale: int = 1_000_000) -> rd.Dataset:
+    """Deterministic length-weighted importance resampling: keep a doc with
+    probability ``n_chars / max(n_chars)`` decided by an integer hash rule —
+    ``md5_hash64('sw:' + doc_id) % ppm_scale < (n_chars * ppm_scale) //
+    max_chars``. Pure integer arithmetic (no float boundary ambiguity), so
+    any node, any rerun, and the SQL oracle make bit-identical decisions —
+    the same resumability contract as ``stratified_sample``, with a
+    per-document weight instead of a per-class rate.
+
+    Scale shape: one tiny global max aggregate, then a stateless streaming
+    filter — zero shuffles over the corpus."""
+    from ..stages.dedup import _md5_hash64
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+    max_chars = int(docs.max("n_chars"))
+
+    def sample(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        nch = b["n_chars"].to_numpy(np.int64)
+        hv = np.fromiter((_md5_hash64(f"sw:{int(i)}") for i in ids),
+                         dtype=np.uint64, count=len(ids))
+        draw = (hv % np.uint64(ppm_scale)).astype(np.int64)
+        thresh = (nch * ppm_scale) // max_chars
+        keep = draw < thresh
+        return pd.DataFrame({
+            "doc_id": ids[keep],
+            "source": b["source"].to_numpy()[keep],
+            "n_chars": nch[keep],
+            "keep_ppm": thresh[keep],
+        })
+
+    return docs.map_batches(sample, batch_format="pandas")

@@ -1249,3 +1249,22 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
                                ORDER BY key, doc_id) - 1 AS BIGINT) AS pos
 FROM k
 """
+
+
+def sample_weighted_sql(ppm_scale: int = 1_000_000) -> str:
+    """corpus_sample_weighted: the integer keep rule replayed in SQL —
+    draw = md5-hash64('sw:' || doc_id) mod ppm_scale, threshold =
+    (n_chars * ppm_scale) // max(n_chars); pure integer arithmetic on both
+    engines, so the decision is bit-identical."""
+    key = _HASH64.format(s="'sw:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH mx AS (SELECT max(n_chars) AS m FROM documents),
+k AS (SELECT doc_id, source, n_chars,
+             CAST({key} % {ppm_scale} AS BIGINT) AS draw,
+             (n_chars * {ppm_scale}) // (SELECT m FROM mx) AS thresh
+      FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(thresh AS BIGINT) AS keep_ppm
+FROM k WHERE draw < thresh
+"""

@@ -558,3 +558,80 @@ def brand_revenue(sf_dir: str) -> rd.Dataset:
 
     return (joined.map_batches(brand_partial, batch_format="pandas")
             .groupby("p_brand").map_groups(finish, batch_format="pandas"))
+
+
+def order_gaps(sf_dir: str) -> rd.Dataset:
+    """LAG window (per-key previous-row lookup — SQL's ``lag() OVER
+    (PARTITION BY customer ORDER BY date, key)``): for each order, the
+    number of whole days since the same customer's previous order
+    (−1 when it is the customer's first).
+
+    Scale shape: ONE shuffle on the partition key (customer); inside each
+    group a mergesort + vectorized diff — no window state crosses the
+    partition boundary, so the operator distributes exactly like the
+    sessionization kernel. Ref analog: per-muni previous-evaluation lookup
+    (reference Evaluation.java keeps per-job last-run rows the same way)."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        prev = g["o_orderdate"].shift(1)
+        gap = ((g["o_orderdate"] - prev).dt.days).fillna(-1).astype(np.int64)
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].astype(np.int64),
+            "o_custkey": g["o_custkey"].astype(np.int64),
+            "o_orderdate": g["o_orderdate"],
+            "prev_orderdate": prev,
+            "gap_days": gap,
+        })
+
+    return ds.groupby("o_custkey").map_groups(gaps, batch_format="pandas")
+
+
+def events_funnel(sf_dir: str) -> rd.Dataset:
+    """Ordered funnel (view → click → purchase): per user, the earliest
+    view, the earliest click AT OR AFTER that view, and the earliest
+    purchase at or after that click; ``stage`` = how deep the user got
+    (0 = no view … 3 = purchased). The classic order-sensitive conversion
+    query that plain joins cannot express.
+
+    Scale shape: ONE shuffle on user_id; per group three sorted
+    ``searchsorted`` probes over the type-partitioned timestamp arrays —
+    no cross product, O(n log n) per user. Timestamps within a user are
+    few; skew is bounded by per-user event counts (cap/salt if a 100-TB
+    deployment has mega-users)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    STAGES = ("view", "click", "purchase")
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = np.int64(g["user_id"].iloc[0])
+        by_type = {
+            s: np.sort(g.loc[g["event_type"] == s, "ts"]
+                       .to_numpy("datetime64[us]").astype(np.int64))
+            for s in STAGES
+        }
+        hit: list = []
+        t_min = np.iinfo(np.int64).min
+        cur = t_min
+        for s in STAGES:
+            arr = by_type[s]
+            i = np.searchsorted(arr, cur, side="left")
+            if i < len(arr):
+                cur = int(arr[i])
+                hit.append(cur)
+            else:
+                break
+        stage = len(hit)
+        ts_cols = [np.datetime64(hit[i], "us") if i < stage else np.datetime64("NaT")
+                   for i in range(3)]
+        return pd.DataFrame({
+            "user_id": [uid],
+            "ts_view": pd.Series([ts_cols[0]], dtype="datetime64[us]"),
+            "ts_click": pd.Series([ts_cols[1]], dtype="datetime64[us]"),
+            "ts_purchase": pd.Series([ts_cols[2]], dtype="datetime64[us]"),
+            "stage": [np.int64(stage)],
+        })
+
+    return ds.groupby("user_id").map_groups(funnel, batch_format="pandas")

@@ -62,7 +62,9 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "text_pagerank", "corpus_clean", "ann_sq_topk",
             "corpus_chunk_overlap", "corpus_quality_filter",
             "embedding_label_centroids", "corpus_dup_rate_by_source",
-            "geo_tile_compact", "corpus_shuffle_shards"]
+            "geo_tile_compact", "corpus_shuffle_shards",
+            "rel_order_gaps", "rel_events_funnel",
+            "corpus_mix_weights", "corpus_sample_weighted"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)

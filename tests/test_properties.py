@@ -174,3 +174,58 @@ class TestCurationKernelProperties:
         red = pii_redact_kernel(pd.DataFrame({"url": ["u"], "text": [text]}))
         assert out["redacted_md5"].iloc[0] == red["redacted_md5"].iloc[0]  # deterministic
         assert int(out["n_emails"].iloc[0]) == len(re.findall(PII_EMAIL_RE, text))
+
+
+class TestRound3LateOps:
+    """Invariants for the funnel / gaps / mixture operators (engine-side,
+    sf0.001 — small enough to run in the shared Ray session)."""
+
+    def test_funnel_stage_consistency(self, ray_session):
+        import pandas as pd
+
+        from housenumbercore_ray.pipelines.relational import events_funnel
+
+        df = events_funnel("/root/testdata/sf0.001").to_pandas()
+        stage = df["stage"].to_numpy()
+        for i, col in enumerate(["ts_view", "ts_click", "ts_purchase"]):
+            present = df[col].notna().to_numpy()
+            assert (present == (stage > i)).all(), col
+        full = df[df["stage"] == 3]
+        assert (full["ts_view"] <= full["ts_click"]).all()
+        assert (full["ts_click"] <= full["ts_purchase"]).all()
+
+    def test_order_gaps_nonnegative_and_first_is_minus_one(self, ray_session):
+        from housenumbercore_ray.pipelines.relational import order_gaps
+
+        df = order_gaps("/root/testdata/sf0.001").to_pandas()
+        firsts = df["prev_orderdate"].isna()
+        assert (df.loc[firsts, "gap_days"] == -1).all()
+        assert (df.loc[~firsts, "gap_days"] >= 0).all()
+        # exactly one first order per customer
+        assert firsts.sum() == df["o_custkey"].nunique()
+
+    def test_mix_weights_form_a_distribution(self, ray_session):
+        from housenumbercore_ray.pipelines.corpus import mix_weights
+
+        df = mix_weights("/root/testdata/sf0.001").to_pandas()
+        assert abs(df["token_share"].sum() - 1.0) < 1e-4
+        # share × weight = 1/n_sources for every source with tokens
+        nz = df[df["n_tokens"] > 0]
+        per = nz["token_share"] * nz["mix_weight"]
+        assert ((per - 1.0 / len(df)).abs() < 1e-4).all()
+
+    def test_sample_weighted_keeps_all_longest_docs(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from housenumbercore_ray.pipelines.corpus import sample_weighted
+
+        kept = sample_weighted("/root/testdata/sf0.001").to_pandas()
+        t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["doc_id", "n_chars"]).to_pandas()
+        mx = t["n_chars"].max()
+        longest = set(t.loc[t["n_chars"] == mx, "doc_id"])
+        assert longest <= set(kept["doc_id"])  # threshold = ppm_scale ⇒ always kept
+        # acceptance rate tracks mean weight within a loose band
+        expect = (t["n_chars"] / mx).mean()
+        rate = len(kept) / len(t)
+        assert abs(rate - expect) < 0.15
