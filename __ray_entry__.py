@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_pack_sequences": lambda sf: corpus.pack_sequences(sf),
         "corpus_sample_stratified": corpus.stratified_sample,
         "corpus_mix_weights": corpus.mix_weights,
+        "embedding_pca_power": corpus.pca_power,
         "corpus_sample_weighted": corpus.sample_weighted,
         "corpus_top_ngrams": corpus.top_ngrams,
         # webtext crawl ops (pages table of the world)
@@ -699,4 +700,5 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_minhash_pages"] = co.minhash_pages_sql(wd)
     out["ann_lsh_buckets"] = co.lsh_buckets_sql(dim)
     out["ann_lsh_topk"] = co.lsh_topk_sql(dim)
+    out["embedding_pca_power"] = co.pca_power_sql(dim)
     return out

@@ -3617,3 +3617,86 @@ def sample_weighted(sf_dir: str, ppm_scale: int = 1_000_000) -> rd.Dataset:
         })
 
     return docs.map_batches(sample, batch_format="pandas")
+
+
+def pca_power(sf_dir: str, iters: int = 8) -> rd.Dataset:
+    """Distributed PCA top component via power iteration — the
+    embedding-whitening / spectral-analysis step of an embedding pipeline:
+    ``w ← Σ_rows (x−μ)((x−μ)·v); v ← w/‖w‖`` repeated ``iters`` times from
+    the fixed start ``v₀ = 1/√d``.
+
+    Determinism contract (the kmeans convention): every cross-row sum —
+    the mean and each iteration's w — is rounded to 6 decimals so engine
+    and SQL absorb their different summation orders; all remaining
+    arithmetic (normalize, sign-fix, Rayleigh eigenvalue) is identical
+    left-to-right IEEE-double work on identical inputs, so the oracle
+    replays the exact same ``iters`` steps bit-for-bit. The output is
+    defined as "``iters`` deterministic power steps", which equals the top
+    eigenvector only once the eigengap has been iterated out.
+
+    Scale shape: ``iters + 1`` streaming passes, O(d) driver/shuffle state
+    per pass (one 64-float partial row per batch), no full-table
+    materialization anywhere. Output: (component, loading, eigval) with the
+    sign fixed so loading[0] ≥ 0."""
+    import math
+
+    dim = _embedding_dim(sf_dir)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    sj = [f"s{j}" for j in range(dim)]
+
+    def _collect(partial_fn) -> pd.DataFrame:
+        kw = {"concurrency": (1, 4)} if isinstance(partial_fn, type) else {}
+        return (emb.map_batches(partial_fn, batch_format="pandas", batch_size=4096,
+                                num_cpus=1, **kw)
+                .groupby("_one")
+                .map_groups(lambda g: g.groupby("_one", as_index=False).sum(),
+                            batch_format="pandas")
+                .to_pandas())   # exactly one row
+
+    def mean_partial(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        out = pd.DataFrame({"_one": [np.int64(0)], "n": [np.int64(len(X))]})
+        s = X.sum(axis=0)
+        for j in range(dim):
+            out[sj[j]] = [s[j]]
+        return out
+
+    tot = _collect(mean_partial)
+    n = int(tot["n"].iloc[0])
+    mu = np.round(tot[sj].to_numpy(np.float64)[0] / n, 6)
+
+    v = np.full(dim, 1.0 / math.sqrt(dim))
+    nrm = 0.0
+    for _ in range(iters):
+        vref = ray.put((mu, v))
+
+        class Step:
+            def __init__(self):
+                self.mu, self.v = ray.get(vref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                X = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+                c = X - self.mu
+                dot = c @ self.v
+                w = c.T @ dot
+                out = pd.DataFrame({"_one": [np.int64(0)], "n": [np.int64(len(X))]})
+                for j in range(dim):
+                    out[sj[j]] = [w[j]]
+                return out
+
+        w = np.round(_collect(Step)[sj].to_numpy(np.float64)[0], 6)
+        ss = 0.0                       # left-to-right: matches the SQL chain
+        for x in w:
+            ss += float(x) * float(x)
+        nrm = math.sqrt(ss)
+        if nrm == 0.0:                 # degenerate input: stop at the zero vector
+            break
+        v = np.array([float(x) / nrm for x in w])
+
+    sign = -1.0 if v[0] < 0 else 1.0
+    out = pd.DataFrame({
+        "component": np.arange(dim, dtype=np.int64),
+        "loading": np.round(sign * v, 6),
+        "eigval": np.full(dim, round(nrm / n, 6) if n else 0.0),
+    })
+    return rd.from_pandas(out)

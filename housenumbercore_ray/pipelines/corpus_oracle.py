@@ -1268,3 +1268,53 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
        CAST(thresh AS BIGINT) AS keep_ppm
 FROM k WHERE draw < thresh
 """
+
+
+def pca_power_sql(dim: int = 64, iters: int = 8) -> str:
+    """embedding_pca_power: the full deterministic power iteration replayed
+    in SQL — mean and per-iteration w sums rounded to 6 decimals exactly
+    like the engine (absorbing summation order), the normalization /
+    sign-fix / Rayleigh arithmetic written as the same left-associative
+    IEEE-double chains the engine executes. Generated, like the kmeans and
+    minhash oracles: one CTE pair (dot row-expression + 64 rounded sums)
+    per iteration."""
+    import math
+
+    e = lambda j: f"CAST(embedding[{j + 1}] AS DOUBLE)"
+    v0 = repr(1.0 / math.sqrt(dim))   # shortest round-trip literal
+
+    parts = []
+    parts.append(
+        "mu AS MATERIALIZED (SELECT "
+        + ", ".join(
+            f"round(sum({e(j)}) / (SELECT count(*) FROM embeddings), 6) AS m{j}"
+            for j in range(dim))
+        + " FROM embeddings)")
+
+    for k in range(1, iters + 1):
+        if k == 1:
+            dot = " + ".join(f"({e(j)} - m{j}) * {v0}" for j in range(dim))
+            src = "embeddings, mu"
+        else:
+            dot = " + ".join(f"({e(j)} - m{j}) * v{j}" for j in range(dim))
+            src = f"embeddings, mu, n{k - 1}"
+        parts.append(f"r{k} AS MATERIALIZED (SELECT embedding, ({dot}) AS dot FROM {src})")
+        parts.append(
+            f"it{k} AS MATERIALIZED (SELECT "
+            + ", ".join(f"round(sum(({e(j)} - m{j}) * dot), 6) AS w{j}"
+                        for j in range(dim))
+            + f" FROM r{k}, mu)")
+        ss = " + ".join(f"w{j} * w{j}" for j in range(dim))
+        parts.append(f"s{k} AS MATERIALIZED (SELECT *, sqrt({ss}) AS nrm FROM it{k})")
+        parts.append(
+            f"n{k} AS MATERIALIZED (SELECT "
+            + ", ".join(f"w{j} / nrm AS v{j}" for j in range(dim))
+            + f", nrm FROM s{k})")
+
+    final = "\nUNION ALL\n".join(
+        f"SELECT CAST({j} AS BIGINT) AS component, "
+        f"round(CASE WHEN v0 < 0 THEN -v{j} ELSE v{j} END, 6) AS loading, "
+        f"round(nrm / (SELECT count(*) FROM embeddings), 6) AS eigval "
+        f"FROM n{iters}"
+        for j in range(dim))
+    return "WITH " + ",\n".join(parts) + "\n" + final

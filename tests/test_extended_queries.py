@@ -64,7 +64,8 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "embedding_label_centroids", "corpus_dup_rate_by_source",
             "geo_tile_compact", "corpus_shuffle_shards",
             "rel_order_gaps", "rel_events_funnel",
-            "corpus_mix_weights", "corpus_sample_weighted"]
+            "corpus_mix_weights", "corpus_sample_weighted",
+            "embedding_pca_power"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
@@ -86,6 +87,7 @@ def test_extended_query_matches_oracle(entry, con, name):
 
     dim = _embedding_dim(SF)
     sqls["dedup_simhash"] = co.simhash_sql()
+    sqls["embedding_pca_power"] = co.pca_power_sql(dim)
     sqls["media_phash"] = co.media_phash_sql(wd)
     sqls["media_phash_pairs"] = co.media_phash_pairs_sql(wd)
     sqls["dedup_semantic"] = co.semantic_pairs_sql(dim=dim)

@@ -229,3 +229,24 @@ class TestRound3LateOps:
         expect = (t["n_chars"] / mx).mean()
         rate = len(kept) / len(t)
         assert abs(rate - expect) < 0.15
+
+    def test_pca_power_is_a_unit_direction_of_high_variance(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from housenumbercore_ray.pipelines.corpus import pca_power
+
+        df = pca_power("/root/testdata/sf0.001").to_pandas().sort_values("component")
+        v = df["loading"].to_numpy(np.float64)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-4     # unit vector (mod round-6)
+        assert v[0] >= 0                               # sign convention
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["embedding"])
+        X = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        c = X - X.mean(axis=0)
+        proj_var = float(((c @ v) ** 2).mean())
+        eig = float(df["eigval"].iloc[0])
+        assert abs(proj_var - eig) < 1e-3              # Rayleigh estimate consistent
+        # beats every coordinate axis (true for any dominant direction)
+        axis_var = (c ** 2).mean(axis=0).max()
+        assert proj_var >= axis_var * 0.99
