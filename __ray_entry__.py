@@ -111,6 +111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_muni_area": lambda sf: __import__(
             "housenumbercore_ray.pipelines.geometry", fromlist=["muni_area"]
         ).muni_area(_world(sf)),
+        "geo_bbox_pairs": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.geometry", fromlist=["muni_bbox_pairs"]
+        ).muni_bbox_pairs(_world(sf)),
         "geo_line_simplify": lambda sf: __import__(
             "housenumbercore_ray.pipelines.geometry", fromlist=["line_simplify"]
         ).line_simplify(_world(sf)),
@@ -673,6 +676,7 @@ def oracle_sql() -> dict[str, str]:
 
     out["geo_street_vertices"] = geo_o.street_vertices_sql(wd)
     out["geo_muni_area"] = geo_o.muni_area_sql(wd)
+    out["geo_bbox_pairs"] = geo_o.bbox_pairs_sql(wd)
     out["geo_line_simplify"] = geo_o.line_simplify_sql(wd)
     out["geo_reverse_geocode"] = geo_o.reverse_geocode_sql(wd)
     out["hnr_assoc_street_fix"] = assoc_street_fix_sql(wd)

@@ -350,3 +350,78 @@ def reverse_geocode(world_dir: str) -> rd.Dataset:
     # upstream read — the documented 4-cpu starvation mode
     return pts.map_batches(Nearest, batch_format="pandas",
                            concurrency=(1, 4), num_cpus=1)
+
+
+BBOX_PAIR_RES = 0.5
+
+
+def muni_bbox_pairs(world_dir: str, res_deg: float = BBOX_PAIR_RES) -> rd.Dataset:
+    """Spatial SELF-join on bbox intersection: all boundary pairs whose
+    (multi)polygon bounding boxes intersect, with the overlap area — the
+    partition-based spatial-merge (PBSM) pattern every distributed spatial
+    engine builds range/intersects joins on.
+
+    Scale shape: one decode pass emits (cell, area_id, bbox) rows for every
+    coarse grid cell the bbox covers (res_deg ≫ the join grid: a
+    muni-sized bbox covers O(1) cells); ONE shuffle on the cell id; within
+    each cell a vectorized triu all-pairs intersect test. Duplicate
+    suppression is the textbook REFERENCE-POINT rule — a pair is reported
+    only by the cell containing the overlap box's min corner — so no second
+    dedup shuffle exists. Skew bound: a cell holds only dimension-table
+    rows (boundaries), and res_deg tunes cell occupancy.
+
+    Oracle: bboxes recomputed in SQL from the raw WKB bytes (IEEE-754
+    decode), then a plain intersect self-join — no grid, no reference
+    points, which independently validates both the cover and the dedup
+    rule."""
+    from ..geo.cells import bbox_cover, latlng_to_cell
+    from ..geo.wkb import wkb_bbox
+
+    bounds = rd.read_parquet(f"{world_dir}/boundaries.parquet",
+                             columns=["area_id", "polygon_wkb"])
+
+    def cover(b: pd.DataFrame) -> pd.DataFrame:
+        cells, aid, mnx, mny, mxx, mxy = [], [], [], [], [], []
+        for area_id, wkb in zip(b["area_id"], b["polygon_wkb"]):
+            x0, y0, x1, y1 = wkb_bbox(bytes(wkb))
+            for c in bbox_cover(x0, y0, x1, y1, res_deg=res_deg):
+                cells.append(int(c)); aid.append(int(area_id))
+                mnx.append(x0); mny.append(y0); mxx.append(x1); mxy.append(y1)
+        return pd.DataFrame({
+            "cell": pd.Series(cells, dtype=np.int64),
+            "area_id": pd.Series(aid, dtype=np.int64),
+            "mnx": mnx, "mny": mny, "mxx": mxx, "mxy": mxy,
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"area_id_a": pd.Series([], dtype=np.int64),
+                              "area_id_b": pd.Series([], dtype=np.int64),
+                              "overlap_deg2": pd.Series([], dtype=np.float64)})
+        n = len(g)
+        if n < 2:
+            return empty
+        cell = int(g["cell"].iloc[0])
+        g = g.sort_values("area_id", kind="mergesort")
+        aid = g["area_id"].to_numpy(np.int64)
+        mnx = g["mnx"].to_numpy(np.float64); mny = g["mny"].to_numpy(np.float64)
+        mxx = g["mxx"].to_numpy(np.float64); mxy = g["mxy"].to_numpy(np.float64)
+        ia, ib = np.triu_indices(n, k=1)
+        hit = ((mnx[ia] <= mxx[ib]) & (mnx[ib] <= mxx[ia])
+               & (mny[ia] <= mxy[ib]) & (mny[ib] <= mxy[ia]))
+        ia, ib = ia[hit], ib[hit]
+        if not len(ia):
+            return empty
+        ovx0 = np.maximum(mnx[ia], mnx[ib]); ovy0 = np.maximum(mny[ia], mny[ib])
+        ovx1 = np.minimum(mxx[ia], mxx[ib]); ovy1 = np.minimum(mxy[ia], mxy[ib])
+        own = latlng_to_cell(ovy0, ovx0, res_deg=res_deg) == cell
+        ia, ib = ia[own], ib[own]
+        if not len(ia):
+            return empty
+        return pd.DataFrame({
+            "area_id_a": aid[ia], "area_id_b": aid[ib],
+            "overlap_deg2": np.round(
+                (ovx1[own] - ovx0[own]) * (ovy1[own] - ovy0[own]), 9),
+        })
+
+    return (bounds.map_batches(cover, batch_format="pandas")
+            .groupby("cell").map_groups(pairs, batch_format="pandas"))

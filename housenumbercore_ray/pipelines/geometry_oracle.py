@@ -266,3 +266,55 @@ d AS (SELECT p.osm_id, c.area_id,
       FROM p CROSS JOIN c)
 SELECT osm_id, area_id, d2 FROM d WHERE rn = 1
 """
+
+
+def bbox_pairs_sql(world_dir: str) -> str:
+    """geo_bbox_pairs: bboxes recomputed from the raw WKB bytes (same
+    decode chain as ``muni_area_sql``), then a plain intersect self-join —
+    deliberately grid-free, so it independently validates the engine's
+    PBSM cell cover AND its reference-point dedup rule."""
+    return f"""
+WITH RECURSIVE
+h AS (SELECT area_id, muni_id, name, hex(polygon_wkb) AS hx,
+             {_u32le('hex(polygon_wkb)', '1')} AS gtype
+      FROM read_parquet('{world_dir}/boundaries.parquet')),
+hn AS (SELECT *, CASE WHEN gtype = 3 THEN 1 ELSE {_u32le('hx', '5')} END AS npolys,
+              CASE WHEN gtype = 3 THEN 0 ELSE 9 END AS p0
+       FROM h),
+rings(area_id, poly_idx, ring_idx, nrings, off, n) AS (
+  SELECT area_id, 0, 0, {_u32le('hx', 'p0 + 5')}, p0 + 13,
+         {_u32le('hx', 'p0 + 9')}
+  FROM hn
+  UNION ALL
+  SELECT r.area_id,
+    CASE WHEN r.ring_idx + 1 < r.nrings THEN r.poly_idx ELSE r.poly_idx + 1 END,
+    CASE WHEN r.ring_idx + 1 < r.nrings THEN r.ring_idx + 1 ELSE 0 END,
+    CASE WHEN r.ring_idx + 1 < r.nrings THEN r.nrings
+         ELSE {_u32le('hn.hx', 'r.off + 16*r.n + 5')} END,
+    CASE WHEN r.ring_idx + 1 < r.nrings THEN r.off + 16*r.n + 4
+         ELSE r.off + 16*r.n + 13 END,
+    CASE WHEN r.ring_idx + 1 < r.nrings THEN {_u32le('hn.hx', 'r.off + 16*r.n')}
+         ELSE {_u32le('hn.hx', 'r.off + 16*r.n + 9')} END
+  FROM rings r JOIN hn ON hn.area_id = r.area_id
+  WHERE r.ring_idx + 1 < r.nrings OR r.poly_idx + 1 < hn.npolys
+),
+idx AS (SELECT area_id, poly_idx, ring_idx, off, unnest(range(n)) AS i
+        FROM rings),
+u AS (SELECT area_id, i,
+        {_u64le('hn.hx', 'idx.off + 16*i')} AS ux,
+        {_u64le('hn.hx', 'idx.off + 16*i + 8')} AS uy
+      FROM idx JOIN hn USING (area_id)),
+verts AS (SELECT area_id,
+        {_f64_from_u('ux')} AS x, {_f64_from_u('uy')} AS y FROM u),
+bb AS MATERIALIZED (
+  SELECT area_id, min(x) AS mnx, max(x) AS mxx,
+         min(y) AS mny, max(y) AS mxy
+  FROM verts GROUP BY area_id)
+SELECT a.area_id AS area_id_a, b.area_id AS area_id_b,
+       round((least(a.mxx, b.mxx) - greatest(a.mnx, b.mnx))
+             * (least(a.mxy, b.mxy) - greatest(a.mny, b.mny)), 9) AS overlap_deg2
+FROM bb a JOIN bb b
+  ON a.area_id < b.area_id
+ AND a.mnx <= b.mxx AND b.mnx <= a.mxx
+ AND a.mny <= b.mxy AND b.mny <= a.mxy
+"""

@@ -65,7 +65,7 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "geo_tile_compact", "corpus_shuffle_shards",
             "rel_order_gaps", "rel_events_funnel",
             "corpus_mix_weights", "corpus_sample_weighted",
-            "embedding_pca_power"]
+            "embedding_pca_power", "geo_bbox_pairs"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
@@ -105,6 +105,7 @@ def test_extended_query_matches_oracle(entry, con, name):
 
     sqls["geo_street_vertices"] = geo_o.street_vertices_sql(wd)
     sqls["geo_muni_area"] = geo_o.muni_area_sql(wd)
+    sqls["geo_bbox_pairs"] = geo_o.bbox_pairs_sql(wd)
     sqls["geo_line_simplify"] = geo_o.line_simplify_sql(wd)
     sqls["geo_reverse_geocode"] = geo_o.reverse_geocode_sql(wd)
     sqls["corpus_source_jaccard"] = co.source_jaccard_sql()

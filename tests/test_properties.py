@@ -250,3 +250,28 @@ class TestRound3LateOps:
         # beats every coordinate axis (true for any dominant direction)
         axis_var = (c ** 2).mean(axis=0).max()
         assert proj_var >= axis_var * 0.99
+
+    def test_bbox_pairs_match_brute_force(self, ray_session):
+        """The PBSM grid + reference-point dedup must reproduce the exact
+        brute-force bbox-intersection pair set (each pair exactly once)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from housenumbercore_ray.geo.wkb import wkb_bbox
+        from housenumbercore_ray.pipelines.geometry import muni_bbox_pairs
+        from housenumbercore_ray.sources.worldgen import ensure_world
+
+        wd = ensure_world("/root/testdata/sf0.001")
+        got = muni_bbox_pairs(wd).to_pandas()
+        pairs = list(zip(got["area_id_a"], got["area_id_b"]))
+        assert len(pairs) == len(set(pairs))         # reference-point rule: no dupes
+
+        t = pq.read_table(f"{wd}/boundaries.parquet",
+                          columns=["area_id", "polygon_wkb"]).to_pandas()
+        boxes = {int(r.area_id): wkb_bbox(bytes(r.polygon_wkb))
+                 for r in t.itertuples()}
+        ids = sorted(boxes)
+        brute = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+                 if boxes[a][0] <= boxes[b][2] and boxes[b][0] <= boxes[a][2]
+                 and boxes[a][1] <= boxes[b][3] and boxes[b][1] <= boxes[a][3]}
+        assert set(pairs) == brute
