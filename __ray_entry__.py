@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_pii_redact": lambda sf: corpus.pii_redact(_world(sf)),
         "web_url_canonical": lambda sf: corpus.url_canonicalize(_world(sf)),
         "text_tfidf_topk": lambda sf: corpus.tfidf_topk(sf),
+        "text_bm25_topk": lambda sf: corpus.bm25_topk(sf),
         "embedding_kmeans": lambda sf: corpus.embedding_kmeans(sf),
         "web_bloom_seen": lambda sf: corpus.bloom_seen(_world(sf)),
         "web_distinct_urls_hll": lambda sf: corpus.distinct_urls_hll(_world(sf)),
@@ -352,6 +353,7 @@ FROM t
         "web_pii_redact": co.pii_redact_sql(world_dir),
         "web_url_canonical": co.url_canonical_sql(world_dir),
         "text_tfidf_topk": co.tfidf_topk_sql(),
+        "text_bm25_topk": co.bm25_topk_sql(),
         "embedding_kmeans": co.embedding_kmeans_sql(),
         "web_bloom_seen": co.bloom_seen_sql(world_dir),
         "web_distinct_urls_hll": co.distinct_hll_sql(world_dir),

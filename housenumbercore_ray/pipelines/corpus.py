@@ -574,6 +574,144 @@ def tfidf_topk(sf_dir: str, k: int = 5) -> rd.Dataset:
     )
 
 
+def bm25_topk(sf_dir: str, k: int = 50, n_query: int = 8,
+              k1: float = 1.2, b: float = 0.75) -> rd.Dataset:
+    """BM25 retrieval ranking (the corpus search / targeted-curation
+    primitive, e.g. "pull the docs most relevant to a seed query" for
+    data-mixture construction): Okapi BM25 with the Lucene ``ln(1 + ...)``
+    IDF, scored against a deterministic query — the first ``n_query``
+    distinct tokens of doc 0 (same probe contract as ``cms_counts``).
+
+    score(d) = Σ_{t∈Q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+
+    Scale shape — an inverted-index posting pass, NOT a vocabulary build:
+      1. probe read: parquet ``filters=[("doc_id","==",0)]``, O(1) rows;
+      2. ONE streaming tokenize pass emits (doc_id, dl, term, tf) rows
+         ONLY for docs matching a query term, plus one tagged summary row
+         per batch (doc_id = −1) carrying (Σdl, n_docs) for the global
+         avgdl — the corpus is tokenized exactly once and never re-read;
+      3. the materialized posting set is bounded by O(docs containing a
+         query term) × |Q| rows (|Q| ≤ 8), the classic posting-list bound;
+      4. df/avgdl are ≤|Q|+1 driver scalars; scoring is a vectorized
+         per-batch kernel; per-shard partial top-k bounds the final sort
+         at k × shards rows.
+    Both engines rank on round(score, 9) with doc_id tie-break, so a
+    ≤1-ulp libm/sum-order difference cannot flip the emitted order."""
+    import pyarrow.parquet as pq
+
+    probe_tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"],
+                              filters=[("doc_id", "==", 0)])
+    t0 = probe_tbl["text"][0].as_py() or ""
+    qterms = list(dict.fromkeys(t0.split()))[:n_query]
+    qarr = np.asarray(qterms, dtype=object)
+    k1p = k1 + 1.0
+
+    def tf_dl_rows(bt: pd.DataFrame) -> pd.DataFrame:
+        texts = bt["text"].fillna("").tolist()
+        ids = bt["doc_id"].to_numpy(np.int64)
+        counts = np.empty(len(texts), dtype=np.int64)
+        flat: list[str] = []
+        for i, t in enumerate(texts):
+            ts = t.split()
+            counts[i] = len(ts)
+            flat.extend(ts)
+        out_id = [np.array([-1], dtype=np.int64)]
+        out_dl = [np.array([counts.sum()], dtype=np.int64)]
+        out_term = [np.array([""], dtype=object)]
+        out_tf = [np.array([len(texts)], dtype=np.int64)]
+        if flat:
+            arr = np.asarray(flat, dtype=object)
+            mask = np.isin(arr, qarr)
+            if mask.any():
+                doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64),
+                                    counts)[mask]
+                codes, uniques = pd.factorize(arr[mask], sort=False)
+                key = doc_idx * np.int64(len(uniques)) + codes
+                ukey, tf = np.unique(key, return_counts=True)
+                d_i = ukey // len(uniques)
+                out_id.append(ids[d_i])
+                out_dl.append(counts[d_i])
+                out_term.append(uniques[ukey % len(uniques)])
+                out_tf.append(tf.astype(np.int64))
+        return pd.DataFrame({
+            "doc_id": np.concatenate(out_id),
+            "dl": np.concatenate(out_dl),
+            "term": np.concatenate(out_term),
+            "tf": np.concatenate(out_tf),
+        })
+
+    # one tokenize pass; materialized so the stats/df/scoring consumers
+    # don't re-execute it (bounded: posting rows + one row per batch)
+    posting = (_docs(sf_dir)
+               .map_batches(tf_dl_rows, batch_format="pandas")
+               .materialize())
+
+    stats = posting.map_batches(
+        lambda bt: bt[bt["doc_id"] == -1][["dl", "tf"]],
+        batch_format="pandas").take_all()
+    sum_dl = float(sum(r["dl"] for r in stats))
+    n_docs = int(sum(r["tf"] for r in stats))
+    avgdl = sum_dl / n_docs
+
+    from ray.data.aggregate import Count
+
+    df_rows = (posting
+               .map_batches(lambda bt: bt[bt["doc_id"] >= 0][["term"]],
+                            batch_format="pandas")
+               .groupby("term").aggregate(Count(alias_name="df"))
+               .take_all())
+    idf = {r["term"]: float(np.log(1.0 + (n_docs - r["df"] + 0.5)
+                                   / (r["df"] + 0.5)))
+           for r in df_rows}
+
+    def contrib(bt: pd.DataFrame) -> pd.DataFrame:
+        m = bt[bt["doc_id"] >= 0]
+        if not len(m):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "dl": pd.Series([], dtype=np.int64),
+                                 "term": pd.Series([], dtype=object),
+                                 "contrib": pd.Series([], dtype=np.float64)})
+        tf = m["tf"].to_numpy(np.float64)
+        dl = m["dl"].to_numpy(np.float64)
+        w = m["term"].map(idf).to_numpy(np.float64)
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].to_numpy(np.int64),
+            "dl": m["dl"].to_numpy(np.int64),
+            "term": m["term"].to_numpy(object),
+            "contrib": w * tf * k1p / (tf + k1 * (1.0 - b + b * dl / avgdl)),
+        })
+
+    def topk_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # deterministic within-doc sum order (by term) before the rounding
+        g = g.sort_values(["doc_id", "term"], kind="mergesort")
+        agg = (g.groupby("doc_id", sort=False)
+               .agg(score=("contrib", "sum"), n_terms=("contrib", "size"),
+                    dl=("dl", "first")).reset_index())
+        agg["score"] = agg["score"].round(9)
+        agg = agg.sort_values(["score", "doc_id"], ascending=[False, True],
+                              kind="mergesort").head(k)
+        return agg.astype({"doc_id": np.int64, "n_terms": np.int64,
+                           "dl": np.int64})
+
+    def attach_rank(bt: pd.DataFrame) -> pd.DataFrame:
+        bt = bt.sort_values(["score", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(k)
+        bt["rank"] = np.arange(1, len(bt) + 1, dtype=np.int64)
+        return bt[["rank", "doc_id", "score", "n_terms", "dl"]]
+
+    return (posting
+            .map_batches(contrib, batch_format="pandas")
+            .map_batches(_shard_on(["doc_id"]), batch_format="pandas")
+            .repartition(_shuffle_blocks())
+            .groupby("_shard")
+            .map_groups(topk_shard, batch_format="pandas")
+            .sort(["score", "doc_id"], descending=[True, False])
+            .limit(k)
+            .repartition(1)
+            .map_batches(attach_rank, batch_format="pandas", batch_size=k))
+
+
 #: scheme :// host path ?query — fragment-free split, RE2 ∩ Python-re
 #: constructs only (the oracle extracts the same groups with the same
 #: pattern string).

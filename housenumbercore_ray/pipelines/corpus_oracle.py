@@ -476,6 +476,50 @@ FROM r WHERE rn <= {k}
 """
 
 
+def bm25_topk_sql(src: str = "documents", k: int = 50, n_query: int = 8,
+                  k1: float = 1.2, b: float = 0.75) -> str:
+    """text_bm25_topk: Okapi BM25 with Lucene ln(1+…) IDF recomputed in SQL
+    — same probe query (first ``n_query`` distinct tokens of doc 0, CMS
+    contract), same float literals (``repr`` of the engine's constants) and
+    the same operation order in the per-term weight, so the only divergence
+    source is libm ln / sum order, absorbed by round(score, 9) on BOTH
+    sides before the rank ORDER BY (doc_id tie-break)."""
+    k1_l, b_l, k1p_l = repr(float(k1)), repr(float(b)), repr(float(k1) + 1.0)
+    return f"""
+WITH {_tokens_cte(src, 'doc_id', 'text')},
+q AS (
+  SELECT term FROM (
+    SELECT t.term, min(t.ord) AS o
+    FROM (SELECT unnest(ts) AS term, generate_subscripts(ts, 1) AS ord
+          FROM tok WHERE doc_id = 0) t
+    GROUP BY t.term)
+  ORDER BY o LIMIT {n_query}),
+dl AS (SELECT doc_id, len(ts) AS dl FROM tok),
+st AS (SELECT sum(dl) AS sum_dl, count(*) AS n FROM dl),
+e AS (SELECT doc_id, unnest(ts) AS term FROM tok),
+tf AS (SELECT e.doc_id, e.term, count(*) AS tf
+       FROM e JOIN q USING (term) GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+c AS (
+  SELECT tf.doc_id, dl.dl,
+         ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * {k1p_l}
+           / (tf.tf + {k1_l} * (1.0 - {b_l} + {b_l} * dl.dl
+                                / (CAST(st.sum_dl AS DOUBLE) / st.n))) AS contrib
+  FROM tf JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st),
+s AS (SELECT doc_id, round(sum(contrib), 9) AS score,
+             count(*) AS n_terms, min(dl) AS dl
+      FROM c GROUP BY doc_id),
+r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM s)
+SELECT CAST(rank AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
+       score, CAST(n_terms AS BIGINT) AS n_terms, CAST(dl AS BIGINT) AS dl
+FROM r WHERE rank <= {k}
+"""
+
+
 def url_canonical_sql(world_dir: str) -> str:
     """web_url_canonical: the same scheme/host/path/query split pattern and
     the same normalization steps (lower, www-strip, slash-rtrim, utm-drop +

@@ -360,6 +360,26 @@ class TestTfidfTopk:
         assert (by_doc.diff().fillna(0) <= 1e-12).all()
 
 
+class TestBm25Topk:
+    def test_matches_sql_and_invariants(self, ray_session):
+        import duckdb
+
+        from housenumbercore_ray.pipelines.corpus import bm25_topk
+        from housenumbercore_ray.pipelines.corpus_oracle import bm25_topk_sql
+
+        sf = "/root/testdata/sf0.001"
+        eng = bm25_topk(sf).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+        ora = con.sql(bm25_topk_sql()).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
+        # ranks are 1..k with strictly non-increasing scores
+        assert (eng["rank"].to_numpy() == np.arange(1, len(eng) + 1)).all()
+        assert (np.diff(eng["score"].to_numpy()) <= 1e-12).all()
+        # every hit matched at least one of the <=8 query terms
+        assert eng["n_terms"].between(1, 8).all()
+
+
 class TestEmbeddingKmeans:
     def test_matches_sql_oracle(self, ray_session):
         import duckdb
