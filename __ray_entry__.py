@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_distinct_segments": relational.distinct_mktsegments,
         "rel_segment_revenue_bucketed": relational.segment_revenue_bucketed,
         "rel_regional_revenue": relational.regional_revenue,
+        "rel_revenue_rollup": relational.revenue_rollup,
         "rel_top_suppliers_per_nation": relational.top_suppliers_per_nation,
         "rel_price_quantiles": relational.price_quantiles,
         "rel_order_gaps": relational.order_gaps,
@@ -525,6 +526,18 @@ WHERE r.r_name = 'EUROPE'
   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
   AND o.o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n.n_name
+""",
+        "rel_revenue_rollup": """
+SELECT CASE WHEN GROUPING(r.r_name) = 1 THEN 'all'
+            WHEN GROUPING(n.n_name) = 1 THEN 'region' ELSE 'nation' END AS level,
+       CASE WHEN GROUPING(r.r_name) = 1 THEN '' ELSE r.r_name END AS region_name,
+       CASE WHEN GROUPING(n.n_name) = 1 THEN '' ELSE n.n_name END AS nation_name,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
 """,
         "rel_order_gaps": """
 SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,

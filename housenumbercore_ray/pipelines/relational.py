@@ -507,6 +507,84 @@ def regional_revenue(sf_dir: str, region: str = "EUROPE",
     )
 
 
+def revenue_rollup(sf_dir: str) -> rd.Dataset:
+    """GROUPING SETS / ROLLUP — multi-level OLAP aggregate (grand total,
+    per-region, per-(region, nation)) in ONE pass over the fact table.
+
+    Scale shape: the facts are aggregated exactly once, at the FINEST
+    grouping level (nationkey) — per-batch partial sums bound the shuffle
+    at O(nations × batches); the coarser rollup levels are then derived by
+    re-aggregating the ≤|nations| finest rows (hierarchical reaggregation:
+    region ⊇ nation, so coarse sums are exact sums of fine RAW sums — no
+    second pass over orders, and rounding happens only after every level
+    is summed). The custkey→nationkey resolution is a hash-partitioned
+    ``bucketed_hash_join`` (no broadcast assumption on customer); the
+    nation/region NAME maps are the tiny broadcast dims."""
+    import pyarrow as pa
+
+    from ..stages.join import bucketed_hash_join
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rn = dict(zip(region["r_regionkey"].astype(int), region["r_name"]))
+    dim = {int(k): (str(n), rn[int(g)])
+           for k, n, g in zip(nation["n_nationkey"], nation["n_name"],
+                              nation["n_regionkey"])}
+    dim_ref = ray.put(dim)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    oc = bucketed_hash_join(
+        orders, cust, "o_custkey", "c_custkey",
+        left_schema={"o_custkey": pa.int64(), "o_totalprice": pa.float64()},
+        right_schema={"c_custkey": pa.int64(), "c_nationkey": pa.int64()},
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("c_nationkey", as_index=False)
+                .agg(rev=("o_totalprice", "sum"), n=("o_totalprice", "size")))
+
+    def per_nation(g: pd.DataFrame) -> pd.DataFrame:
+        # RAW sum — rounding is deferred until after the rollup levels
+        return pd.DataFrame({
+            "c_nationkey": pd.Series([int(g["c_nationkey"].iloc[0])], dtype=np.int64),
+            "rev": [float(g["rev"].sum())],
+            "n": pd.Series([g["n"].sum()], dtype=np.int64),
+        })
+
+    def rollup_levels(b: pd.DataFrame) -> pd.DataFrame:
+        names = ray.get(dim_ref)
+        b = b.copy()
+        b["nation_name"] = b["c_nationkey"].map(lambda k: names[int(k)][0])
+        b["region_name"] = b["c_nationkey"].map(lambda k: names[int(k)][1])
+        fine = pd.DataFrame({
+            "level": "nation", "region_name": b["region_name"],
+            "nation_name": b["nation_name"], "revenue": b["rev"], "n_orders": b["n"],
+        })
+        reg = (b.groupby("region_name", as_index=False)
+               .agg(revenue=("rev", "sum"), n_orders=("n", "sum")))
+        reg.insert(0, "level", "region")
+        reg["nation_name"] = ""
+        total = pd.DataFrame({
+            "level": ["all"], "region_name": [""], "nation_name": [""],
+            "revenue": [float(b["rev"].sum())],
+            "n_orders": [int(b["n"].sum())],
+        })
+        out = pd.concat([fine, reg[fine.columns], total], ignore_index=True)
+        out["revenue"] = out["revenue"].round(2)
+        return out.astype({"n_orders": np.int64})
+
+    return (
+        oc.map_batches(partial, batch_format="pandas")
+        .groupby("c_nationkey")
+        .map_groups(per_nation, batch_format="pandas")
+        .repartition(1)
+        .map_batches(rollup_levels, batch_format="pandas")
+    )
+
+
 def brand_revenue(sf_dir: str) -> rd.Dataset:
     """Revenue per part brand — the LARGE×LARGE join shape done the
     scalable way: lineitem is PARTIALLY AGGREGATED to (partkey, revenue,

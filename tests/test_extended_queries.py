@@ -266,6 +266,39 @@ class TestRegionalRevenue:
         pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
 
 
+class TestRevenueRollup:
+    def test_matches_duckdb_rollup(self, ray_session):
+        import duckdb
+        import pandas as pd
+
+        from housenumbercore_ray.pipelines.relational import revenue_rollup
+
+        sf = "/root/testdata/sf0.001"
+        key = ["level", "region_name", "nation_name"]
+        eng = revenue_rollup(sf).to_pandas().sort_values(key).reset_index(drop=True)
+        con = duckdb.connect()
+        for t in ("orders", "customer", "nation", "region"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        ora = con.sql("""
+            SELECT CASE WHEN GROUPING(r.r_name) = 1 THEN 'all'
+                        WHEN GROUPING(n.n_name) = 1 THEN 'region' ELSE 'nation' END AS level,
+                   CASE WHEN GROUPING(r.r_name) = 1 THEN '' ELSE r.r_name END AS region_name,
+                   CASE WHEN GROUPING(n.n_name) = 1 THEN '' ELSE n.n_name END AS nation_name,
+                   round(sum(o.o_totalprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY ROLLUP (r.r_name, n.n_name)
+        """).df().sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
+        # the hierarchy is internally consistent: levels re-sum exactly
+        fine = eng[eng["level"] == "nation"]
+        reg = eng[eng["level"] == "region"].set_index("region_name")
+        assert (fine.groupby("region_name")["n_orders"].sum() == reg["n_orders"]).all()
+        assert eng.loc[eng["level"] == "all", "n_orders"].iloc[0] == fine["n_orders"].sum()
+
+
 class TestR3LateOps:
     def test_quality_filter_quota_exact(self, ray_session):
         """Per language, exactly ceil(n/5) docs survive, and every kept doc
