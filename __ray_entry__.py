@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_url_canonical": lambda sf: corpus.url_canonicalize(_world(sf)),
         "text_tfidf_topk": lambda sf: corpus.tfidf_topk(sf),
         "text_bm25_topk": lambda sf: corpus.bm25_topk(sf),
+        "text_decontaminate_spans": lambda sf: corpus.decontaminate_spans(sf),
         "embedding_kmeans": lambda sf: corpus.embedding_kmeans(sf),
         "web_bloom_seen": lambda sf: corpus.bloom_seen(_world(sf)),
         "web_distinct_urls_hll": lambda sf: corpus.distinct_urls_hll(_world(sf)),
@@ -355,6 +356,7 @@ FROM t
         "web_url_canonical": co.url_canonical_sql(world_dir),
         "text_tfidf_topk": co.tfidf_topk_sql(),
         "text_bm25_topk": co.bm25_topk_sql(),
+        "text_decontaminate_spans": co.decontaminate_spans_sql(),
         "embedding_kmeans": co.embedding_kmeans_sql(),
         "web_bloom_seen": co.bloom_seen_sql(world_dir),
         "web_distinct_urls_hll": co.distinct_hll_sql(world_dir),

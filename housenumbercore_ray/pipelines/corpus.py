@@ -242,20 +242,13 @@ def winnow_dup_pairs(sf_dir: str, min_shared: int = 3,
     )
 
 
-def decontaminate(sf_dir: str, n: int = 4, bench_mod: int = 25) -> rd.Dataset:
-    """Benchmark decontamination (the GPT-3 appendix-C / Gopher eval-overlap
-    filter): flag corpus docs sharing any word ``n``-gram with the benchmark
-    set. The benchmark here is the deterministic carve-out
-    ``doc_id % bench_mod == 0`` of the documents table — at deployment it
-    would be a separate small eval-suite table.
-
-    Scale shape: pass 1 streams ONLY benchmark docs' gram hashes to the
-    driver (an eval suite is small by premise — this is the canonical
-    broadcast side); pass 2 streams the full corpus through a stateless
-    membership kernel (``ray.put`` once, actor ``__init__`` get) — zero
-    shuffles, no full-corpus materialization anywhere."""
+def _bench_gram_hash_ref(sf_dir: str, n: int, bench_mod: int):
+    """Broadcast side shared by the decontamination ops: the SORTED unique
+    md5 gram hashes of the benchmark carve-out (``doc_id % bench_mod == 0``),
+    streamed per batch and ``ray.put`` once — an eval suite is small by
+    premise, so this is the canonical broadcast dictionary."""
     from ..stages.dedup import _HashCache
-    from ..stages.textops import NGramContamination, ngram_flat
+    from ..stages.textops import ngram_flat
 
     def bench_gram_hashes(b: pd.DataFrame) -> pd.DataFrame:
         ids = b["doc_id"].to_numpy(dtype=np.int64)
@@ -272,9 +265,49 @@ def decontaminate(sf_dir: str, n: int = 4, bench_mod: int = 25) -> rd.Dataset:
         .take_all()
     )
     bench = np.unique(np.array([r["gram_hash"] for r in bench_rows], dtype=np.uint64))
-    bench_ref = ray.put(bench)
+    return ray.put(bench)
+
+
+def decontaminate(sf_dir: str, n: int = 4, bench_mod: int = 25) -> rd.Dataset:
+    """Benchmark decontamination (the GPT-3 appendix-C / Gopher eval-overlap
+    filter): flag corpus docs sharing any word ``n``-gram with the benchmark
+    set. The benchmark here is the deterministic carve-out
+    ``doc_id % bench_mod == 0`` of the documents table — at deployment it
+    would be a separate small eval-suite table.
+
+    Scale shape: pass 1 streams ONLY benchmark docs' gram hashes to the
+    driver (an eval suite is small by premise — this is the canonical
+    broadcast side); pass 2 streams the full corpus through a stateless
+    membership kernel (``ray.put`` once, actor ``__init__`` get) — zero
+    shuffles, no full-corpus materialization anywhere."""
+    from ..stages.textops import NGramContamination
+
+    bench_ref = _bench_gram_hash_ref(sf_dir, n, bench_mod)
     return _docs(sf_dir).map_batches(
         NGramContamination,
+        fn_constructor_kwargs=dict(bench_ref=bench_ref, n=n, bench_mod=bench_mod),
+        batch_format="pandas",
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
+def decontaminate_spans(sf_dir: str, n: int = 4, bench_mod: int = 25) -> rd.Dataset:
+    """Span-level benchmark decontamination (the Dolma/RedPajama surgical
+    variant of :func:`decontaminate`): per corpus doc, the maximal
+    contaminated TOKEN RANGES — positions whose word ``n``-gram appears in
+    the benchmark set, merged while consecutive matches are ≤ ``n`` apart —
+    so the cleaner excises spans instead of dropping whole documents.
+
+    Output: (doc_id, span_start, span_end, n_grams) with token-index
+    half-open spans; clean docs emit no rows. Same scale shape as the
+    doc-level filter: broadcast bench gram hashes, zero-shuffle corpus
+    stream, fully vectorized island merge inside the actor kernel."""
+    from ..stages.textops import ContaminationSpans
+
+    bench_ref = _bench_gram_hash_ref(sf_dir, n, bench_mod)
+    return _docs(sf_dir).map_batches(
+        ContaminationSpans,
         fn_constructor_kwargs=dict(bench_ref=bench_ref, n=n, bench_mod=bench_mod),
         batch_format="pandas",
         concurrency=(1, 4),

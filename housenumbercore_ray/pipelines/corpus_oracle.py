@@ -216,6 +216,43 @@ WHERE d.doc_id % {bench_mod} <> 0
 """
 
 
+def decontaminate_spans_sql(src: str = "documents", n: int = 4,
+                            bench_mod: int = 25) -> str:
+    """text_decontaminate_spans: positional n-gram matches recomputed on the
+    RAW GRAM STRINGS (vs the engine's md5-hash membership — agreement also
+    re-proves collision-freeness), then the same touching-or-overlapping
+    merge (gap ≤ n) as a gaps-and-islands window. SQL positions are 1-based;
+    the final select converts to the engine's 0-based half-open spans."""
+    gram = " || ' ' || ".join(f"ts[i+{j}]" for j in range(n)) \
+        .replace("ts[i+0]", "ts[i]")
+    return f"""
+WITH {_tokens_cte(src, 'doc_id', 'text')},
+g AS (
+  SELECT doc_id, i, {gram} AS gm
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - {n - 2})) AS i
+        FROM tok WHERE len(ts) >= {n})
+),
+bg AS (SELECT DISTINCT gm FROM g WHERE doc_id % {bench_mod} = 0),
+m AS (SELECT g.doc_id, g.i FROM g JOIN bg USING (gm)
+      WHERE g.doc_id % {bench_mod} <> 0),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= {n}
+              THEN 0 ELSE 1 END AS brk
+  FROM m),
+grp AS (
+  SELECT doc_id, i,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS gid
+  FROM isl)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(i) - 1 AS BIGINT) AS span_start,
+       CAST(max(i) - 1 + {n} AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM grp GROUP BY doc_id, gid
+"""
+
+
 def stratified_sample_sql(src: str = "documents", rates: dict | None = None,
                           default_rate: int = 60) -> str:
     """corpus_sample_stratified: the md5-derived bucket recomputed in SQL

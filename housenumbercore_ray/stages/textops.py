@@ -230,6 +230,69 @@ class NGramContamination:
         })
 
 
+class ContaminationSpans:
+    """map_batches actor for SPAN-LEVEL decontamination (the Dolma /
+    RedPajama surgical variant of :class:`NGramContamination`): instead of
+    flagging whole docs, emit the maximal contaminated TOKEN RANGES — every
+    position whose word ``n``-gram appears in the broadcast benchmark set,
+    with touching-or-overlapping matches (gap ≤ n) merged into one span —
+    so a cleaner can excise spans and keep the rest of the document.
+
+    Same scale shape as the doc-level kernel: benchmark gram hashes are the
+    broadcast side, the corpus streams through with zero shuffles; the
+    per-batch work is factorize → md5-of-uniques → one membership test →
+    a fully vectorized island merge (no Python loop over positions)."""
+
+    def __init__(self, bench_ref, n: int = 4, bench_mod: int = 25,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        import ray
+
+        from .dedup import _HashCache
+
+        self.bench = ray.get(bench_ref)  # SORTED unique uint64 gram hashes
+        self.n = n
+        self.bench_mod = bench_mod
+        self.id_col = id_col
+        self.text_col = text_col
+        self._cache = _HashCache()
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "span_start": pd.Series([], dtype=np.int64),
+            "span_end": pd.Series([], dtype=np.int64),
+            "n_grams": pd.Series([], dtype=np.int64),
+        })
+        ids = batch[self.id_col].to_numpy(dtype=np.int64)
+        corpus_mask = (ids % self.bench_mod) != 0
+        ids = ids[corpus_mask]
+        texts = batch[self.text_col].fillna("").to_numpy()[corpus_mask]
+        flat, counts = ngram_flat(texts, self.n)
+        if not flat:
+            return empty
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+        hv = self._cache.hash_unique(uniques)
+        hit = np.isin(hv, self.bench)[codes]  # per POSITION membership
+        if not hit.any():
+            return empty
+        total = len(codes)
+        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        d, p = doc_idx[hit], pos[hit]  # already (doc, pos)-ordered
+        brk = np.ones(len(d), dtype=bool)
+        brk[1:] = (d[1:] != d[:-1]) | (p[1:] - p[:-1] > self.n)
+        first = np.flatnonzero(brk)
+        last = np.append(first[1:] - 1, len(d) - 1)
+        gid = np.cumsum(brk) - 1
+        return pd.DataFrame({
+            "doc_id": ids[d[first]],
+            "span_start": p[first],
+            "span_end": p[last] + self.n,
+            "n_grams": np.bincount(gid).astype(np.int64),
+        })
+
+
 def winnowing_fingerprint(text: str, k: int = 5, window: int = 4) -> list[int]:
     """Rolling-hash winnowing (Schleimer et al.): k-gram token hashes, min per
     window, dedup preserving order. Gram hash is the md5-derived 63-bit value

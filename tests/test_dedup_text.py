@@ -360,6 +360,32 @@ class TestTfidfTopk:
         assert (by_doc.diff().fillna(0) <= 1e-12).all()
 
 
+class TestDecontaminateSpans:
+    def test_matches_sql_and_doc_level_consistency(self, ray_session):
+        import duckdb
+
+        from housenumbercore_ray.pipelines.corpus import (
+            decontaminate,
+            decontaminate_spans,
+        )
+        from housenumbercore_ray.pipelines.corpus_oracle import decontaminate_spans_sql
+
+        sf = "/root/testdata/sf0.001"
+        key = ["doc_id", "span_start"]
+        eng = decontaminate_spans(sf).to_pandas().sort_values(key).reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+        ora = con.sql(decontaminate_spans_sql()).df().sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
+        # spans are well-formed: end > start, wide enough for n_grams 4-grams
+        assert (eng["span_end"] - eng["span_start"] >= 4).all()
+        assert (eng["span_end"] - eng["span_start"] <= eng["n_grams"] * 4).all()
+        # doc-level and span-level ops agree on WHICH docs are contaminated
+        doc = decontaminate(sf).to_pandas()
+        flagged = set(doc.loc[doc["contaminated"] == 1, "doc_id"])
+        assert set(eng["doc_id"]) == flagged
+
+
 class TestBm25Topk:
     def test_matches_sql_and_invariants(self, ray_session):
         import duckdb
