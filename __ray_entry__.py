@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bm25_topk": lambda sf: corpus.bm25_topk(sf),
         "text_decontaminate_spans": lambda sf: corpus.decontaminate_spans(sf),
         "embedding_kmeans": lambda sf: corpus.embedding_kmeans(sf),
+        "embedding_knn_graph": lambda sf: corpus.embedding_knn_graph(sf),
         "web_bloom_seen": lambda sf: corpus.bloom_seen(_world(sf)),
         "web_distinct_urls_hll": lambda sf: corpus.distinct_urls_hll(_world(sf)),
         "dedup_components": lambda sf: corpus.dedup_components(sf),
@@ -358,6 +359,7 @@ FROM t
         "text_bm25_topk": co.bm25_topk_sql(),
         "text_decontaminate_spans": co.decontaminate_spans_sql(),
         "embedding_kmeans": co.embedding_kmeans_sql(),
+        "embedding_knn_graph": co.knn_graph_sql(),
         "web_bloom_seen": co.bloom_seen_sql(world_dir),
         "web_distinct_urls_hll": co.distinct_hll_sql(world_dir),
         "dedup_components": co.dedup_components_sql(),

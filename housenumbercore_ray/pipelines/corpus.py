@@ -2760,6 +2760,105 @@ def ann_ivf_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK,
     return partials.groupby("qid").map_groups(lambda g: topk_finalize(g, k), batch_format="pandas")
 
 
+def embedding_knn_graph(sf_dir: str, k: int = 3, nlist: int = 16,
+                        nprobe: int = 2) -> rd.Dataset:
+    """kNN GRAPH construction over the embedding table (the building block
+    for graph-based clustering / SemDeDup-style curation): for EVERY vector,
+    its ``k`` nearest neighbors by cosine, found through the same
+    deterministic IVF coarse quantizer as :func:`ann_ivf_topk` (centroids =
+    first ``nlist`` vec_ids, assignment = max-cosine centroid, each vector
+    probes its ``nprobe`` nearest lists).
+
+    Scale shape — the all-vectors analog of the IVF probe:
+      1. one streaming pass assigns + fans each vector out to its nprobe
+         probe lists (shuffle volume = nprobe × N × d, the IVF work unit;
+         ``nlist`` is the partition knob — grow it with N to keep each
+         list's member×prober matmul bounded);
+      2. per-list: CHUNKED matmul of probers × members with a fully
+         vectorized (sim desc, dst asc) top-k — no Python loop per vector;
+      3. since every vector is assigned to exactly ONE list, a (src, dst)
+         candidate appears at most once — the final per-src merge of the
+         ≤ nprobe × k per-list partials needs no pair dedup.
+    Output: (src_id, rank, dst_id) — rank order is exact cosine within the
+    probed lists; sim is deliberately omitted (rank-only contract, same as
+    the ANN queries, so the oracle compare is float-free)."""
+    vecs = _fetch_vectors(sf_dir, list(range(nlist)))
+    C = np.stack([vecs[i] for i in range(nlist)])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cref = ray.put(Cn)
+
+    class AssignProbe:
+        def __init__(self):
+            self.Cn = ray.get(cref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            sims = Xn @ self.Cn.T
+            # stable argsort on -sims ⇒ ties to the lower centroid id;
+            # column 0 IS the assignment (first max)
+            probes = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            ids = b["vec_id"].to_numpy(np.int64)
+            n = len(ids)
+            return pd.DataFrame({
+                "list_id": probes.T.reshape(-1),
+                "member": np.repeat([True] + [False] * (nprobe - 1), n),
+                "vec_id": np.tile(ids, nprobe),
+                "vn": [Xn[i] for _ in range(nprobe) for i in range(n)],
+            })
+
+    def per_list(g: pd.DataFrame, chunk: int = 1024) -> pd.DataFrame:
+        mem = g[g["member"]].sort_values("vec_id", kind="mergesort")
+        if not len(mem):
+            return pd.DataFrame({"src_id": pd.Series([], dtype=np.int64),
+                                 "dst_id": pd.Series([], dtype=np.int64),
+                                 "sim": pd.Series([], dtype=np.float64)})
+        M = np.stack(mem["vn"].to_numpy())
+        m_ids = mem["vec_id"].to_numpy(np.int64)
+        p_ids_all = g["vec_id"].to_numpy(np.int64)
+        P_all = np.stack(g["vn"].to_numpy())
+        kk = min(k + 1, len(m_ids))  # +1: the self hit, masked below
+        outs = []
+        for lo in range(0, len(p_ids_all), chunk):
+            p_ids = p_ids_all[lo:lo + chunk]
+            sims = P_all[lo:lo + chunk] @ M.T
+            # members are vec_id-sorted, so a stable argsort on -sims gives
+            # (sim desc, dst asc) per row — the exact oracle tie rule
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            dst = m_ids[idx]
+            s = np.take_along_axis(sims, idx, axis=1)
+            keep = dst != p_ids[:, None]
+            sel = keep & (np.cumsum(keep, axis=1) <= k)
+            rows, cols = np.nonzero(sel)
+            outs.append(pd.DataFrame({
+                "src_id": p_ids[rows],
+                "dst_id": dst[rows, cols],
+                "sim": s[rows, cols],
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["src_id", "sim", "dst_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("src_id", sort=False).head(k).copy()
+        g["rank"] = g.groupby("src_id", sort=False).cumcount() + 1
+        return g[["src_id", "rank", "dst_id"]].astype(
+            {"src_id": np.int64, "rank": np.int64, "dst_id": np.int64})
+
+    return (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+        .map_batches(AssignProbe, batch_format="pandas", batch_size=4096,
+                     concurrency=(1, 4), num_cpus=1)
+        .groupby("list_id")
+        .map_groups(per_list, batch_format="pandas")
+        .map_batches(_shard_on(["src_id"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(merge_topk, batch_format="pandas")
+    )
+
+
 def _sq_minmax(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """Per-dimension global (min, max) for SQ8 quantization in ONE streaming
     pass: each batch emits d partial rows (dim, mn, mx), a d-key groupby

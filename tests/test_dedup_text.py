@@ -406,6 +406,43 @@ class TestBm25Topk:
         assert eng["n_terms"].between(1, 8).all()
 
 
+class TestEmbeddingKnnGraph:
+    def test_matches_sql_and_structure(self, ray_session):
+        import duckdb
+
+        from housenumbercore_ray.pipelines.corpus import embedding_knn_graph
+        from housenumbercore_ray.pipelines.corpus_oracle import knn_graph_sql
+
+        sf = "/root/testdata/sf0.001"
+        key = ["src_id", "rank"]
+        eng = embedding_knn_graph(sf).to_pandas().sort_values(key).reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')")
+        ora = con.sql(knn_graph_sql()).df().sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
+        # every vector appears as a source with ranks 1..k, no self-edges
+        per_src = eng.groupby("src_id")["rank"].agg(["min", "max", "size"])
+        assert (per_src["min"] == 1).all() and (per_src["max"] == per_src["size"]).all()
+        assert (eng["src_id"] != eng["dst_id"]).all()
+        # approximation quality: recall@k vs brute-force kNN must beat the
+        # probed-list coverage (nprobe/nlist = 12.5%) and random (~0.6%);
+        # measured 0.30 on this table — centroid routing concentrates true
+        # neighbors into the probed lists even without planted structure
+        import pyarrow.parquet as pq
+        t = pq.read_table(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).to_pandas()
+        X = np.stack(t["embedding"].apply(np.asarray)).astype(np.float64)
+        ids = t["vec_id"].to_numpy(np.int64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = Xn @ Xn.T
+        np.fill_diagonal(S, -2.0)
+        exact = {int(ids[i]): set(ids[np.argsort(-S[i], kind="stable")[:3]])
+                 for i in range(len(ids))}
+        recall = np.mean([len(set(g["dst_id"]) & exact[int(s)]) / 3
+                          for s, g in eng.groupby("src_id")])
+        assert recall > 0.2
+
+
 class TestEmbeddingKmeans:
     def test_matches_sql_oracle(self, ray_session):
         import duckdb
