@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hnr_muni_summary": lambda sf: ev.muni_summary(_world(sf)),
         "hnr_muni_coverage": lambda sf: ev.muni_coverage(_world(sf)),
         "hnr_street_summary": lambda sf: ev.street_summary(_world(sf)),
+        "hnr_street_gaps": lambda sf: ev.street_gaps(_world(sf)),
         "hnr_streets_missing_in_osm": lambda sf: ev.streets_missing_in_osm(_world(sf)),
         "hnr_subarea_rows": lambda sf: ev.subarea_rows(_world(sf)),
         "hnr_subarea_street_summary": lambda sf: ev.subarea_street_summary(_world(sf)),

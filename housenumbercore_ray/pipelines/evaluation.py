@@ -271,6 +271,84 @@ def _street_geometry(world_dir: str) -> dict:
     return {(int(r.muni_id), r.street_key): r.linestring_wkb.hex() for r in first.itertuples()}
 
 
+def street_gaps(world_dir: str) -> rd.Dataset:
+    """Per-street housenumber GAP analysis over the official list (the
+    completeness-audit view a list maintainer reads: "Hauptstraße is missing
+    the even numbers 14–22"): within each (muni, street, parity) class of
+    PURELY NUMERIC official housenumbers (treffertyp ∈ {i, l}; suffixed
+    numbers like '12a' don't define a numeric sequence), consecutive
+    same-parity numbers more than one step (2) apart open a gap.
+
+    Output: (muni_id, street_key, parity, gap_from, gap_to, n_missing)
+    where n_missing = (gap_to − gap_from)/2 − 1 same-parity numbers.
+
+    Scale shape: the evaluation stream is filtered + projected per batch
+    (numeric rows only), then ONE sharded groupby on (muni, street) with a
+    fully vectorized run-boundary diff inside each shard — gap detection
+    costs a sort of the shard, never a global sort."""
+    ev = evaluation(world_dir)
+
+    def numeric_rows(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["treffertyp"] != "o") & b["hnr_norm"].str.fullmatch(r"[0-9]+")
+        out = b.loc[m, ["muni_id", "street_key"]].copy()
+        out["num"] = b.loc[m, "hnr_norm"].astype(np.int64)
+        return out
+
+    from ..stages.shuffle import shuffle_blocks
+
+    def _add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        key = pd.util.hash_array(b["street_key"].to_numpy(object))
+        b["_shard"] = ((b["muni_id"].to_numpy(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                       ^ key) % np.uint64(64)
+        return b
+
+    def gaps_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["muni_id", "street_key", "num"], kind="mergesort")
+        muni = g["muni_id"].to_numpy(np.int64)
+        street = g["street_key"].to_numpy(object)
+        num = g["num"].to_numpy(np.int64)
+        par = num % 2
+        # within (muni, street), numbers are sorted; same-parity neighbors
+        # are NOT adjacent rows (odd/even interleave), so pre-split by parity
+        out = []
+        for p in (0, 1):
+            pm = par == p
+            mm, ss, nn = muni[pm], street[pm], num[pm]
+            if len(nn) < 2:
+                continue
+            adj = (mm[1:] == mm[:-1]) & (ss[1:] == ss[:-1])
+            d = nn[1:] - nn[:-1]
+            gm = adj & (d > 2)
+            if not gm.any():
+                continue
+            out.append(pd.DataFrame({
+                "muni_id": mm[1:][gm],
+                "street_key": ss[1:][gm],
+                "parity": np.int64(p),
+                "gap_from": nn[:-1][gm],
+                "gap_to": nn[1:][gm],
+                "n_missing": (nn[1:][gm] - nn[:-1][gm]) // 2 - 1,
+            }))
+        if not out:
+            return pd.DataFrame({
+                "muni_id": pd.Series([], dtype=np.int64),
+                "street_key": pd.Series([], dtype=object),
+                "parity": pd.Series([], dtype=np.int64),
+                "gap_from": pd.Series([], dtype=np.int64),
+                "gap_to": pd.Series([], dtype=np.int64),
+                "n_missing": pd.Series([], dtype=np.int64),
+            })
+        return pd.concat(out, ignore_index=True)
+
+    return (ev.map_batches(numeric_rows, batch_format="pandas")
+            .map_batches(_add_shard, batch_format="pandas")
+            .repartition(shuffle_blocks())
+            .groupby("_shard")
+            .map_groups(lambda g: gaps_shard(g.drop(columns=["_shard"])),
+                        batch_format="pandas"))
+
+
 def street_summary(world_dir: str) -> rd.Dataset:
     """exporthnr2shape analog (dbstructure.sql:311-331): per (muni, street)
     hnr_soll / hnr_osm / hnr_fhlosm / hnr_nurosm / hnr_abdeck / hnr_liste,

@@ -286,6 +286,23 @@ SELECT muni_id, street_key, hnr_norm, treffertyp, hnr_sortable, hnr_display,
        osm_tag, tag_prio, n_osm_obs
 FROM evaluation
 """,
+        "hnr_street_gaps": pre + """
+, nums AS (
+  SELECT muni_id, street_key, CAST(hnr_norm AS BIGINT) AS num
+  FROM evaluation
+  WHERE treffertyp <> 'o' AND regexp_full_match(hnr_norm, '[0-9]+')
+),
+w AS (
+  SELECT muni_id, street_key, num % 2 AS parity, num,
+         lead(num) OVER (PARTITION BY muni_id, street_key, num % 2
+                         ORDER BY num) AS nxt
+  FROM nums
+)
+SELECT muni_id, street_key, CAST(parity AS BIGINT) AS parity,
+       num AS gap_from, nxt AS gap_to,
+       CAST((nxt - num) / 2 - 1 AS BIGINT) AS n_missing
+FROM w WHERE nxt - num > 2
+""",
         "hnr_muni_summary": pre + """
 SELECT muni_id,
        CAST(sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END) AS BIGINT) AS number_target,

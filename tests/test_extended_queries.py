@@ -266,6 +266,39 @@ class TestRegionalRevenue:
         pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
 
 
+class TestStreetGaps:
+    def test_invariants_and_pandas_recomputation(self, ray_session):
+        import pandas as pd
+
+        from housenumbercore_ray.pipelines import evaluation as ev
+        from housenumbercore_ray.sources.worldgen import ensure_world_scale
+
+        wd = ensure_world_scale("sf0.001")
+        gaps = ev.street_gaps(wd).to_pandas()
+        assert len(gaps) > 0
+        # structural: endpoints share the declared parity, gap is real
+        assert ((gaps["gap_from"] % 2) == gaps["parity"]).all()
+        assert ((gaps["gap_to"] % 2) == gaps["parity"]).all()
+        assert (gaps["gap_to"] - gaps["gap_from"] > 2).all()
+        assert (gaps["n_missing"] == (gaps["gap_to"] - gaps["gap_from"]) // 2 - 1).all()
+        # independent pandas recomputation from the evaluation output
+        evdf = ev.evaluation(wd).to_pandas()
+        m = (evdf["treffertyp"] != "o") & evdf["hnr_norm"].str.fullmatch(r"[0-9]+")
+        nums = evdf.loc[m, ["muni_id", "street_key"]].copy()
+        nums["num"] = evdf.loc[m, "hnr_norm"].astype(int)
+        want = []
+        for (mid, sk), g in nums.groupby(["muni_id", "street_key"]):
+            for p in (0, 1):
+                s = sorted(g.loc[g["num"] % 2 == p, "num"])
+                for a, c in zip(s, s[1:]):
+                    if c - a > 2:
+                        want.append((mid, sk, p, a, c, (c - a) // 2 - 1))
+        want_df = pd.DataFrame(want, columns=list(gaps.columns)) \
+            .sort_values(["muni_id", "street_key", "gap_from"]).reset_index(drop=True)
+        got = gaps.sort_values(["muni_id", "street_key", "gap_from"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
+
+
 class TestRevenueRollup:
     def test_matches_duckdb_rollup(self, ray_session):
         import duckdb
