@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_segment_revenue_bucketed": relational.segment_revenue_bucketed,
         "rel_regional_revenue": relational.regional_revenue,
         "rel_revenue_rollup": relational.revenue_rollup,
+        "rel_events_hopping": relational.events_hopping_window,
         "rel_top_suppliers_per_nation": relational.top_suppliers_per_nation,
         "rel_price_quantiles": relational.price_quantiles,
         "rel_order_gaps": relational.order_gaps,
@@ -543,6 +544,20 @@ FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 JOIN region r ON r.r_regionkey = n.n_regionkey
 GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+        "rel_events_hopping": """
+WITH x AS (
+  SELECT event_type, value,
+         CAST((date_diff('day', TIMESTAMP '1970-01-01', ts) // 7) * 7 AS BIGINT) AS w0
+  FROM events),
+ex AS (
+  SELECT event_type, value, w0 AS w FROM x
+  UNION ALL
+  SELECT event_type, value, w0 - 7 AS w FROM x)
+SELECT TIMESTAMP '1970-01-01' + w * INTERVAL 1 DAY AS window_start,
+       event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM ex GROUP BY w, event_type
 """,
         "rel_order_gaps": """
 SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,

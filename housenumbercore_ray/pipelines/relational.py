@@ -113,6 +113,49 @@ def events_monthly(sf_dir: str) -> rd.Dataset:
     )
 
 
+def events_hopping_window(sf_dir: str, size_days: int = 14,
+                          hop_days: int = 7) -> rd.Dataset:
+    """HOPPING (sliding, overlap = size − hop) window aggregate over the
+    event stream — the windowed-aggregate family member between tumbling
+    (``events_monthly``) and per-row rolling (``events_rolling_7d``): each
+    event lands in size/hop = 2 epoch-aligned windows, counted and summed
+    per (window_start, event_type).
+
+    Scale shape: a per-batch FLAT-MAP expansion (×2 rows — vectorized
+    arithmetic on the epoch-day array, no Python per row) feeding per-batch
+    partial combine, then ONE bounded groupby on (window_start, event_type)
+    — shuffle volume is O(windows × types × batches), never O(events)."""
+    assert size_days == 2 * hop_days, "expansion below assumes size = 2·hop"
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def expand_partial(b: pd.DataFrame) -> pd.DataFrame:
+        days = (b["ts"].to_numpy("datetime64[D]")
+                .astype("int64"))
+        w0 = (days // hop_days) * hop_days
+        g = pd.DataFrame({
+            "window_start": np.concatenate([w0, w0 - hop_days]),
+            "event_type": np.tile(b["event_type"].to_numpy(object), 2),
+            "value": np.tile(b["value"].to_numpy(np.float64), 2),
+        })
+        return (g.groupby(["window_start", "event_type"], as_index=False)
+                .agg(n_events=("value", "size"), sum_value=("value", "sum")))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "window_start": pd.to_datetime(
+                np.asarray([g["window_start"].iloc[0]]),
+                unit="D").astype("datetime64[us]"),
+            "event_type": [g["event_type"].iloc[0]],
+            "n_events": pd.Series([g["n_events"].sum()], dtype=np.int64),
+            "sum_value": [round(float(g["sum_value"].sum()), 2)],
+        })
+
+    return (ds.map_batches(expand_partial, batch_format="pandas")
+            .groupby(["window_start", "event_type"])
+            .map_groups(final, batch_format="pandas"))
+
+
 def events_month_over_month(sf_dir: str) -> rd.Dataset:
     """J10 analog (month-over-month diff views,
     dbstructure_theoeval.sql:1019-1037): monthly rollup self-joined with the

@@ -266,6 +266,29 @@ class TestRegionalRevenue:
         pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
 
 
+class TestEventsHopping:
+    def test_double_counting_and_sql_parity(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as entry
+        from housenumbercore_ray.pipelines.relational import events_hopping_window
+
+        sf = "/root/testdata/sf0.001"
+        eng = events_hopping_window(sf).to_pandas()
+        # every event lands in exactly size/hop = 2 windows
+        n_events = pq.read_metadata(f"{sf}/events.parquet").num_rows
+        assert eng["n_events"].sum() == 2 * n_events
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+        key = ["window_start", "event_type"]
+        ora = con.sql(entry.oracle_sql()["rel_events_hopping"]).df() \
+            .sort_values(key).reset_index(drop=True)
+        got = eng.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[ora.columns], ora, check_dtype=False)
+
+
 class TestStreetGaps:
     def test_invariants_and_pandas_recomputation(self, ray_session):
         import pandas as pd
