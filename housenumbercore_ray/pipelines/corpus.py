@@ -315,6 +315,74 @@ def decontaminate_spans(sf_dir: str, n: int = 4, bench_mod: int = 25) -> rd.Data
     )
 
 
+def fill_token_budget(sf_dir: str, budget: int = 800,
+                      n_range_shards: int = 64) -> rd.Dataset:
+    """Per-source TOKEN-BUDGET fill (the data-mixture materialization step:
+    "take the first N tokens of each source, in canonical doc_id order"):
+    keep every doc whose running per-source token total, cumulated in
+    doc_id order, stays ≤ ``budget``.
+
+    Scale shape — a DISTRIBUTED EXCLUSIVE PREFIX SCAN, the canonical way a
+    running total crosses block boundaries without a global ordered pass:
+      1. one tokenize pass emits the skinny (doc_id, source, n_tok)
+         projection (materialized — 3 narrow columns, no text);
+      2. docs are RANGE-sharded on doc_id (order-preserving contiguous
+         shards from parquet-footer max, no data read); per (source,
+         range-shard) subtotals — O(sources × shards) rows — come to the
+         driver, which computes each shard's EXCLUSIVE prefix offset;
+      3. each (source, shard) group then resolves its own docs locally:
+         sort by doc_id, local cumsum + broadcast offset, cut at budget.
+    Driver state is O(sources × shards) — bounded by the source
+    vocabulary, not the corpus; for open-web source cardinalities swap
+    step 2's take_all for a second tiny keyed shuffle."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+    idx = md.schema.to_arrow_schema().get_field_index("doc_id")
+    max_id = max(md.row_group(i).column(idx).statistics.max
+                 for i in range(md.num_row_groups))
+    span = int(max_id) + 1
+
+    def skinny(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        n_tok = np.fromiter((len(t.split()) for t in b["text"].fillna("")),
+                            dtype=np.int64, count=len(b))
+        return pd.DataFrame({
+            "doc_id": ids,
+            "source": b["source"].to_numpy(object),
+            "n_tok": n_tok,
+            "rshard": (ids * n_range_shards) // span,
+        })
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+    sk = docs.map_batches(skinny, batch_format="pandas").materialize()
+
+    from ray.data.aggregate import Sum
+
+    sub = (sk.groupby(["source", "rshard"])
+           .aggregate(Sum("n_tok", alias_name="sub"))
+           .take_all())
+    offsets: dict[tuple, int] = {}
+    acc: dict[str, int] = {}
+    for r in sorted(sub, key=lambda r: (r["source"], r["rshard"])):
+        offsets[(r["source"], int(r["rshard"]))] = acc.get(r["source"], 0)
+        acc[r["source"]] = acc.get(r["source"], 0) + int(r["sub"])
+    off_ref = ray.put(offsets)
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[(g["source"].iloc[0], int(g["rshard"].iloc[0]))]
+        g = g.sort_values("doc_id", kind="mergesort")
+        cum = off + g["n_tok"].to_numpy(np.int64).cumsum()
+        keep = cum <= budget
+        out = g.loc[keep, ["doc_id", "source", "n_tok"]].copy()
+        out["cum_tok"] = cum[keep]
+        return out
+
+    return (sk.groupby(["source", "rshard"])
+            .map_groups(cut, batch_format="pandas"))
+
+
 def source_quality_cap(sf_dir: str, k: int = 3) -> rd.Dataset:
     """Domain-balancing cap (CCNet/Gopher-style "max N docs per domain"):
     keep the top ``k`` docs per source/domain ranked by stopword-ratio

@@ -253,6 +253,24 @@ FROM grp GROUP BY doc_id, gid
 """
 
 
+def fill_token_budget_sql(src: str = "documents", budget: int = 800) -> str:
+    """corpus_fill_token_budget: the per-source running-total cut
+    recomputed as a single ordered window cumsum — the engine's two-stage
+    exclusive prefix scan must telescope to exactly this."""
+    return f"""
+WITH {_tokens_cte(src, 'doc_id', 'text')},
+tk AS (SELECT doc_id, len(ts) AS n_tok FROM tok),
+d AS (SELECT s.doc_id, s.source, tk.n_tok
+      FROM {src} s JOIN tk USING (doc_id)),
+c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tok
+      FROM d)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_tok AS BIGINT) AS n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+FROM c WHERE cum_tok <= {budget}
+"""
+
+
 def stratified_sample_sql(src: str = "documents", rates: dict | None = None,
                           default_rate: int = 60) -> str:
     """corpus_sample_stratified: the md5-derived bucket recomputed in SQL

@@ -386,6 +386,36 @@ class TestDecontaminateSpans:
         assert set(eng["doc_id"]) == flagged
 
 
+class TestFillTokenBudget:
+    def test_matches_sql_and_budget_is_tight(self, ray_session):
+        import duckdb
+
+        from housenumbercore_ray.pipelines.corpus import fill_token_budget
+        from housenumbercore_ray.pipelines.corpus_oracle import fill_token_budget_sql
+
+        sf = "/root/testdata/sf0.001"
+        eng = fill_token_budget(sf).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+        ora = con.sql(fill_token_budget_sql()).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
+        # the cut is tight: every source stays within budget, and adding the
+        # NEXT doc_id-ordered doc of that source would overflow it
+        docs = pd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "source", "text"])
+        docs["n_tok"] = docs["text"].fillna("").str.split().str.len()
+        per_src = eng.groupby("source")["cum_tok"].max()
+        for src, used in per_src.items():
+            assert used <= 800
+            kept = set(eng.loc[eng["source"] == src, "doc_id"])
+            rest = docs[(docs["source"] == src) & ~docs["doc_id"].isin(kept)]
+            if len(rest):
+                nxt = rest.sort_values("doc_id").iloc[0]
+                assert used + nxt["n_tok"] > 800
+
+
 class TestBm25Topk:
     def test_matches_sql_and_invariants(self, ray_session):
         import duckdb
