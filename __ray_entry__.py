@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": lambda sf: corpus.dedup_components(sf),
         "corpus_cms_counts": lambda sf: corpus.cms_token_counts(sf),
         "web_snapshot_diff": lambda sf: corpus.snapshot_diff(_world(sf)),
+        "web_incremental_new": lambda sf: corpus.incremental_new_content(_world(sf)),
         "corpus_length_histogram": corpus.length_histogram,
         "corpus_source_jaccard": corpus.source_vocab_jaccard,
         "text_bigram_lm": corpus.bigram_lm_scores,
@@ -217,6 +218,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_funnel": relational.events_funnel,
     }
     return q
+
+
+def _incremental_new_oracle(world_dir: str) -> str:
+    """web_incremental_new: previous snapshot recomputed independently in
+    SQL; CONTENT-hash (not url) left join with per-hash prev url counts."""
+    from housenumbercore_ray.pipelines.oracle import prev_pages_sql
+
+    return f"""
+WITH prv AS (SELECT md5(coalesce(text, '')) AS h
+             FROM ({prev_pages_sql(world_dir)})),
+pc AS (SELECT h, count(*) AS n FROM prv GROUP BY h),
+cur AS (SELECT url, md5(coalesce(text, '')) AS h
+        FROM read_parquet('{world_dir}/pages/*.parquet'))
+SELECT cur.url, cur.h AS content_md5,
+       CASE WHEN pc.n IS NULL THEN 'new' ELSE 'seen' END AS status,
+       CAST(coalesce(pc.n, 0) AS BIGINT) AS n_prev_urls
+FROM cur LEFT JOIN pc USING (h)
+"""
 
 
 def _snapshot_diff_oracle(world_dir: str) -> str:
@@ -392,6 +411,7 @@ SELECT CAST(floor(log2(length(text) + 1)) AS BIGINT) AS bucket,
 FROM documents GROUP BY 1
 """,
         "web_snapshot_diff": _snapshot_diff_oracle(world_dir),
+        "web_incremental_new": _incremental_new_oracle(world_dir),
         "dedup_embedding_pairs": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT CAST(a.vec_id AS BIGINT) AS vec_id_a, CAST(b.vec_id AS BIGINT) AS vec_id_b,

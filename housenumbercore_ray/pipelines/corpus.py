@@ -3186,6 +3186,72 @@ def snapshot_diff(world_dir: str) -> rd.Dataset:
                         batch_format="pandas"))
 
 
+def incremental_new_content(world_dir: str) -> rd.Dataset:
+    """Cross-snapshot CONTENT dedup (the incremental-crawl ingest gate:
+    "only pay to process pages whose content the previous snapshot never
+    had, under ANY url"): every current page labeled
+
+        status ∈ {new, seen}   +   n_prev_urls (same-content prev pages)
+
+    Unlike :func:`snapshot_diff` (url-keyed), the shuffle key here is the
+    CONTENT HASH, so moved/mirrored pages count as seen.
+
+    Scale shape: both snapshots stream url+md5 only; the previous side is
+    pre-aggregated per batch to (hash, count) partials before the ONE
+    hash-keyed shuffle (the prev side ships O(distinct hashes × batches)
+    rows, not O(pages)); the per-shard compare is a vectorized merge."""
+    import hashlib
+
+    from ..sources.worldgen import ensure_pages_prev
+
+    prev_path = ensure_pages_prev(world_dir)
+
+    def cur_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": b["url"].to_numpy(),
+            "h": b["text"].fillna("").map(
+                lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()),
+            "n": np.int64(0),
+            "_side": "c",
+        })
+
+    def prev_partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["text"].fillna("").map(
+            lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+        g = h.value_counts()
+        return pd.DataFrame({
+            "url": "",
+            "h": g.index.to_numpy(object),
+            "n": g.to_numpy(np.int64),
+            "_side": "p",
+        })
+
+    cur = rd.read_parquet(f"{world_dir}/pages", columns=["url", "text"]) \
+        .map_batches(cur_rows, batch_format="pandas")
+    prv = rd.read_parquet(prev_path, columns=["url", "text"]) \
+        .map_batches(prev_partial, batch_format="pandas")
+
+    def join_shard(g: pd.DataFrame) -> pd.DataFrame:
+        p = (g[g["_side"] == "p"].groupby("h", as_index=False)["n"].sum()
+             .rename(columns={"n": "n_prev_urls"}))
+        c = g[g["_side"] == "c"][["url", "h"]]
+        m = c.merge(p, on="h", how="left")
+        m["n_prev_urls"] = m["n_prev_urls"].fillna(0).astype(np.int64)
+        return pd.DataFrame({
+            "url": m["url"],
+            "content_md5": m["h"],
+            "status": np.where(m["n_prev_urls"] > 0, "seen", "new"),
+            "n_prev_urls": m["n_prev_urls"],
+        })
+
+    return (cur.union(prv)
+            .map_batches(_shard_on(["h"]), batch_format="pandas")
+            .repartition(_shuffle_blocks())
+            .groupby("_shard")
+            .map_groups(lambda g: join_shard(g.drop(columns=["_shard"])),
+                        batch_format="pandas"))
+
+
 def length_histogram(sf_dir: str) -> rd.Dataset:
     """Log2-bucketed document-length histogram over the documents table:
     (bucket = floor(log2(n_chars + 1)), n_docs, total_chars) — the corpus

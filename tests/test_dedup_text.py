@@ -386,6 +386,28 @@ class TestDecontaminateSpans:
         assert set(eng["doc_id"]) == flagged
 
 
+class TestIncrementalNewContent:
+    def test_consistency_with_url_level_diff(self, ray_session):
+        from housenumbercore_ray.pipelines.corpus import (
+            incremental_new_content,
+            snapshot_diff,
+        )
+        from housenumbercore_ray.sources.worldgen import ensure_world_scale
+
+        wd = ensure_world_scale("sf0.001")
+        inc = incremental_new_content(wd).to_pandas()
+        assert (inc.loc[inc["status"] == "seen", "n_prev_urls"] >= 1).all()
+        assert (inc.loc[inc["status"] == "new", "n_prev_urls"] == 0).all()
+        # url-level 'unchanged' ⇒ the same content existed in prev ⇒ 'seen'
+        sd = snapshot_diff(wd).to_pandas()
+        unchanged = set(sd.loc[sd["status"] == "unchanged", "url"])
+        sub = inc[inc["url"].isin(unchanged)]
+        assert (sub["status"] == "seen").all()
+        # worldgen plants both removals (pg%7==3) and edits (pg%13==6),
+        # so both classes must be present
+        assert (inc["status"] == "new").any() and (inc["status"] == "seen").any()
+
+
 class TestFillTokenBudget:
     def test_matches_sql_and_budget_is_tight(self, ray_session):
         import duckdb
