@@ -1820,6 +1820,12 @@ def _lsh_candidate_pairs(docs: rd.Dataset, k: int = 64, bands: int = 16) -> rd.D
 
 SEMI_FILTER_MAX_IDS = 5_000_000
 
+#: substring-span fast path: broadcast the dup-pair list + doc_b window
+#: memberships when the dup set is this small (typical for a deduplicated
+#: crawl); beyond it the sharded-join path takes over
+SUBSTRING_BROADCAST_MAX_DOCS = 100_000
+SUBSTRING_BROADCAST_MAX_PAIRS = 500_000
+
 
 def _candidate_id_array(pairs: rd.Dataset, a_col: str = "doc_id_a",
                         b_col: str = "doc_id_b") -> np.ndarray:
@@ -3639,6 +3645,77 @@ def substring_dup_spans(sf_dir: str, w: int = 8, min_shared: int = 2,
     # and the full corpus is scanned exactly once (the pair-discovery pass)
     pairs = pairs.materialize()
     cand_ids = _candidate_id_array(pairs)
+
+    # SMALL-SIDE FAST PATH (r3-final): when the dup set is broadcastable,
+    # the whole span measurement collapses to ONE zero-shuffle stage — a
+    # doc's windows are computed whole inside its batch, doc_b memberships
+    # ride along as a broadcast dict, so the two bucketed joins and the
+    # final pair-sharded groupby (3 barrier stages, ~2 s fixed overhead
+    # each on small inputs) disappear. Identical output contract; the
+    # sharded-join path below remains the large-dup-set fallback.
+    n_pairs = pairs.count()
+    if (len(cand_ids) <= SUBSTRING_BROADCAST_MAX_DOCS
+            and n_pairs <= SUBSTRING_BROADCAST_MAX_PAIRS):
+        from ..state import metrics
+
+        metrics.incr("substring_fast_path", 1)
+        pairs_pd = pairs.to_pandas()
+        pairs_by_a: dict[int, list] = {}
+        for a, b2, shared in zip(pairs_pd["doc_id_a"].to_numpy(np.int64),
+                                 pairs_pd["doc_id_b"].to_numpy(np.int64),
+                                 pairs_pd["shared_windows"].to_numpy(np.int64)):
+            pairs_by_a.setdefault(int(a), []).append((int(b2), int(shared)))
+        b_ids = np.unique(pairs_pd["doc_id_b"].to_numpy(np.int64))
+        mem_b = (_semi_filter(docs, "doc_id", b_ids)
+                 .map_batches(win_rows, batch_format="pandas")
+                 .map_batches(lambda b: b[["doc_id", "h"]].drop_duplicates(),
+                              batch_format="pandas")
+                 .to_pandas())
+        bmem = {int(d): np.sort(g["h"].to_numpy(np.int64))
+                for d, g in mem_b.groupby("doc_id")}
+        side = ray.put((pairs_by_a, bmem))
+
+        class SpanReduce:
+            def __init__(self):
+                self.pairs_by_a, self.bmem = ray.get(side)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                join = " ".join
+                rows = []
+                for doc_id, text in zip(b["doc_id"].to_numpy(np.int64),
+                                        b["text"]):
+                    plist = self.pairs_by_a.get(int(doc_id))
+                    if not plist:
+                        continue
+                    toks = text.split()
+                    hs = np.fromiter(
+                        (_md5_hash64(g) >> 1 for g in
+                         map(join, zip(*(toks[i:] for i in range(w))))),
+                        dtype=np.int64, count=max(0, len(toks) - w + 1))
+                    for b2, shared in plist:
+                        memb = self.bmem[b2]
+                        idx = np.searchsorted(memb, hs)
+                        idx[idx == len(memb)] = 0
+                        hit = memb[idx] == hs
+                        pos = np.flatnonzero(hit)
+                        if len(pos) == 0:
+                            mr = 0
+                        else:
+                            _, cnts = np.unique(
+                                pos - np.arange(len(pos), dtype=np.int64),
+                                return_counts=True)
+                            mr = int(cnts.max())
+                        rows.append((int(doc_id), b2, shared, mr,
+                                     mr + w - 1 if mr > 0 else 0))
+                return pd.DataFrame(rows, columns=[
+                    "doc_id_a", "doc_id_b", "shared_windows",
+                    "max_run_windows", "max_span_tokens"]).astype(np.int64)
+
+        return (_semi_filter(docs, "doc_id",
+                             np.unique(pairs_pd["doc_id_a"].to_numpy(np.int64)))
+                .map_batches(SpanReduce, batch_format="pandas",
+                             concurrency=(1, 4), num_cpus=1))
+
     if len(cand_ids) <= SEMI_FILTER_MAX_IDS:
         docs_f = _semi_filter(docs, "doc_id", cand_ids)
         wins = docs_f.map_batches(win_rows, batch_format="pandas")
