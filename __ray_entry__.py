@@ -112,6 +112,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_muni_area": lambda sf: __import__(
             "housenumbercore_ray.pipelines.geometry", fromlist=["muni_area"]
         ).muni_area(_world(sf)),
+        "geo_street_length": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.geometry", fromlist=["street_length"]
+        ).street_length(_world(sf)),
         "geo_bbox_pairs": lambda sf: __import__(
             "housenumbercore_ray.pipelines.geometry", fromlist=["muni_bbox_pairs"]
         ).muni_bbox_pairs(_world(sf)),
@@ -733,6 +736,7 @@ def oracle_sql() -> dict[str, str]:
 
     out["geo_street_vertices"] = geo_o.street_vertices_sql(wd)
     out["geo_muni_area"] = geo_o.muni_area_sql(wd)
+    out["geo_street_length"] = geo_o.street_length_sql(wd)
     out["geo_bbox_pairs"] = geo_o.bbox_pairs_sql(wd)
     out["geo_line_simplify"] = geo_o.line_simplify_sql(wd)
     out["geo_reverse_geocode"] = geo_o.reverse_geocode_sql(wd)

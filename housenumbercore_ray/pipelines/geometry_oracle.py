@@ -86,6 +86,30 @@ SELECT osm_id, seq, x AS lon, y AS lat FROM verts
 """
 
 
+def street_length_sql(world_dir: str) -> str:
+    """geo_street_length: equirectangular per-segment length recomputed
+    from the same WKB bytes with the same operation order
+    (R·sqrt(((Δlat)·π/180)² + ((Δlon)·π/180·cos(mid·π/180))²)); libm
+    cos/sqrt ulp differences are absorbed by the round-2 contract."""
+    return f"""
+WITH {_street_verts_cte(world_dir)},
+seg AS (
+  SELECT a.osm_id,
+         6371000.0 * sqrt(
+           pow((b.y - a.y) * pi() / 180, 2) +
+           pow((b.x - a.x) * pi() / 180 * cos((a.y + b.y) / 2 * pi() / 180), 2)
+         ) AS d
+  FROM verts a JOIN verts b ON b.osm_id = a.osm_id AND b.seq = a.seq + 1
+),
+vc AS (SELECT osm_id, count(*) AS nv FROM verts GROUP BY osm_id),
+sl AS (SELECT osm_id, sum(d) AS len FROM seg GROUP BY osm_id)
+SELECT vc.osm_id, CAST(vc.nv AS BIGINT) AS n_vertices,
+       CAST(greatest(vc.nv - 1, 0) AS BIGINT) AS n_segments,
+       round(coalesce(sl.len, 0.0), 2) AS length_m
+FROM vc LEFT JOIN sl USING (osm_id)
+"""
+
+
 def muni_area_sql(world_dir: str) -> str:
     return f"""
 WITH RECURSIVE

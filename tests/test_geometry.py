@@ -242,3 +242,44 @@ class TestLongStreetOracleParity:
         # densified points kept
         n_kept = (a["osm_id"] == 501).sum()
         assert 2 < n_kept < (n - 1) * DENSIFY_D + 1
+
+
+class TestStreetLength:
+    def test_known_length_and_oracle_parity(self, ray_session, tmp_path):
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from housenumbercore_ray.pipelines import geometry as g
+        from housenumbercore_ray.pipelines import geometry_oracle as go
+
+        # street 1: pure-latitude 0.01 deg hop at the equator = R*0.01*pi/180;
+        # street 2: pure-longitude 0.02 deg hop at lat 60 (cos factor ~0.5);
+        # street 3: 3 vertices, two equal hops
+        wkbs = [
+            linestring_wkb([(10.0, 0.0), (10.0, 0.01)]),
+            linestring_wkb([(10.0, 60.0), (10.02, 60.0)]),
+            linestring_wkb([(10.0, 0.0), (10.0, 0.01), (10.0, 0.02)]),
+        ]
+        tbl = pa.table({"osm_id": pa.array([1, 2, 3], pa.int64()),
+                        "linestring_wkb": pa.array(wkbs, pa.binary())})
+        wd = str(tmp_path / "w")
+        import os
+        os.makedirs(wd, exist_ok=True)
+        pq.write_table(tbl, f"{wd}/osm_streets.parquet")
+
+        eng = (g.street_length(wd).to_pandas()
+               .sort_values("osm_id").reset_index(drop=True))
+        r = 6371000.0
+        lat_hop = r * 0.01 * np.pi / 180
+        lon_hop = r * 0.02 * np.pi / 180 * np.cos(60.0 * np.pi / 180)
+        assert abs(eng.loc[0, "length_m"] - round(lat_hop, 2)) < 0.02
+        assert abs(eng.loc[1, "length_m"] - round(lon_hop, 2)) < 0.02
+        assert abs(eng.loc[2, "length_m"] - 2 * lat_hop) < 0.05
+        assert list(eng["n_vertices"]) == [2, 2, 3]
+        assert list(eng["n_segments"]) == [1, 1, 2]
+
+        ora = (duckdb.sql(go.street_length_sql(wd)).df()
+               .sort_values("osm_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
