@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bm25_topk": lambda sf: corpus.bm25_topk(sf),
         "text_decontaminate_spans": lambda sf: corpus.decontaminate_spans(sf),
         "corpus_fill_token_budget": lambda sf: corpus.fill_token_budget(sf),
+        "corpus_dsir_weights": lambda sf: corpus.dsir_weights(sf),
         "embedding_kmeans": lambda sf: corpus.embedding_kmeans(sf),
         "embedding_knn_graph": lambda sf: corpus.embedding_knn_graph(sf),
         "web_bloom_seen": lambda sf: corpus.bloom_seen(_world(sf)),
@@ -384,6 +385,7 @@ FROM t
         "text_bm25_topk": co.bm25_topk_sql(),
         "text_decontaminate_spans": co.decontaminate_spans_sql(),
         "corpus_fill_token_budget": co.fill_token_budget_sql(),
+        "corpus_dsir_weights": co.dsir_weights_sql(),
         "embedding_kmeans": co.embedding_kmeans_sql(),
         "embedding_knn_graph": co.knn_graph_sql(),
         "web_bloom_seen": co.bloom_seen_sql(world_dir),

@@ -383,6 +383,98 @@ def fill_token_budget(sf_dir: str, budget: int = 800,
             .map_groups(cut, batch_format="pandas"))
 
 
+def dsir_weights(sf_dir: str, n_buckets: int = 1024,
+                 target_lang: str = "de") -> rd.Dataset:
+    """DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how target-like its hashed-unigram distribution is,
+
+        weight(d) = Σ_tokens ln( p_target(bucket(w)) / p_corpus(bucket(w)) )
+
+    with md5-bucketed unigram features (``n_buckets`` buckets, +1 Laplace
+    smoothing) and target = the ``lang == target_lang`` slice. Positive →
+    resample toward the doc; the downstream sampler is
+    ``corpus_sample_weighted``.
+
+    Scale shape — NO vocabulary state anywhere: pass 1 reduces token
+    instances to TWO O(n_buckets) count vectors (per-batch bincount
+    partials → one bounded groupby → a 1024-float broadcast log-ratio
+    table); pass 2 streams the corpus through a stateless dot(counts, lr)
+    kernel. Driver/broadcast state is O(n_buckets), independent of corpus
+    and vocabulary size."""
+    from ..stages.dedup import _HashCache
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+
+    cache = _HashCache()
+
+    def _doc_buckets(texts) -> tuple[np.ndarray, np.ndarray]:
+        """flat (bucket, doc_idx) arrays for every token instance."""
+        counts = np.empty(len(texts), dtype=np.int64)
+        flat: list[str] = []
+        for i, t in enumerate(texts):
+            ts = t.split()
+            counts[i] = len(ts)
+            flat.extend(ts)
+        if not flat:
+            return np.zeros(0, np.int64), counts
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+        bk_u = (cache.hash_unique(uniques) % np.uint64(n_buckets)).astype(np.int64)
+        return bk_u[codes], counts
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].fillna("").tolist()
+        bks, counts = _doc_buckets(texts)
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        is_t = (b["lang"].to_numpy(object) == target_lang)[doc_idx]
+        n_all = np.bincount(bks, minlength=n_buckets)
+        n_tgt = np.bincount(bks[is_t], minlength=n_buckets)
+        return pd.DataFrame({"bucket": np.arange(n_buckets, dtype=np.int64),
+                             "n_tgt": n_tgt.astype(np.int64),
+                             "n_all": n_all.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    agg = (docs.map_batches(count_partial, batch_format="pandas")
+           .groupby("bucket")
+           .aggregate(Sum("n_tgt", alias_name="n_tgt"),
+                      Sum("n_all", alias_name="n_all"))
+           .take_all())
+    ct = np.zeros(n_buckets, dtype=np.int64)
+    ca = np.zeros(n_buckets, dtype=np.int64)
+    for r in agg:
+        ct[int(r["bucket"])] = int(r["n_tgt"])
+        ca[int(r["bucket"])] = int(r["n_all"])
+    nt, na = int(ct.sum()), int(ca.sum())
+    lr = np.log(((ct + 1.0) / (nt + n_buckets)) / ((ca + 1.0) / (na + n_buckets)))
+    lr_ref = ray.put(lr)
+
+    class Score:
+        def __init__(self):
+            self.lr = ray.get(lr_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            texts = b["text"].fillna("").tolist()
+            bks, counts = _doc_buckets(texts)
+            doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+            # per-doc dot(bucket_counts, lr) with a deterministic
+            # bucket-ascending accumulation order
+            key = doc_idx * np.int64(n_buckets) + bks
+            ukey, cnt = np.unique(key, return_counts=True)
+            w = np.zeros(len(texts), dtype=np.float64)
+            np.add.at(w, ukey // n_buckets,
+                      cnt * self.lr[ukey % n_buckets])
+            return pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_tok": counts,
+                "log_ratio": np.round(w, 6),
+            })
+
+    return docs.map_batches(Score, batch_format="pandas",
+                            concurrency=(1, 4), num_cpus=1)
+
+
 def source_quality_cap(sf_dir: str, k: int = 3) -> rd.Dataset:
     """Domain-balancing cap (CCNet/Gopher-style "max N docs per domain"):
     keep the top ``k`` docs per source/domain ranked by stopword-ratio

@@ -253,6 +253,39 @@ FROM grp GROUP BY doc_id, gid
 """
 
 
+def dsir_weights_sql(src: str = "documents", n_buckets: int = 1024,
+                     target_lang: str = "de") -> str:
+    """corpus_dsir_weights: the hashed-unigram importance weights
+    recomputed in SQL — same md5 bucket hash (_HASH64 % n_buckets), same
+    +1/(N+B) Laplace smoothing and ln-ratio op order; the per-doc sum runs
+    over token instances (vs the engine's bucket-count dot product), which
+    is the same value up to summation order — absorbed by round(…, 6) on
+    BOTH sides."""
+    bk = _HASH64.format(s="term") + f" % {n_buckets}"
+    return f"""
+WITH {_tokens_cte(src, 'doc_id', 'text')},
+e AS (SELECT doc_id, unnest(ts) AS term FROM tok),
+b AS (SELECT e.doc_id, CAST({bk} AS BIGINT) AS bk, d.lang
+      FROM e JOIN {src} d USING (doc_id)),
+tb AS (SELECT bk, count(*) AS n FROM b WHERE lang = '{target_lang}' GROUP BY bk),
+ab AS (SELECT bk, count(*) AS n FROM b GROUP BY bk),
+tot AS (SELECT (SELECT count(*) FROM b WHERE lang = '{target_lang}') AS nt,
+               (SELECT count(*) FROM b) AS na),
+lr AS (
+  SELECT g.bk,
+         ln(((coalesce(tb.n, 0) + 1.0) / (tot.nt + {n_buckets}))
+            / ((coalesce(ab.n, 0) + 1.0) / (tot.na + {n_buckets}))) AS w
+  FROM (SELECT unnest(range({n_buckets})) AS bk) g
+  LEFT JOIN tb USING (bk) LEFT JOIN ab USING (bk) CROSS JOIN tot),
+s AS (SELECT b.doc_id, count(*) AS n_tok, sum(lr.w) AS w
+      FROM b JOIN lr USING (bk) GROUP BY b.doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(s.n_tok, 0) AS BIGINT) AS n_tok,
+       round(coalesce(s.w, 0.0), 6) AS log_ratio
+FROM {src} d LEFT JOIN s USING (doc_id)
+"""
+
+
 def fill_token_budget_sql(src: str = "documents", budget: int = 800) -> str:
     """corpus_fill_token_budget: the per-source running-total cut
     recomputed as a single ordered window cumsum — the engine's two-stage

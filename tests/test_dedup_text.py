@@ -438,6 +438,28 @@ class TestFillTokenBudget:
                 assert used + nxt["n_tok"] > 800
 
 
+class TestDsirWeights:
+    def test_matches_sql_and_separates_target(self, ray_session):
+        import duckdb
+
+        from housenumbercore_ray.pipelines.corpus import dsir_weights
+        from housenumbercore_ray.pipelines.corpus_oracle import dsir_weights_sql
+
+        sf = "/root/testdata/sf0.001"
+        eng = dsir_weights(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+        ora = con.sql(dsir_weights_sql()).df().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
+        # the importance weight must actually separate the target slice:
+        # target-language docs score higher on average than the rest
+        langs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "lang"])
+        m = eng.merge(langs, on="doc_id")
+        de = m.loc[m["lang"] == "de", "log_ratio"].mean()
+        rest = m.loc[m["lang"] != "de", "log_ratio"].mean()
+        assert de > rest
+
+
 class TestBm25Topk:
     def test_matches_sql_and_invariants(self, ray_session):
         import duckdb
