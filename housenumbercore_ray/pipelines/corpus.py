@@ -339,8 +339,16 @@ def fill_token_budget(sf_dir: str, budget: int = 800,
 
     md = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
     idx = md.schema.to_arrow_schema().get_field_index("doc_id")
-    max_id = max(md.row_group(i).column(idx).statistics.max
-                 for i in range(md.num_row_groups))
+    stats = [md.row_group(i).column(idx).statistics
+             for i in range(md.num_row_groups)]
+    if all(s is not None and s.has_min_max for s in stats):
+        max_id = max(s.max for s in stats)
+    else:  # stats-less writer: one distributed Max pass instead
+        from ray.data.aggregate import Max
+
+        max_id = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"]) \
+            .aggregate(Max("doc_id"))["max(doc_id)"]
     span = int(max_id) + 1
 
     def skinny(b: pd.DataFrame) -> pd.DataFrame:
