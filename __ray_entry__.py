@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_regional_revenue": relational.regional_revenue,
         "rel_revenue_rollup": relational.revenue_rollup,
         "rel_events_hopping": relational.events_hopping_window,
+        "rel_events_window_users": relational.events_window_users,
         "rel_top_suppliers_per_nation": relational.top_suppliers_per_nation,
         "rel_price_quantiles": relational.price_quantiles,
         "rel_order_gaps": relational.order_gaps,
@@ -585,6 +586,19 @@ SELECT TIMESTAMP '1970-01-01' + w * INTERVAL 1 DAY AS window_start,
        event_type, CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 2) AS sum_value
 FROM ex GROUP BY w, event_type
+""",
+        "rel_events_window_users": """
+WITH x AS (
+  SELECT user_id,
+         CAST((date_diff('day', TIMESTAMP '1970-01-01', ts) // 7) * 7 AS BIGINT) AS w0
+  FROM events),
+ex AS (
+  SELECT user_id, w0 AS w FROM x
+  UNION ALL
+  SELECT user_id, w0 - 7 AS w FROM x)
+SELECT TIMESTAMP '1970-01-01' + w * INTERVAL 1 DAY AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM ex GROUP BY w
 """,
         "rel_order_gaps": """
 SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,

@@ -156,6 +156,47 @@ def events_hopping_window(sf_dir: str, size_days: int = 14,
             .map_groups(final, batch_format="pandas"))
 
 
+def events_window_users(sf_dir: str, size_days: int = 14,
+                        hop_days: int = 7) -> rd.Dataset:
+    """DISTINCT-CARDINALITY over hopping windows (the stream-analytics
+    "weekly active users" shape): distinct user_ids per overlapping
+    epoch-aligned window — an aggregate that, unlike a sum, does NOT
+    commute with naive partials, so the pipeline dedups BEFORE counting:
+
+      1. vectorized ×(size/hop) window expansion per batch;
+      2. per-batch ``drop_duplicates`` on (window, user) — shrinks shuffle
+         rows to distinct pairs per batch;
+      3. ONE groupby on window_start; each group holds every (window,
+         user) pair of its window, so the distinct count is a vectorized
+         in-group ``nunique``.
+    Shuffle volume is O(distinct (window, user) pairs × batches) — the
+    exact-distinct analog of the HLL sketch op (``web_distinct_urls_hll``
+    is the approximate scale path when per-window user sets explode)."""
+    assert size_days == 2 * hop_days, "expansion below assumes size = 2·hop"
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def expand_dedup(b: pd.DataFrame) -> pd.DataFrame:
+        days = b["ts"].to_numpy("datetime64[D]").astype("int64")
+        w0 = (days // hop_days) * hop_days
+        g = pd.DataFrame({
+            "window_start": np.concatenate([w0, w0 - hop_days]),
+            "user_id": np.tile(b["user_id"].to_numpy(np.int64), 2),
+        })
+        return g.drop_duplicates()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "window_start": pd.to_datetime(
+                np.asarray([g["window_start"].iloc[0]]),
+                unit="D").astype("datetime64[us]"),
+            "n_users": pd.Series([g["user_id"].nunique()], dtype=np.int64),
+        })
+
+    return (ds.map_batches(expand_dedup, batch_format="pandas")
+            .groupby("window_start")
+            .map_groups(final, batch_format="pandas"))
+
+
 def events_month_over_month(sf_dir: str) -> rd.Dataset:
     """J10 analog (month-over-month diff views,
     dbstructure_theoeval.sql:1019-1037): monthly rollup self-joined with the

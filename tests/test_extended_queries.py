@@ -289,6 +289,33 @@ class TestEventsHopping:
         pd.testing.assert_frame_equal(got[ora.columns], ora, check_dtype=False)
 
 
+class TestEventsWindowUsers:
+    def test_bounds_and_sql_parity(self, ray_session):
+        import duckdb
+        import pandas as pd
+
+        import __ray_entry__ as entry
+        from housenumbercore_ray.pipelines.relational import (
+            events_hopping_window,
+            events_window_users,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        eng = events_window_users(sf).to_pandas()
+        # distinct users per window can never exceed that window's events
+        ev = events_hopping_window(sf).to_pandas() \
+            .groupby("window_start", as_index=False)["n_events"].sum()
+        m = eng.merge(ev, on="window_start")
+        assert (m["n_users"] <= m["n_events"]).all()
+        assert (m["n_users"] >= 1).all()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+        ora = con.sql(entry.oracle_sql()["rel_events_window_users"]).df() \
+            .sort_values("window_start").reset_index(drop=True)
+        got = eng.sort_values("window_start").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[ora.columns], ora, check_dtype=False)
+
+
 class TestStreetGaps:
     def test_invariants_and_pandas_recomputation(self, ray_session):
         import pandas as pd
