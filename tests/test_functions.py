@@ -178,3 +178,34 @@ class TestCandidateExtractorPrefilter:
         assert len(out) == 1
         assert out["street_raw"][0].as_py().strip() == "Hauptstraße"
         assert out["hnr_raw"][0].as_py() == "5"
+
+
+class TestExtractMalformedBytes:
+    """Crawl-dirt robustness: invalid utf-8, truncated markup, and empty
+    payloads must never crash the extractor and must be deterministic."""
+
+    CASES = [
+        b"",
+        b"\xff\xfe\x00garbage",
+        b"<html><body><p>Adresse: Hauptstra\xff\x9fe 5, 10115 X (52.5,13.4)</p>",
+        b"<p>unclosed",
+        b"\x00\x01\x02<p>Adresse: Teststr. 7, 99999 Y (50.0,8.0)</p>\x03",
+    ]
+
+    def test_never_raises_and_deterministic(self):
+        from housenumbercore_ray.stages.extract import extract_text
+
+        for raw in self.CASES:
+            a, b = extract_text(raw), extract_text(raw)
+            assert isinstance(a, str) and a == b
+
+    def test_extractor_batch_survives(self):
+        import pyarrow as pa
+
+        from housenumbercore_ray.stages.extract import CandidateExtractor
+
+        batch = pa.table({"url": [f"u{i}" for i in range(len(self.CASES))],
+                          "html": list(self.CASES)})
+        out = CandidateExtractor(prefilter=False)(batch)
+        # the one well-formed mention (valid utf-8 case) is still found
+        assert "u4" in set(out["url"].to_pylist())
