@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # webtext crawl ops (pages table of the world)
         "web_line_dedup": lambda sf: corpus.line_dedup(_world(sf)),
         "web_host_stats": lambda sf: corpus.host_stats(_world(sf)),
+        "text_spell_variants": lambda sf: corpus.spell_variants(_world(sf)),
         "web_repetition": lambda sf: corpus.repetition_metrics(_world(sf)),
         "web_pii_redact": lambda sf: corpus.pii_redact(_world(sf)),
         "web_url_canonical": lambda sf: corpus.url_canonicalize(_world(sf)),
@@ -379,6 +380,7 @@ FROM t
         "corpus_top_ngrams": co.top_ngrams_sql(),
         "web_line_dedup": co.line_dedup_sql(world_dir),
         "web_host_stats": co.host_stats_sql(world_dir),
+        "text_spell_variants": co.spell_variants_sql(world_dir),
         "web_repetition": co.repetition_sql(world_dir),
         "web_pii_redact": co.pii_redact_sql(world_dir),
         "web_url_canonical": co.url_canonical_sql(world_dir),

@@ -4281,3 +4281,179 @@ def pca_power(sf_dir: str, iters: int = 8) -> rd.Dataset:
         "eigval": np.full(dim, round(nrm / n, 6) if n else 0.0),
     })
     return rd.from_pandas(out)
+
+
+# ---------------------------------------------------------------------------
+# Spell-variant mining (FastSS / SymSpell deletion-neighborhood join)
+# ---------------------------------------------------------------------------
+
+_SPELL_SPLIT = None  # compiled lazily (module import stays cheap)
+
+
+def _spell_tokenize(texts: pd.Series, min_len: int, max_len: int) -> np.ndarray:
+    """lower + split on [^a-zäöüß0-9]+, keep words in the length band.
+    Contract: ASCII+German-letter text (the corpus premise); the oracle
+    uses the identical explicit character class, so Python-re vs RE2
+    ``\\s`` divergence (ADVICE r3, textops) cannot arise here."""
+    global _SPELL_SPLIT
+    if _SPELL_SPLIT is None:
+        import re
+
+        _SPELL_SPLIT = re.compile(r"[^a-zäöüß0-9]+")
+    flat: list[str] = []
+    for t in texts.fillna(""):
+        flat.extend(_SPELL_SPLIT.split(t.lower()))
+    arr = np.asarray(flat, dtype=object)
+    if len(arr) == 0:
+        return arr
+    ln = np.char.str_len(arr.astype(str))
+    return arr[(ln >= min_len) & (ln <= max_len)]
+
+
+def _deletion_variants(words: np.ndarray, counts: np.ndarray) -> pd.DataFrame:
+    """(variant, w, n) rows: each word itself plus every single-deletion
+    string. Vectorized per length class: U1 char-matrix view, column drop,
+    contiguous re-view — no per-word Python in the inner loop."""
+    out_v: list[np.ndarray] = []
+    out_w: list[np.ndarray] = []
+    out_n: list[np.ndarray] = []
+    s = words.astype(str)
+    lens = np.char.str_len(s)
+    for L in np.unique(lens):
+        sel = lens == L
+        wl = s[sel].astype(f"<U{L}")
+        nl = counts[sel]
+        out_v.append(wl.astype(object))  # the word itself (0 deletions)
+        out_w.append(wl.astype(object))
+        out_n.append(nl)
+        if L < 2:
+            continue
+        m = wl.view("<U1").reshape(len(wl), L)
+        keep = np.arange(L)
+        for p in range(L):
+            v = np.ascontiguousarray(m[:, keep != p]).view(f"<U{L - 1}").ravel()
+            out_v.append(v.astype(object))
+            out_w.append(wl.astype(object))
+            out_n.append(nl)
+    return pd.DataFrame({
+        "variant": np.concatenate(out_v) if out_v else np.array([], object),
+        "w": np.concatenate(out_w) if out_w else np.array([], object),
+        "n": (np.concatenate(out_n) if out_n else np.array([], np.int64)).astype(np.int64),
+    })
+
+
+def _lev1_mask(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact lev(a,b) <= 1 for pairs with |len diff| <= 1 and a != b:
+    true iff longest-common-prefix + longest-common-suffix >= max_len - 1
+    (equal length: one substitution window; off-by-one length: one
+    insertion/deletion window). Fully vectorized over padded U1 matrices."""
+    sa, sb = a.astype(str), b.astype(str)
+    la, lb = np.char.str_len(sa), np.char.str_len(sb)
+    if len(sa) == 0:
+        return np.zeros(0, dtype=bool)
+    m = int(max(la.max(), lb.max()))
+
+    def mat(x: np.ndarray) -> np.ndarray:
+        return x.astype(f"<U{m}").view("<U1").reshape(len(x), m)
+
+    A, B = mat(sa), mat(sb)
+    eq = A == B
+    lcp = np.where(eq.all(axis=1), np.minimum(la, lb), eq.argmin(axis=1))
+    # suffix pass on reversed strings; the reversal loop runs over
+    # CANDIDATE pairs (deletion-neighborhood-bounded), not corpus tokens
+    Ar = mat(np.asarray([w[::-1] for w in sa], dtype=object).astype(str))
+    Br = mat(np.asarray([w[::-1] for w in sb], dtype=object).astype(str))
+    eqr = Ar == Br
+    lcs = np.where(eqr.all(axis=1), np.minimum(la, lb), eqr.argmin(axis=1))
+    need = np.maximum(la, lb) - 1
+    return (np.minimum(lcp, np.minimum(la, lb))
+            + np.minimum(lcs, np.minimum(la, lb))) >= need
+
+
+def spell_variants(world_dir: str, min_len: int = 4,
+                   max_len: int = 20) -> rd.Dataset:
+    """Vocabulary near-miss pairs (edit distance <= 1) over the crawl —
+    the spell-variant / OCR-noise mining primitive of corpus
+    normalization (Bocek et al. 2007 FastSS; SymSpell): find every pair
+    of corpus words one edit apart, with both corpus frequencies, so a
+    cleaning pass can map rare variants onto their frequent form.
+
+    Scale shape — never all-pairs over the vocabulary:
+      1. per-batch token counts -> ONE vocab shuffle, O(distinct words)
+         state total (sharded, never on the driver);
+      2. deletion-neighborhood expansion: each vocab word emits itself +
+         its L single-deletion strings (O(vocab x len) rows, vectorized
+         U1 column drops);
+      3. ONE variant-keyed shuffle: two words can be <=1 edit apart only
+         if they share a variant, so candidate pairs form inside
+         O(few-word) groups — pair expansion is per-group quadratic but
+         group sizes are deletion-neighborhood-bounded, not corpus-bound;
+      4. pair dedup (a pair shares up to len+1 variants) + exact
+         vectorized lcp/lcs verification (identical predicate to
+         levenshtein(a,b)<=1 under the |len diff|<=1 invariant the
+         blocking guarantees).
+    The oracle recomputes INDEPENDENTLY: blocked SQL self-join (first-or-
+    last-char share, a provable property of lev<=1 pairs) + DuckDB's
+    levenshtein() — a different algorithm, same set."""
+    pages = rd.read_parquet(f"{world_dir}/pages", columns=["text"])
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        toks = _spell_tokenize(b["text"], min_len, max_len)
+        if len(toks) == 0:
+            return pd.DataFrame({"w": pd.Series([], dtype=object),
+                                 "k": pd.Series([], dtype=np.int64)})
+        v, c = np.unique(toks.astype(str), return_counts=True)
+        return pd.DataFrame({"w": v.astype(object), "k": c.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import shuffle_blocks
+
+    vocab = (
+        pages.map_batches(partial_counts, batch_format="pandas")
+        .groupby("w")
+        .aggregate(Sum("k", alias_name="n"))
+    )
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        return _deletion_variants(b["w"].to_numpy(object),
+                                  b["n"].to_numpy(np.int64))
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        k = len(g)
+        empty = pd.DataFrame({"w1": pd.Series([], dtype=object),
+                              "w2": pd.Series([], dtype=object),
+                              "n1": pd.Series([], dtype=np.int64),
+                              "n2": pd.Series([], dtype=np.int64)})
+        if k < 2:
+            return empty
+        # a word can appear twice in one variant group (two deletions of
+        # itself collide, e.g. 'aab' -> 'ab' twice): dedup words first
+        g = g.drop_duplicates("w")
+        k = len(g)
+        if k < 2:
+            return empty
+        order = np.argsort(g["w"].to_numpy(object))  # w1 < w2 canonical
+        w = g["w"].to_numpy(object)[order]
+        n = g["n"].to_numpy(np.int64)[order]
+        i, j = np.triu_indices(k, k=1)
+        return pd.DataFrame({"w1": w[i], "w2": w[j],
+                             "n1": n[i], "n2": n[j]})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.drop_duplicates(["w1", "w2"])
+        m = _lev1_mask(first["w1"].to_numpy(object), first["w2"].to_numpy(object))
+        return first.loc[m, ["w1", "w2", "n1", "n2"]]
+
+    nb = shuffle_blocks()
+    cands = (
+        vocab.map_batches(expand, batch_format="pandas")
+        .repartition(nb)
+        .groupby("variant")
+        .map_groups(group_pairs, batch_format="pandas")
+    )
+    return (
+        cands.repartition(nb)
+        .groupby(["w1", "w2"])
+        .map_groups(verify, batch_format="pandas")
+    )

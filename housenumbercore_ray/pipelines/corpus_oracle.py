@@ -1490,3 +1490,23 @@ def pca_power_sql(dim: int = 64, iters: int = 8) -> str:
         f"FROM n{iters}"
         for j in range(dim))
     return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def spell_variants_sql(world_dir: str, min_len: int = 4, max_len: int = 20) -> str:
+    """text_spell_variants: INDEPENDENT recomputation — blocked self-join
+    (lev<=1 pairs with len>=2 provably share their first or last char;
+    the edit touches one end at most) + DuckDB's levenshtein(), a wholly
+    different algorithm from the engine's FastSS deletion-neighborhood
+    join. Same explicit [^a-zäöüß0-9]+ token class on both sides (no
+    ``\\s`` RE2-vs-Python divergence possible)."""
+    return f"""
+WITH toks AS (SELECT unnest(string_split_regex(lower(text), '[^a-zäöüß0-9]+')) AS w
+              FROM read_parquet('{world_dir}/pages/*.parquet')),
+v AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks
+      WHERE length(w) BETWEEN {min_len} AND {max_len} GROUP BY w)
+SELECT a.w AS w1, b.w AS w2, a.n AS n1, b.n AS n2
+FROM v a JOIN v b
+  ON a.w < b.w AND abs(length(a.w) - length(b.w)) <= 1
+ AND (left(a.w,1) = left(b.w,1) OR right(a.w,1) = right(b.w,1))
+WHERE levenshtein(a.w, b.w) <= 1
+"""
