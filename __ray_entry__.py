@@ -87,6 +87,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_assign": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["tile_assign"]
         ).tile_assign(_world(sf)),
+        "geo_tile_polyfill": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.tiles", fromlist=["tile_polyfill"]
+        ).tile_polyfill(_world(sf)),
         "geo_tile_rasterize": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["tile_rasterize"]
         ).tile_rasterize(_world(sf)),

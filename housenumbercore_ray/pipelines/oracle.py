@@ -623,6 +623,29 @@ SELECT CAST(muni_id AS BIGINT) AS muni_id,
        round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS mean_cell_points
 FROM assigned GROUP BY muni_id
 """,
+        # polyfill: worldgen parent polygons are exact bbox tilings (see
+        # module docstring), so center-in-polygon == center-in-bbox; lattice
+        # centers sit 0.005° off every worldgen edge, so the engine's
+        # ON_RING eps band can never flip a verdict vs the bare compare.
+        "geo_tile_polyfill": f"""
+WITH zones AS (SELECT CAST(muni_id AS BIGINT) AS muni_id,
+                      minlon, minlat, maxlon, maxlat
+               FROM read_parquet('{world_dir}/boundaries.parquet')
+               WHERE sub_id = '-1'),
+cand AS (
+  SELECT z.muni_id, z.minlon, z.minlat, z.maxlon, z.maxlat,
+         CAST(ixu.ix AS BIGINT) AS ix, CAST(iyu.iy AS BIGINT) AS iy
+  FROM zones z,
+       LATERAL unnest(range(CAST(floor((z.minlon + 180.0) / {res}) AS BIGINT),
+                            CAST(floor((z.maxlon + 180.0) / {res}) AS BIGINT) + 1)) AS ixu(ix),
+       LATERAL unnest(range(CAST(floor((z.minlat + 90.0) / {res}) AS BIGINT),
+                            CAST(floor((z.maxlat + 90.0) / {res}) AS BIGINT) + 1)) AS iyu(iy)
+)
+SELECT muni_id, ix, iy, (ix << 22) | iy AS cell
+FROM cand
+WHERE (ix + 0.5) * {res} - 180.0 >= minlon AND (ix + 0.5) * {res} - 180.0 <= maxlon
+  AND (iy + 0.5) * {res} - 90.0 >= minlat AND (iy + 0.5) * {res} - 90.0 <= maxlat
+""",
         # compact: a zoom-z parent is complete iff all 4 children are
         # complete (z0 = occupied); keep complete cells whose parent is not.
         "geo_tile_compact": f"""

@@ -517,3 +517,56 @@ def tile_compact(world_dir: str, max_zoom: int = N_ZOOMS - 1) -> rd.Dataset:
     for f in kept_frames[1:]:
         out = out.union(f)
     return out
+
+
+def tile_polyfill(world_dir: str) -> rd.Dataset:
+    """Polygon → covering z0 cells whose CENTERS lie inside — the
+    ``h3.polygon_to_cells`` (polyfill) analog, the vector→raster half of
+    the north rule's raster↔vector bridge (cf. `tile_zonal_stats`, which
+    rasterizes POINTS; this rasterizes the admin POLYGONS themselves).
+
+    Per boundary row: candidate lattice = the polygon's bbox cover;
+    keep centers passing the general even-odd PIP over the actual WKB
+    rings (multipolygon parts + boundary-inclusive, `geo/pip.py`).
+
+    Scale shape: boundaries is a dimension-table stream — per-polygon
+    independent work (vectorized lattice PIP, O(bbox_cells × ring_verts)
+    per row), ZERO shuffle, no state. At planetary scale cells/polygon is
+    bounded by area/res²; oversized admin polygons split across batches
+    by the read, not by this op."""
+    from ..geo.pip import points_in_polygon
+    from ..geo.wkb import wkb_bbox
+
+    bnd = rd.read_parquet(f"{world_dir}/boundaries.parquet",
+                          columns=["muni_id", "sub_id", "polygon_wkb"])
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["sub_id"] == "-1"]
+        munis: list[np.ndarray] = []
+        ixs: list[np.ndarray] = []
+        iys: list[np.ndarray] = []
+        for muni, wkb in zip(b["muni_id"].to_numpy(np.int64),
+                             b["polygon_wkb"]):
+            minlon, minlat, maxlon, maxlat = wkb_bbox(bytes(wkb))
+            ix0 = int(np.floor((minlon + 180.0) / TILE_RES_DEG))
+            ix1 = int(np.floor((maxlon + 180.0) / TILE_RES_DEG))
+            iy0 = int(np.floor((minlat + 90.0) / TILE_RES_DEG))
+            iy1 = int(np.floor((maxlat + 90.0) / TILE_RES_DEG))
+            gx, gy = np.meshgrid(np.arange(ix0, ix1 + 1, dtype=np.int64),
+                                 np.arange(iy0, iy1 + 1, dtype=np.int64),
+                                 indexing="ij")
+            gx, gy = gx.ravel(), gy.ravel()
+            clon = (gx + 0.5) * TILE_RES_DEG - 180.0
+            clat = (gy + 0.5) * TILE_RES_DEG - 90.0
+            m = points_in_polygon(clon, clat, bytes(wkb))
+            munis.append(np.full(int(m.sum()), muni, dtype=np.int64))
+            ixs.append(gx[m])
+            iys.append(gy[m])
+        ix = np.concatenate(ixs) if ixs else np.array([], np.int64)
+        iy = np.concatenate(iys) if iys else np.array([], np.int64)
+        return pd.DataFrame({
+            "muni_id": np.concatenate(munis) if munis else np.array([], np.int64),
+            "ix": ix, "iy": iy, "cell": _cell_id(ix, iy),
+        })
+
+    return bnd.map_batches(fill, batch_format="pandas")

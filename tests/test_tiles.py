@@ -192,3 +192,54 @@ class TestKringAndZonal:
         assert df.loc[1]["n_points"] == 12
         assert df.loc[1]["max_cell_points"] == 3
         assert df.loc[2]["n_cells"] == 1 and df.loc[2]["n_points"] == 5
+
+
+class TestPolyfill:
+    def test_l_shape_excludes_notch(self, ray_session, tmp_path):
+        """The engine runs true even-odd PIP over the WKB rings — an
+        L-shaped polygon must exclude the notch cells a bbox test keeps."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from housenumbercore_ray.geo.wkb import polygon_wkb
+        from housenumbercore_ray.pipelines.tiles import TILE_RES_DEG, tile_polyfill
+
+        r = TILE_RES_DEG
+        # L covering a 2x2-cell bbox minus the top-right cell
+        x0, y0 = -180.0 + 1000 * r, -90.0 + 1000 * r
+        ring = [(x0, y0), (x0 + 2 * r, y0), (x0 + 2 * r, y0 + r),
+                (x0 + r, y0 + r), (x0 + r, y0 + 2 * r), (x0, y0 + 2 * r)]
+        t = pa.table({
+            "muni_id": pa.array([7], pa.int64()),
+            "sub_id": pa.array(["-1"]),
+            "polygon_wkb": pa.array([polygon_wkb(ring)], pa.binary()),
+        })
+        pq.write_table(t, tmp_path / "boundaries.parquet")
+        df = tile_polyfill(str(tmp_path)).to_pandas()
+        got = set(zip(df["ix"], df["iy"]))
+        assert got == {(1000, 1000), (1001, 1000), (1000, 1001)}
+        assert (df["muni_id"] == 7).all()
+        import numpy as np
+
+        expect_cell = (df["ix"].to_numpy(np.int64) << 22) | df["iy"].to_numpy(np.int64)
+        assert (df["cell"].to_numpy(np.int64) == expect_cell).all()
+
+    def test_matches_oracle_on_world(self, ray_session):
+        import duckdb
+
+        from housenumbercore_ray.pipelines.oracle import tiles_sql
+        from housenumbercore_ray.pipelines.tiles import tile_polyfill
+        from housenumbercore_ray.sources.worldgen import ensure_world
+
+        wd = ensure_world("/root/testdata/sf0.001")
+        eng = (tile_polyfill(wd).to_pandas()
+               .sort_values(["muni_id", "ix", "iy"]).reset_index(drop=True))
+        ora = (duckdb.connect().execute(tiles_sql(wd)["geo_tile_polyfill"]).df()
+               .sort_values(["muni_id", "ix", "iy"]).reset_index(drop=True)
+               .astype({"muni_id": "int64", "ix": "int64",
+                        "iy": "int64", "cell": "int64"}))
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(eng, ora)
+        # multipolygon parent (muni 2) fully covered despite two parts
+        assert (eng["muni_id"] == 2).sum() == (eng["muni_id"] == 1).sum() > 0
