@@ -60,6 +60,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hnr_muni_coverage": lambda sf: ev.muni_coverage(_world(sf)),
         "hnr_street_summary": lambda sf: ev.street_summary(_world(sf)),
         "hnr_street_gaps": lambda sf: ev.street_gaps(_world(sf)),
+        "hnr_street_phonetik": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.phonetik_match", fromlist=["street_phonetik"]
+        ).street_phonetik(_world(sf)),
         "hnr_streets_missing_in_osm": lambda sf: ev.streets_missing_in_osm(_world(sf)),
         "hnr_subarea_rows": lambda sf: ev.subarea_rows(_world(sf)),
         "hnr_subarea_street_summary": lambda sf: ev.subarea_street_summary(_world(sf)),
@@ -762,6 +765,9 @@ def oracle_sql() -> dict[str, str]:
     out["geo_line_simplify"] = geo_o.line_simplify_sql(wd)
     out["geo_reverse_geocode"] = geo_o.reverse_geocode_sql(wd)
     out["hnr_assoc_street_fix"] = assoc_street_fix_sql(wd)
+    from housenumbercore_ray.pipelines.phonetik_match import street_phonetik_sql
+
+    out["hnr_street_phonetik"] = street_phonetik_sql(wd)
 
     # deterministic-approximate queries: full SQL recomputations (fixed
     # hash/plane constants embedded as literals) — see pipelines/corpus_oracle
