@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_line_dedup": lambda sf: corpus.line_dedup(_world(sf)),
         "web_host_stats": lambda sf: corpus.host_stats(_world(sf)),
         "text_spell_variants": lambda sf: corpus.spell_variants(_world(sf)),
+        "text_cooccurrence_triangles": lambda sf: corpus.cooccurrence_triangles(_world(sf)),
         "web_repetition": lambda sf: corpus.repetition_metrics(_world(sf)),
         "web_pii_redact": lambda sf: corpus.pii_redact(_world(sf)),
         "web_url_canonical": lambda sf: corpus.url_canonicalize(_world(sf)),
@@ -387,6 +388,7 @@ FROM t
         "web_line_dedup": co.line_dedup_sql(world_dir),
         "web_host_stats": co.host_stats_sql(world_dir),
         "text_spell_variants": co.spell_variants_sql(world_dir),
+        "text_cooccurrence_triangles": co.cooccurrence_triangles_sql(world_dir),
         "web_repetition": co.repetition_sql(world_dir),
         "web_pii_redact": co.pii_redact_sql(world_dir),
         "web_url_canonical": co.url_canonical_sql(world_dir),

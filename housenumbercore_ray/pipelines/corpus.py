@@ -4457,3 +4457,158 @@ def spell_variants(world_dir: str, min_len: int = 4,
         .groupby(["w1", "w2"])
         .map_groups(verify, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the bigram co-occurrence graph
+# ---------------------------------------------------------------------------
+
+def cooccurrence_triangles(world_dir: str) -> rd.Dataset:
+    """Triangles of the word co-occurrence graph — the clustering-
+    coefficient / community primitive (Suri & Vassilvitskii, WWW'11
+    MapReduce triangle counting; Cohen 2009). Vertices = tokens (same
+    [^a-zäöüß0-9]+ class as spell_variants), edges = distinct ADJACENT
+    token pairs (undirected, self-loops dropped); output one row (a,b,c),
+    a<b<c lexicographic, per triangle.
+
+    Scale shape — the degree-ORIENTED algorithm, never neighborhood²
+    on hub words:
+      1. per-batch distinct edge partials -> ONE (lo,hi) distinct shuffle;
+      2. vertex degrees: endpoint explode + partial counts -> one bounded
+         shuffle (O(E) rows in, O(V) out);
+      3. each edge oriented from its lower-(degree, word) endpoint via TWO
+         bucketed hash joins (both sides large: edges × degrees);
+      4. wedges grouped by source: out-degree after orientation is
+         O(sqrt(E)) for EVERY vertex (the classic bound — hub words point
+         only at higher-degree hubs), so per-group pair expansion is
+         bounded regardless of skew;
+      5. wedge closure = ONE bucketed hash semi-join against the oriented
+         edge set on the composite (lo-endpoint, hi-endpoint) key.
+    The oracle recomputes INDEPENDENTLY with the id-ordered 3-way SQL
+    self-join (a<b<c) — a different orientation, same triangle set."""
+    import pyarrow as pa
+
+    from ..stages.join import bucketed_hash_join
+    from ..stages.shuffle import shuffle_blocks
+
+    pages = rd.read_parquet(f"{world_dir}/pages", columns=["text"])
+    tok_re = None
+
+    def edge_partial(b: pd.DataFrame) -> pd.DataFrame:
+        nonlocal tok_re
+        if tok_re is None:
+            import re
+
+            tok_re = re.compile(r"[^a-zäöüß0-9]+")
+        los: list[np.ndarray] = []
+        his: list[np.ndarray] = []
+        for t in b["text"].fillna(""):
+            ts = np.asarray([w for w in tok_re.split(t.lower()) if w], object)
+            if len(ts) < 2:
+                continue
+            x, y = ts[:-1], ts[1:]
+            keep = x != y
+            x, y = x[keep], y[keep]
+            lo = np.where(x < y, x, y)
+            hi = np.where(x < y, y, x)
+            los.append(lo)
+            his.append(hi)
+        if not los:
+            return pd.DataFrame({"lo": pd.Series([], dtype=object),
+                                 "hi": pd.Series([], dtype=object)})
+        return (pd.DataFrame({"lo": np.concatenate(los),
+                              "hi": np.concatenate(his)})
+                .drop_duplicates())
+
+    nb = shuffle_blocks()
+    edges = (
+        pages.map_batches(edge_partial, batch_format="pandas")
+        .repartition(nb)
+        .groupby(["lo", "hi"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .materialize()  # reused three times below (degrees + 2 join sides)
+    )
+
+    def degree_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v, c = np.unique(np.concatenate([b["lo"].to_numpy(object),
+                                         b["hi"].to_numpy(object)]),
+                         return_counts=True)
+        return pd.DataFrame({"v": v.astype(object), "d": c.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    degrees = (edges.map_batches(degree_partial, batch_format="pandas")
+               .groupby("v").aggregate(Sum("d", alias_name="deg")))
+
+    str_schema = {"lo": pa.string(), "hi": pa.string()}
+    deg_schema = {"v": pa.string(), "deg": pa.int64()}
+    e1 = bucketed_hash_join(edges, degrees, "lo", "v",
+                            left_schema=str_schema, right_schema=deg_schema)
+    e1 = e1.map_batches(lambda b: b.rename(columns={"deg": "deg_lo"})
+                        .drop(columns=["v"]), batch_format="pandas")
+    e2 = bucketed_hash_join(
+        e1, degrees, "hi", "v",
+        left_schema={"lo": pa.string(), "hi": pa.string(), "deg_lo": pa.int64()},
+        right_schema=deg_schema)
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns={"deg": "deg_hi"})
+        # direct each edge from its lower-(degree, word) endpoint
+        lo_first = (b["deg_lo"] < b["deg_hi"]) | (
+            (b["deg_lo"] == b["deg_hi"]) & (b["lo"] < b["hi"]))
+        src = np.where(lo_first, b["lo"], b["hi"]).astype(object)
+        dst = np.where(lo_first, b["hi"], b["lo"]).astype(object)
+        sdeg = np.where(lo_first, b["deg_lo"], b["deg_hi"]).astype(np.int64)
+        ddeg = np.where(lo_first, b["deg_hi"], b["deg_lo"]).astype(np.int64)
+        return pd.DataFrame({"src": src, "dst": dst,
+                             "sdeg": sdeg, "ddeg": ddeg})
+
+    directed = (e2.map_batches(orient, batch_format="pandas")
+                .materialize())  # wedge source + closure target
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        k = len(g)
+        if k < 2:
+            return pd.DataFrame({"wkey": pd.Series([], dtype=object),
+                                 "apex": pd.Series([], dtype=object)})
+        # order out-neighbors by (degree, word): the wedge's closing edge,
+        # if it exists, is oriented exactly low->high in that same order
+        order = np.lexsort((g["dst"].to_numpy(object),
+                            g["ddeg"].to_numpy(np.int64)))
+        d = g["dst"].to_numpy(object)[order]
+        i, j = np.triu_indices(k, k=1)
+        return pd.DataFrame({
+            "wkey": np.char.add(np.char.add(d[i].astype(str), "|"),
+                                d[j].astype(str)).astype(object),
+            "apex": np.repeat(g["src"].iloc[0], len(i)).astype(object),
+        })
+
+    wedge_ds = (directed.repartition(nb).groupby("src")
+                .map_groups(wedges, batch_format="pandas"))
+
+    def edge_key(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "wkey": (b["src"].astype(str) + "|" + b["dst"].astype(str))
+            .astype(object)})
+
+    closing = directed.map_batches(edge_key, batch_format="pandas")
+    closed = bucketed_hash_join(
+        wedge_ds, closing, "wkey", "wkey",
+        left_schema={"wkey": pa.string(), "apex": pa.string()},
+        right_schema={"wkey": pa.string()})
+
+    def to_triangle(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=object)})
+        parts = b["wkey"].str.split("|", n=1, expand=True)
+        tri = np.sort(np.stack([b["apex"].to_numpy(object).astype(str),
+                                parts[0].to_numpy(object).astype(str),
+                                parts[1].to_numpy(object).astype(str)],
+                               axis=1), axis=1)
+        return pd.DataFrame({"a": tri[:, 0].astype(object),
+                             "b": tri[:, 1].astype(object),
+                             "c": tri[:, 2].astype(object)})
+
+    return closed.map_batches(to_triangle, batch_format="pandas")

@@ -1510,3 +1510,23 @@ FROM v a JOIN v b
  AND (left(a.w,1) = left(b.w,1) OR right(a.w,1) = right(b.w,1))
 WHERE levenshtein(a.w, b.w) <= 1
 """
+
+
+def cooccurrence_triangles_sql(world_dir: str) -> str:
+    """text_cooccurrence_triangles: INDEPENDENT id-ordered 3-way self-join
+    (the engine uses degree-ordered orientation — different algorithm,
+    same triangle set). String order parity: DuckDB's binary UTF-8
+    compare equals Python codepoint order (UTF-8 is order-preserving)."""
+    return f"""
+WITH toks AS (
+  SELECT string_split_regex(lower(text), '[^a-zäöüß0-9]+') AS ts
+  FROM read_parquet('{world_dir}/pages/*.parquet')),
+bi AS (
+  SELECT DISTINCT least(ts[i], ts[i+1]) AS lo, greatest(ts[i], ts[i+1]) AS hi
+  FROM toks, LATERAL unnest(range(1, len(ts))) AS u(i)
+  WHERE ts[i] <> '' AND ts[i+1] <> '' AND ts[i] <> ts[i+1])
+SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+FROM bi e1
+JOIN bi e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+JOIN bi e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+"""
