@@ -4415,33 +4415,57 @@ def spell_variants(world_dir: str, min_len: int = 4,
         .aggregate(Sum("k", alias_name="n"))
     )
 
+    # two-level shuffles: Ray's sort-based groupby on STRING keys measured
+    # 69 s for the 717k variant rows at sf0.1 — hash-sharding to an int64
+    # key and doing the true-key group work vectorized inside each shard
+    # (the dedup_exact 64-shard pattern) cuts it to the int sort + pandas
+    n_shards = 64
+
     def expand(b: pd.DataFrame) -> pd.DataFrame:
-        return _deletion_variants(b["w"].to_numpy(object),
-                                  b["n"].to_numpy(np.int64))
+        dv = _deletion_variants(b["w"].to_numpy(object),
+                                b["n"].to_numpy(np.int64))
+        h = pd.util.hash_array(dv["variant"].to_numpy(object))
+        return dv.assign(_shard=(h % n_shards).astype(np.int64))
 
-    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        k = len(g)
-        empty = pd.DataFrame({"w1": pd.Series([], dtype=object),
-                              "w2": pd.Series([], dtype=object),
-                              "n1": pd.Series([], dtype=np.int64),
-                              "n2": pd.Series([], dtype=np.int64)})
-        if k < 2:
-            return empty
-        # a word can appear twice in one variant group (two deletions of
-        # itself collide, e.g. 'aab' -> 'ab' twice): dedup words first
-        g = g.drop_duplicates("w")
-        k = len(g)
-        if k < 2:
-            return empty
-        order = np.argsort(g["w"].to_numpy(object))  # w1 < w2 canonical
-        w = g["w"].to_numpy(object)[order]
-        n = g["n"].to_numpy(np.int64)[order]
-        i, j = np.triu_indices(k, k=1)
-        return pd.DataFrame({"w1": w[i], "w2": w[j],
-                             "n1": n[i], "n2": n[j]})
+    _PAIR_EMPTY = {"w1": object, "w2": object, "n1": np.int64, "n2": np.int64}
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
+    def _empty_pairs() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in _PAIR_EMPTY.items()})
+
+    def pair_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # whole-shard vectorized: every row of a variant lands in this one
+        # shard (shard key = variant), so in-shard grouping is exact-global
+        g = (g.sort_values(["variant", "w"], kind="mergesort")
+             .drop_duplicates(["variant", "w"]))  # self-collisions ('aab'→'ab' twice)
+        if len(g) < 2:
+            return _empty_pairs()
+        codes, _ = pd.factorize(g["variant"].to_numpy(object), sort=False)
+        counts = np.bincount(codes)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        w = g["w"].to_numpy(object)
+        n = g["n"].to_numpy(np.int64)
+        frames = []
+        for k in np.unique(counts):  # few distinct group sizes per shard
+            if k < 2:
+                continue
+            starts = offsets[:-1][counts == k]
+            rows = starts[:, None] + np.arange(k)[None, :]
+            i, j = np.triu_indices(int(k), k=1)
+            a, b2 = rows[:, i].ravel(), rows[:, j].ravel()
+            frames.append(pd.DataFrame({"w1": w[a], "w2": w[b2],
+                                        "n1": n[a], "n2": n[b2]}))
+        return pd.concat(frames, ignore_index=True) if frames else _empty_pairs()
+
+    def pair_key(b: pd.DataFrame) -> pd.DataFrame:
+        key = (b["w1"].astype(str) + "|" + b["w2"].astype(str)).to_numpy(object)
+        h = pd.util.hash_array(key)
+        return b.assign(_shard=(h % n_shards).astype(np.int64))
+
+    def verify_shard(g: pd.DataFrame) -> pd.DataFrame:
         first = g.drop_duplicates(["w1", "w2"])
+        if not len(first):
+            return _empty_pairs()
         m = _lev1_mask(first["w1"].to_numpy(object), first["w2"].to_numpy(object))
         return first.loc[m, ["w1", "w2", "n1", "n2"]]
 
@@ -4449,13 +4473,14 @@ def spell_variants(world_dir: str, min_len: int = 4,
     cands = (
         vocab.map_batches(expand, batch_format="pandas")
         .repartition(nb)
-        .groupby("variant")
-        .map_groups(group_pairs, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(pair_shard, batch_format="pandas")
     )
     return (
-        cands.repartition(nb)
-        .groupby(["w1", "w2"])
-        .map_groups(verify, batch_format="pandas")
+        cands.map_batches(pair_key, batch_format="pandas")
+        .repartition(nb)
+        .groupby("_shard")
+        .map_groups(verify_shard, batch_format="pandas")
     )
 
 
@@ -4521,11 +4546,22 @@ def cooccurrence_triangles(world_dir: str) -> rd.Dataset:
                 .drop_duplicates())
 
     nb = shuffle_blocks()
+    n_shards = 64
+
+    def edge_shard_key(b: pd.DataFrame) -> pd.DataFrame:
+        key = (b["lo"].astype(str) + "|" + b["hi"].astype(str)).to_numpy(object)
+        h = pd.util.hash_array(key)
+        return b.assign(_shard=(h % n_shards).astype(np.int64))
+
+    # distinct via hash shard + in-shard vectorized dedup (string-keyed
+    # Ray sort groupby measured ~10x slower on the sf0.1 edge volume)
     edges = (
         pages.map_batches(edge_partial, batch_format="pandas")
+        .map_batches(edge_shard_key, batch_format="pandas")
         .repartition(nb)
-        .groupby(["lo", "hi"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(lambda g: g.drop_duplicates(["lo", "hi"])[["lo", "hi"]],
+                    batch_format="pandas")
         .materialize()  # reused three times below (degrees + 2 join sides)
     )
 
@@ -4566,24 +4602,43 @@ def cooccurrence_triangles(world_dir: str) -> rd.Dataset:
     directed = (e2.map_batches(orient, batch_format="pandas")
                 .materialize())  # wedge source + closure target
 
-    def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        k = len(g)
-        if k < 2:
-            return pd.DataFrame({"wkey": pd.Series([], dtype=object),
-                                 "apex": pd.Series([], dtype=object)})
-        # order out-neighbors by (degree, word): the wedge's closing edge,
-        # if it exists, is oriented exactly low->high in that same order
-        order = np.lexsort((g["dst"].to_numpy(object),
-                            g["ddeg"].to_numpy(np.int64)))
-        d = g["dst"].to_numpy(object)[order]
-        i, j = np.triu_indices(k, k=1)
-        return pd.DataFrame({
-            "wkey": np.char.add(np.char.add(d[i].astype(str), "|"),
-                                d[j].astype(str)).astype(object),
-            "apex": np.repeat(g["src"].iloc[0], len(i)).astype(object),
-        })
+    def src_shard_key(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(b["src"].to_numpy(object))
+        return b.assign(_shard=(h % n_shards).astype(np.int64))
 
-    wedge_ds = (directed.repartition(nb).groupby("src")
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        # whole-shard vectorized (shard key = src, so every out-edge of a
+        # source is present): per-source out-neighbors ordered by
+        # (degree, word) — the wedge's closing edge, if it exists, is
+        # oriented exactly low->high in that same order — then pair
+        # expansion batched across sources by out-degree class
+        empty = pd.DataFrame({"wkey": pd.Series([], dtype=object),
+                              "apex": pd.Series([], dtype=object)})
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(["src", "ddeg", "dst"], kind="mergesort")
+        codes, _ = pd.factorize(g["src"].to_numpy(object), sort=False)
+        counts = np.bincount(codes)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        d = g["dst"].to_numpy(object)
+        s = g["src"].to_numpy(object)
+        frames = []
+        for k in np.unique(counts):
+            if k < 2:
+                continue
+            starts = offsets[:-1][counts == k]
+            rows = starts[:, None] + np.arange(k)[None, :]
+            i, j = np.triu_indices(int(k), k=1)
+            a, b2 = rows[:, i].ravel(), rows[:, j].ravel()
+            frames.append(pd.DataFrame({
+                "wkey": np.char.add(np.char.add(d[a].astype(str), "|"),
+                                    d[b2].astype(str)).astype(object),
+                "apex": s[a],
+            }))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    wedge_ds = (directed.map_batches(src_shard_key, batch_format="pandas")
+                .repartition(nb).groupby("_shard")
                 .map_groups(wedges, batch_format="pandas"))
 
     def edge_key(b: pd.DataFrame) -> pd.DataFrame:
