@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_brand_revenue": relational.brand_revenue,
         "rel_top_customers": relational.top_customers,
         "rel_events_monthly": relational.events_monthly,
+        "rel_events_pivot": relational.events_pivot,
         "rel_events_mom_diff": relational.events_month_over_month,
         "rel_user_sessions": relational.user_sessions,
         "rel_events_asof_order": relational.events_last_order_asof,
@@ -498,6 +499,20 @@ SELECT * FROM (
     GROUP BY o.o_custkey
   )
 ) WHERE rank <= 10
+""",
+        "rel_events_pivot": """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       round(coalesce(sum(value) FILTER (WHERE event_type = 'click'), 0.0), 2) AS value_click,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       round(coalesce(sum(value) FILTER (WHERE event_type = 'error'), 0.0), 2) AS value_error,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0.0), 2) AS value_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       round(coalesce(sum(value) FILTER (WHERE event_type = 'signup'), 0.0), 2) AS value_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+       round(coalesce(sum(value) FILTER (WHERE event_type = 'view'), 0.0), 2) AS value_view
+FROM events GROUP BY 1
 """,
         "rel_events_monthly": """
 SELECT event_type, strftime(ts, '%Y-%m') AS month,

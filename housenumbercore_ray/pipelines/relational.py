@@ -797,3 +797,47 @@ def events_funnel(sf_dir: str) -> rd.Dataset:
         })
 
     return ds.groupby("user_id").map_groups(funnel, batch_format="pandas")
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str) -> rd.Dataset:
+    """OLAP PIVOT / crosstab: day × event_type value matrix — one row per
+    day, one (n_<type>, value_<type>) column pair per DECLARED event type.
+    A schema-stable pivot requires the column domain up front (the same
+    constraint SQL PIVOT and pandas.pivot_table-with-fixed-columns have);
+    EVENT_TYPES is that contract. Unseen (day, type) combos fill 0.
+
+    Scale shape: per-batch (day, type) partials -> ONE bounded groupby
+    (O(days × types × batches) rows), reshape per day-group — the wide
+    row never exists before the final, already-aggregated stage."""
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({"day": b["ts"].dt.strftime("%Y-%m-%d"),
+                           "event_type": b["event_type"],
+                           "value": b["value"]})
+             .groupby(["day", "event_type"], sort=False)
+             .agg(n=("value", "size"), v=("value", "sum"))
+             .reset_index())
+        return g
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"day": [g["day"].iloc[0]]}
+        byt = g.set_index("event_type")
+        for t in EVENT_TYPES:
+            out[f"n_{t}"] = pd.Series(
+                [int(byt["n"].get(t, 0))], dtype=np.int64)
+            out[f"value_{t}"] = [round(float(byt["v"].get(t, 0.0)), 2)]
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("v", alias_name="v"))
+        .groupby("day")
+        .map_groups(widen, batch_format="pandas")
+    )

@@ -456,3 +456,28 @@ def test_tile_compact_tiles_occupied_set_exactly(ray_session):
         covered.extend(cells)
     occupied_covered = [c for c in covered if c in occ]
     assert len(occupied_covered) == len(set(occupied_covered)) == len(occ)
+
+
+class TestEventsPivot:
+    def test_pivot_matches_long_rollup(self, ray_session):
+        """The wide matrix re-aggregates to the verified long-form totals."""
+        from housenumbercore_ray.pipelines.relational import (
+            EVENT_TYPES,
+            events_pivot,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        wide = events_pivot(sf).to_pandas()
+        assert list(wide.columns) == ["day"] + [
+            c for t in EVENT_TYPES for c in (f"n_{t}", f"value_{t}")]
+        import duckdb
+
+        truth = duckdb.sql(
+            f"SELECT event_type, count(*) AS n, round(sum(value), 2) AS v "
+            f"FROM read_parquet('{sf}/events.parquet') GROUP BY 1"
+        ).df().set_index("event_type")
+        for t in EVENT_TYPES:
+            assert wide[f"n_{t}"].sum() == truth["n"].get(t, 0)
+            assert abs(wide[f"value_{t}"].sum() - truth["v"].get(t, 0.0)) < 0.02 * len(wide)
+        # unseen (day, type) combos are zero-filled, never NaN
+        assert not wide.isna().any().any()
