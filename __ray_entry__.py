@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_customers": relational.top_customers,
         "rel_events_monthly": relational.events_monthly,
         "rel_events_pivot": relational.events_pivot,
+        "rel_price_outliers": relational.price_outliers,
         "rel_events_mom_diff": relational.events_month_over_month,
         "rel_user_sessions": relational.user_sessions,
         "rel_events_asof_order": relational.events_last_order_asof,
@@ -499,6 +500,33 @@ SELECT * FROM (
     GROUP BY o.o_custkey
   )
 ) WHERE rank <= 10
+""",
+        "rel_price_outliers": """
+WITH j AS (
+  SELECT o.o_orderkey, c.c_mktsegment, o.o_totalprice,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+n AS (SELECT c_mktsegment, count(*) AS total FROM j GROUP BY 1),
+h AS (SELECT c_mktsegment, cents, count(*) AS k FROM j GROUP BY 1, 2),
+cum AS (SELECT c_mktsegment, cents,
+               sum(k) OVER (PARTITION BY c_mktsegment ORDER BY cents) AS ck
+        FROM h),
+med AS (SELECT cum.c_mktsegment,
+               min(cents) FILTER (WHERE ck >= ceil(0.5 * total)) AS med
+        FROM cum JOIN n USING (c_mktsegment) GROUP BY 1),
+dh AS (SELECT h.c_mktsegment, abs(h.cents - med.med) AS dev, sum(k) AS k
+       FROM h JOIN med USING (c_mktsegment) GROUP BY 1, 2),
+dcum AS (SELECT c_mktsegment, dev,
+                sum(k) OVER (PARTITION BY c_mktsegment ORDER BY dev) AS ck
+         FROM dh),
+mad AS (SELECT dcum.c_mktsegment,
+               min(dev) FILTER (WHERE ck >= ceil(0.5 * total)) AS mad
+        FROM dcum JOIN n USING (c_mktsegment) GROUP BY 1)
+SELECT j.o_orderkey, j.c_mktsegment, j.o_totalprice,
+       round(med.med / 100.0, 2) AS seg_median,
+       round(mad.mad / 100.0, 2) AS seg_mad
+FROM j JOIN med USING (c_mktsegment) JOIN mad USING (c_mktsegment)
+WHERE abs(j.cents - med.med) > 2 * mad.mad
 """,
         "rel_events_pivot": """
 SELECT strftime(ts, '%Y-%m-%d') AS day,

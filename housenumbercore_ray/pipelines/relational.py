@@ -841,3 +841,80 @@ def events_pivot(sf_dir: str) -> rd.Dataset:
         .groupby("day")
         .map_groups(widen, batch_format="pandas")
     )
+
+
+def price_outliers(sf_dir: str, k: int = 2) -> rd.Dataset:
+    """Robust per-segment outlier detection: an order is an outlier iff
+    |price − segment median| > k·MAD (median absolute deviation) — the
+    Hampel / robust-z-score filter, the standard quality gate where mean
+    and stddev are themselves corrupted by the outliers being hunted.
+    Default k=2: TPC-H totalprice is thin-tailed (k=3 flags nothing at
+    any sf), so 2·MAD is the demonstrative cut; k is the caller's knob.
+
+    Exactness without a sort: prices live on the integer-cents domain, so
+    ONE per-(segment, cents) histogram shuffle (O(segments × distinct
+    cents), independent of row count — the price_quantiles pattern) yields
+    BOTH the median and the MAD analytically on the driver (the deviation
+    histogram is a re-bucketing of the same counts); all comparisons stay
+    in integer cents — no float-tie risk against the SQL oracle. The flag
+    pass streams the fact join a second time (recompute over materialize:
+    at fleet scale the joined fact table must not pin the object store).
+    """
+    import pyarrow as pa
+
+    from ..stages.join import bucketed_hash_join
+
+    def joined() -> rd.Dataset:
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"])
+        return bucketed_hash_join(
+            orders, cust, "o_custkey", "c_custkey",
+            left_schema={"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+                         "o_totalprice": pa.float64()},
+            right_schema={"c_custkey": pa.int64(), "c_mktsegment": pa.string()},
+        )
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(b["o_totalprice"].to_numpy(np.float64) * 100).astype(np.int64)
+        g = (pd.DataFrame({"seg": b["c_mktsegment"], "cents": cents})
+             .groupby(["seg", "cents"], sort=False).size()
+             .rename("k").reset_index())
+        return g
+
+    hist = (
+        joined().map_batches(hist_partial, batch_format="pandas")
+        .groupby(["seg", "cents"])
+        .aggregate(Sum("k", alias_name="k"))
+        .to_pandas()  # O(segments × distinct cents) — bounded-domain state
+    )
+
+    def _median_from(counts: pd.DataFrame, vcol: str) -> int:
+        h = counts.sort_values(vcol)
+        cum = h["k"].cumsum().to_numpy(np.int64)
+        need = int(np.ceil(0.5 * cum[-1]))
+        return int(h[vcol].to_numpy(np.int64)[np.searchsorted(cum, need, side="left")])
+
+    bounds: dict[str, tuple[int, int]] = {}
+    for seg, g in hist.groupby("seg"):
+        med = _median_from(g, "cents")
+        dev = (g.assign(dev=(g["cents"] - med).abs())
+               .groupby("dev", as_index=False)["k"].sum())
+        mad = _median_from(dev, "dev")
+        bounds[str(seg)] = (med, mad)
+    bref = ray.put(bounds)
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        bd = ray.get(bref)
+        cents = np.rint(b["o_totalprice"].to_numpy(np.float64) * 100).astype(np.int64)
+        arr = b["c_mktsegment"].map(bd).to_numpy(object)
+        med = np.array([m for m, _ in arr], dtype=np.int64)
+        mad = np.array([d for _, d in arr], dtype=np.int64)
+        m = np.abs(cents - med) > k * mad
+        out = b.loc[m, ["o_orderkey", "c_mktsegment", "o_totalprice"]].copy()
+        out["seg_median"] = (med[m] / 100.0).round(2)
+        out["seg_mad"] = (mad[m] / 100.0).round(2)
+        return out
+
+    return joined().map_batches(flag, batch_format="pandas")

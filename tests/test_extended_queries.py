@@ -481,3 +481,41 @@ class TestEventsPivot:
             assert abs(wide[f"value_{t}"].sum() - truth["v"].get(t, 0.0)) < 0.02 * len(wide)
         # unseen (day, type) combos are zero-filled, never NaN
         assert not wide.isna().any().any()
+
+
+class TestPriceOutliers:
+    def test_hampel_filter_vs_pandas(self, ray_session):
+        """Integer-cents median/MAD selection rule vs a pandas recompute."""
+        import duckdb
+
+        from housenumbercore_ray.pipelines.relational import price_outliers
+
+        sf = "/root/testdata/sf0.001"
+        got = price_outliers(sf, k=2).to_pandas()
+        j = duckdb.sql(
+            f"SELECT o.o_orderkey, c.c_mktsegment, o.o_totalprice "
+            f"FROM read_parquet('{sf}/orders.parquet') o "
+            f"JOIN read_parquet('{sf}/customer.parquet') c "
+            f"ON c.c_custkey = o.o_custkey").df()
+        j["cents"] = (j["o_totalprice"] * 100).round().astype("int64")
+        expect = set()
+        for seg, g in j.groupby("c_mktsegment"):
+            c = g["cents"].sort_values().to_numpy()
+            import numpy as np
+
+            def sel_median(arr):
+                u, k = np.unique(arr, return_counts=True)
+                cum = k.cumsum()
+                return int(u[np.searchsorted(cum, int(np.ceil(0.5 * cum[-1])),
+                                             side="left")])
+
+            med = sel_median(c)
+            mad = sel_median(np.abs(c - med))
+            for _, r in g[np.abs(g["cents"] - med) > 2 * mad].iterrows():
+                expect.add((int(r["o_orderkey"]), seg))
+        assert set(zip(got["o_orderkey"].astype(int),
+                       got["c_mktsegment"])) == expect
+        assert len(got) > 0
+        # bounds columns are constant per segment
+        assert (got.groupby("c_mktsegment")[["seg_median", "seg_mad"]]
+                .nunique().le(1).all().all())
