@@ -908,9 +908,8 @@ def price_outliers(sf_dir: str, k: int = 2) -> rd.Dataset:
     def flag(b: pd.DataFrame) -> pd.DataFrame:
         bd = ray.get(bref)
         cents = np.rint(b["o_totalprice"].to_numpy(np.float64) * 100).astype(np.int64)
-        arr = b["c_mktsegment"].map(bd).to_numpy(object)
-        med = np.array([m for m, _ in arr], dtype=np.int64)
-        mad = np.array([d for _, d in arr], dtype=np.int64)
+        med = b["c_mktsegment"].map({s: m for s, (m, _) in bd.items()}).to_numpy(np.int64)
+        mad = b["c_mktsegment"].map({s: d for s, (_, d) in bd.items()}).to_numpy(np.int64)
         m = np.abs(cents - med) > k * mad
         out = b.loc[m, ["o_orderkey", "c_mktsegment", "o_totalprice"]].copy()
         out["seg_median"] = (med[m] / 100.0).round(2)
