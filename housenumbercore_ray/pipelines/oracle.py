@@ -671,4 +671,36 @@ WHERE NOT EXISTS (SELECT 1 FROM c3
 UNION ALL
 SELECT 3, ix, iy, (ix << 22) | iy FROM c3
 """,
+        # quadkey/morton: formula-independent recomputation — morton as a
+        # per-bit SUM over generate_series (engine: magic-number bit spread),
+        # quadkey as a per-digit ordered string aggregation (engine: base-4
+        # bytes view of the morton code).
+        "geo_tile_quadkey": f"""
+WITH b AS ({base}),
+cells AS (SELECT DISTINCT ix, iy FROM b),
+k AS (SELECT unnest(range(0, 22)) AS k),
+kp AS (SELECT unnest(range(0, 14)) AS k),
+enc AS (
+  SELECT c.ix, c.iy,
+         array_to_string(list(CAST(((c.ix >> (21 - k.k)) & 1)
+                                   + 2 * ((c.iy >> (21 - k.k)) & 1) AS VARCHAR)
+                              ORDER BY k.k), '') AS quadkey,
+         CAST(sum(((c.ix >> k.k) & 1) * (CAST(1 AS BIGINT) << (2 * k.k))
+                  + ((c.iy >> k.k) & 1) * (CAST(1 AS BIGINT) << (2 * k.k + 1)))
+              AS BIGINT) AS morton
+  FROM cells c CROSS JOIN k GROUP BY c.ix, c.iy
+),
+par AS (
+  SELECT c.ix, c.iy,
+         CAST(sum((((c.ix >> 8) >> k.k) & 1) * (CAST(1 AS BIGINT) << (2 * k.k))
+                  + (((c.iy >> 8) >> k.k) & 1) * (CAST(1 AS BIGINT) << (2 * k.k + 1)))
+              AS BIGINT) AS parent_z8
+  FROM cells c CROSS JOIN kp k GROUP BY c.ix, c.iy
+)
+SELECT (c.ix << 22) | c.iy AS cell, c.ix AS ix, c.iy AS iy,
+       e.morton, e.quadkey, par.parent_z8
+FROM cells c
+JOIN enc e ON e.ix = c.ix AND e.iy = c.iy
+JOIN par ON par.ix = c.ix AND par.iy = c.iy
+""",
     }

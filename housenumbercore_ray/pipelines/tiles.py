@@ -570,3 +570,78 @@ def tile_polyfill(world_dir: str) -> rd.Dataset:
         })
 
     return bnd.map_batches(fill, batch_format="pandas")
+
+
+def _morton(ix: np.ndarray, iy: np.ndarray, bits: int = 22) -> np.ndarray:
+    """Bit-interleave ``(ix, iy)`` into one int64 Morton (Z-order) code —
+    x bits at even positions, y bits at odd. Vectorized magic-number bit
+    spread (public-domain "interleave by binary magic numbers" bithack);
+    ``bits`` ≤ 31 keeps the result inside int64."""
+
+    def spread(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.int64) & ((np.int64(1) << bits) - 1)
+        v = (v | (v << 16)) & np.int64(0x0000FFFF0000FFFF)
+        v = (v | (v << 8)) & np.int64(0x00FF00FF00FF00FF)
+        v = (v | (v << 4)) & np.int64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << 2)) & np.int64(0x3333333333333333)
+        v = (v | (v << 1)) & np.int64(0x5555555555555555)
+        return v
+
+    return spread(ix) | (spread(iy) << 1)
+
+
+def tile_quadkey(world_dir: str) -> rd.Dataset:
+    """Hierarchical tile ids for every occupied z0 cell — the H3 cell-id /
+    Bing quadkey analog: ``morton`` (int64 Z-order interleave of the 22-bit
+    ix/iy), ``quadkey`` (the same code as a 22-digit base-4 string, MSB
+    first — each PREFIX is the containing coarser tile, so prefix match ==
+    hierarchical containment), and ``parent_z8`` (Morton id of the zoom-8
+    ancestor, i.e. interleave(ix>>8, iy>>8)).
+
+    Why it matters at 100 TB: the Morton code is the locality-preserving
+    shuffle/sort key — range-partitioning by ``morton`` co-locates
+    spatially adjacent tiles in the same block (the S2/H3 cell-id ordering
+    trick), so downstream neighborhood ops (k-ring, vectorize) touch
+    mostly-local partitions instead of hashing neighbors apart.
+
+    Scale shape: per-batch distinct partial → ONE sharded distinct (the
+    rasterize pattern, shuffle volume = distinct cells not points), then a
+    stateless vectorized encode (bit-spread + base-4 bytes view — no
+    Python per-row string building).
+
+    Oracle cross-check is formula-independent: SQL recomputes morton as a
+    per-bit SUM over generate_series and quadkey as a per-digit string
+    aggregation, vs the engine's magic-number spread + bytes view."""
+
+    def occ_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ix, iy = _tile_ix_iy(b["lon"].to_numpy(), b["lat"].to_numpy())
+        u = pd.DataFrame({"ix": ix, "iy": iy}).drop_duplicates()
+        return u.assign(cell=_cell_id(u["ix"].to_numpy(np.int64),
+                                      u["iy"].to_numpy(np.int64)))
+
+    def distinct_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["ix", "iy"])[["ix", "iy"]].astype(np.int64)
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        ix = b["ix"].to_numpy(np.int64)
+        iy = b["iy"].to_numpy(np.int64)
+        morton = _morton(ix, iy)
+        # 22 base-4 digits, MSB first == the quadkey digit sequence
+        # (digit k = x bit + 2·y bit at level k), built as one bytes view.
+        shifts = 2 * np.arange(21, -1, -1, dtype=np.int64)
+        digits = ((morton[:, None] >> shifts[None, :]) & 3).astype(np.uint8)
+        qk_bytes = np.ascontiguousarray(digits + ord("0")).view("S22").ravel()
+        quadkey = pd.Series(qk_bytes).str.decode("ascii")
+        return pd.DataFrame({
+            "cell": _cell_id(ix, iy), "ix": ix, "iy": iy,
+            "morton": morton, "quadkey": quadkey,
+            "parent_z8": _morton(ix >> 8, iy >> 8, bits=14),
+        })
+
+    return (_points(world_dir, ["lon", "lat"])
+            .map_batches(occ_partial, batch_format="pandas")
+            .map_batches(_shard_cells(), batch_format="pandas")
+            .repartition(_shuffle_blocks())
+            .groupby("_shard")
+            .map_groups(lambda g: distinct_shard(g), batch_format="pandas")
+            .map_batches(encode, batch_format="pandas"))

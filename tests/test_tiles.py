@@ -243,3 +243,45 @@ class TestPolyfill:
         pd.testing.assert_frame_equal(eng, ora)
         # multipolygon parent (muni 2) fully covered despite two parts
         assert (eng["muni_id"] == 2).sum() == (eng["muni_id"] == 1).sum() > 0
+
+
+class TestQuadkey:
+    def test_morton_roundtrip_and_order(self):
+        """Morton interleave is invertible bit-exactly and the base-4
+        digits of the code read MSB-first ARE the Bing quadkey digits."""
+        from housenumbercore_ray.pipelines.tiles import _morton
+
+        rng = np.random.RandomState(7)
+        ix = rng.randint(0, 1 << 22, 500).astype(np.int64)
+        iy = rng.randint(0, 1 << 22, 500).astype(np.int64)
+        m = _morton(ix, iy)
+        # de-interleave by per-bit reconstruction
+        rix = np.zeros_like(ix)
+        riy = np.zeros_like(iy)
+        for k in range(22):
+            rix |= ((m >> (2 * k)) & 1) << k
+            riy |= ((m >> (2 * k + 1)) & 1) << k
+        assert (rix == ix).all() and (riy == iy).all()
+
+    def test_quadkey_prefix_is_parent(self, ray_session, crafted_world):
+        """Every quadkey PREFIX identifies the containing coarser tile:
+        two cells share a parent at zoom-above-z iff their first 22-z
+        digits match; parent_z8 equals the interleave of (ix>>8, iy>>8)."""
+        from housenumbercore_ray.pipelines.tiles import _morton, tile_quadkey
+
+        df = tile_quadkey(crafted_world).to_pandas()
+        # one row per occupied cell (6 distinct cells in the fixture)
+        assert len(df) == 6
+        assert df["cell"].is_unique
+        assert (df["quadkey"].str.len() == 22).all()
+        ix = df["ix"].to_numpy(np.int64)
+        iy = df["iy"].to_numpy(np.int64)
+        assert (df["parent_z8"].to_numpy() == _morton(ix >> 8, iy >> 8, bits=14)).all()
+        # prefix-containment: truncate to 14 digits == quadkey of z8 parent
+        pk = df["quadkey"].str[:14].to_numpy()
+        want = []
+        for a, b in zip(ix >> 8, iy >> 8):
+            digs = [str(((a >> (13 - k)) & 1) + 2 * ((b >> (13 - k)) & 1))
+                    for k in range(14)]
+            want.append("".join(digs))
+        assert (pk == np.array(want)).all()
