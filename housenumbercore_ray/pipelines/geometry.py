@@ -470,3 +470,94 @@ def muni_bbox_pairs(world_dir: str, res_deg: float = BBOX_PAIR_RES) -> rd.Datase
 
     return (bounds.map_batches(cover, batch_format="pandas")
             .groupby("cell").map_groups(pairs, batch_format="pandas"))
+
+
+RADIUS_PAIR_M = 50.0
+RADIUS_PAIR_RES = 0.002
+
+
+def address_radius_pairs(world_dir: str, radius_m: float = RADIUS_PAIR_M,
+                         res_deg: float = RADIUS_PAIR_RES) -> rd.Dataset:
+    """Within-RADIUS point-pair spatial self-join over the address points —
+    the distance-join primitive (duplicate-entry QA: two address nodes
+    within ``radius_m`` meters, flagged when they carry the same
+    housenumber). Output: (osm_id_a, osm_id_b, dist_m round-2, same_hnr)
+    with ``osm_id_a < osm_id_b``, distance equirectangular on the WGS84
+    sphere (the exact formula of :func:`street_length`, mirrored
+    operation-for-operation in the SQL oracle).
+
+    Scale shape (PBSM distance join): each point is replicated to FOUR
+    cells — its own and the -1 neighbors, ``(ix-dx, iy-dy), dx,dy∈{0,1}``
+    — then ONE shuffle on the cell id and a vectorized triu all-pairs
+    distance test per cell. Correct because the grid width is ≥ radius_m
+    in both axes (res_deg·111320·cos(lat) ≥ radius_m for |lat| ≤ 83 at the
+    defaults), so a qualifying pair differs by ≤1 cell per axis and BOTH
+    members land in the pair's min-corner cell ``(min ix, min iy)``.
+    Duplicate suppression is the same reference-point rule as
+    :func:`muni_bbox_pairs`: a pair is emitted only by its min-corner
+    cell — no second dedup shuffle. 4× replication (not 9×) is the
+    half-neighborhood optimization the min-corner rule allows.
+
+    Oracle: plain neighbor-predicate self-join in SQL (no replication, no
+    reference points) — independently validates cover + dedup rule."""
+
+    pts = rd.read_parquet(
+        f"{world_dir}/osm_addresses.parquet",
+        columns=["osm_id", "lon", "lat", "addr_housenumber"])
+
+    def cover(b: pd.DataFrame) -> pd.DataFrame:
+        ix = np.floor((b["lon"].to_numpy(np.float64) + 180.0) / res_deg).astype(np.int64)
+        iy = np.floor((b["lat"].to_numpy(np.float64) + 90.0) / res_deg).astype(np.int64)
+        frames = []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                frames.append(pd.DataFrame({
+                    "cell": ((ix - dx) << 22) | (iy - dy),
+                    "osm_id": b["osm_id"].to_numpy(np.int64),
+                    "lon": b["lon"].to_numpy(np.float64),
+                    "lat": b["lat"].to_numpy(np.float64),
+                    "ix": ix, "iy": iy,
+                    "hnr": b["addr_housenumber"].fillna("").to_numpy(object),
+                }))
+        return pd.concat(frames, ignore_index=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"osm_id_a": pd.Series([], dtype=np.int64),
+                              "osm_id_b": pd.Series([], dtype=np.int64),
+                              "dist_m": pd.Series([], dtype=np.float64),
+                              "same_hnr": pd.Series([], dtype=np.int64)})
+        n = len(g)
+        if n < 2:
+            return empty
+        cell = int(g["cell"].iloc[0])
+        cx, cy = cell >> 22, cell & ((1 << 22) - 1)
+        g = g.sort_values("osm_id", kind="mergesort")
+        oid = g["osm_id"].to_numpy(np.int64)
+        lon = g["lon"].to_numpy(np.float64)
+        lat = g["lat"].to_numpy(np.float64)
+        ix = g["ix"].to_numpy(np.int64)
+        iy = g["iy"].to_numpy(np.int64)
+        hnr = g["hnr"].to_numpy(object)
+        ia, ib = np.triu_indices(n, k=1)
+        # min-corner ownership: this cell reports the pair iff it IS the
+        # pair's (min ix, min iy) cell
+        own = (np.minimum(ix[ia], ix[ib]) == cx) & (np.minimum(iy[ia], iy[ib]) == cy)
+        ia, ib = ia[own], ib[own]
+        if not len(ia):
+            return empty
+        dlat = (lat[ib] - lat[ia]) * np.pi / 180
+        dlon = ((lon[ib] - lon[ia]) * np.pi / 180
+                * np.cos((lat[ia] + lat[ib]) / 2 * np.pi / 180))
+        d = 6371000.0 * np.sqrt(dlat ** 2 + dlon ** 2)
+        hit = d < radius_m
+        ia, ib, d = ia[hit], ib[hit], d[hit]
+        if not len(ia):
+            return empty
+        return pd.DataFrame({
+            "osm_id_a": oid[ia], "osm_id_b": oid[ib],
+            "dist_m": np.round(d, 2),
+            "same_hnr": (hnr[ia] == hnr[ib]).astype(np.int64),
+        })
+
+    return (pts.map_batches(cover, batch_format="pandas")
+            .groupby("cell").map_groups(pairs, batch_format="pandas"))

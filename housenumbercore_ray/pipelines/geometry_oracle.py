@@ -342,3 +342,38 @@ FROM bb a JOIN bb b
  AND a.mnx <= b.mxx AND b.mnx <= a.mxx
  AND a.mny <= b.mxy AND b.mny <= a.mxy
 """
+
+
+def radius_pairs_sql(world_dir: str) -> str:
+    """geo_radius_pairs: plain neighbor-predicate self-join — no cell
+    replication, no min-corner reference points — so it independently
+    validates the engine's 4-cell PBSM cover and its dedup rule. The
+    neighbor predicate (|Δix| ≤ 1, |Δiy| ≤ 1) is implied by dist < R at
+    the default grid (cell width ≥ R), so it prunes without changing the
+    result. Distance mirrors the engine operation-for-operation (same
+    left-assoc float64 expression; libm cos/sqrt ≤ 1 ulp divergence is
+    absorbed by the round-2 contract and a radius threshold that worldgen
+    coordinates never approach within 1e-9 relative)."""
+    from .geometry import RADIUS_PAIR_M, RADIUS_PAIR_RES
+
+    return f"""
+WITH p AS (
+  SELECT osm_id, lon, lat, coalesce(addr_housenumber, '') AS hnr,
+         CAST(floor((lon + 180.0) / {RADIUS_PAIR_RES}) AS BIGINT) AS ix,
+         CAST(floor((lat + 90.0) / {RADIUS_PAIR_RES}) AS BIGINT) AS iy
+  FROM read_parquet('{world_dir}/osm_addresses.parquet'))
+SELECT a.osm_id AS osm_id_a, b.osm_id AS osm_id_b,
+       round(6371000.0 * sqrt(
+         pow((b.lat - a.lat) * pi() / 180, 2)
+         + pow((b.lon - a.lon) * pi() / 180
+               * cos((a.lat + b.lat) / 2 * pi() / 180), 2)), 2) AS dist_m,
+       CAST(a.hnr = b.hnr AS BIGINT) AS same_hnr
+FROM p a JOIN p b
+  ON a.osm_id < b.osm_id
+ AND b.ix BETWEEN a.ix - 1 AND a.ix + 1
+ AND b.iy BETWEEN a.iy - 1 AND a.iy + 1
+WHERE 6371000.0 * sqrt(
+        pow((b.lat - a.lat) * pi() / 180, 2)
+        + pow((b.lon - a.lon) * pi() / 180
+              * cos((a.lat + b.lat) / 2 * pi() / 180), 2)) < {RADIUS_PAIR_M}
+"""

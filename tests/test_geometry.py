@@ -283,3 +283,47 @@ class TestStreetLength:
         ora = (duckdb.sql(go.street_length_sql(wd)).df()
                .sort_values("osm_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
+
+
+class TestRadiusPairs:
+    def test_cross_cell_pair_found_exactly_once(self, ray_session, tmp_path):
+        """A pair straddling a cell boundary is found (4-cell replication
+        covers it) and reported exactly once (min-corner rule); points
+        beyond the radius are excluded; same_hnr flags duplicates."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from housenumbercore_ray.pipelines import geometry as g
+        from housenumbercore_ray.pipelines import geometry_oracle as go
+
+        wd = str(tmp_path)
+        res = g.RADIUS_PAIR_RES
+        # cell boundary in lon at multiples of res; put two points ~20 m
+        # apart on opposite sides of a boundary at lat 50
+        blon = (95000 * res) - 180.0  # some boundary line
+        lat = 50.0
+        m_per_deg_lon = 6371000.0 * np.pi / 180 * np.cos(lat * np.pi / 180)
+        d = 10.0 / m_per_deg_lon  # 10 m in deg lon
+        pts = {
+            "osm_id": [1, 2, 3, 4, 5],
+            "lon": [blon - d, blon + d,  # pair across the boundary (~20 m)
+                    blon + 10 * res,     # far away
+                    blon - 5 * res, blon - 5 * res + 2 * d],  # same-cell pair
+            "lat": [lat, lat, lat, lat, lat],
+            "addr_housenumber": ["7", "7", "9", "4", "5"],
+        }
+        pq.write_table(pa.table(pts), f"{wd}/osm_addresses.parquet")
+
+        eng = (g.address_radius_pairs(wd).to_pandas()
+               .sort_values(["osm_id_a", "osm_id_b"]).reset_index(drop=True))
+        assert list(zip(eng["osm_id_a"], eng["osm_id_b"])) == [(1, 2), (4, 5)]
+        assert list(eng["same_hnr"]) == [1, 0]
+        assert abs(eng.loc[0, "dist_m"] - 20.0) < 0.1
+        # no duplicates from the replicated cover
+        assert not eng.duplicated(["osm_id_a", "osm_id_b"]).any()
+
+        ora = (duckdb.sql(go.radius_pairs_sql(wd)).df()
+               .sort_values(["osm_id_a", "osm_id_b"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
