@@ -114,6 +114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_quadkey": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["tile_quadkey"]
         ).tile_quadkey(_world(sf)),
+        "geo_tile_linetrace": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.tiles", fromlist=["tile_line_cells"]
+        ).tile_line_cells(_world(sf)),
         # vector geometry over WKB columns (decode / measure / generalize)
         "geo_street_vertices": lambda sf: __import__(
             "housenumbercore_ray.pipelines.geometry", fromlist=["street_vertices"]
@@ -814,6 +817,7 @@ def oracle_sql() -> dict[str, str]:
     out["geo_street_length"] = geo_o.street_length_sql(wd)
     out["geo_bbox_pairs"] = geo_o.bbox_pairs_sql(wd)
     out["geo_radius_pairs"] = geo_o.radius_pairs_sql(wd)
+    out["geo_tile_linetrace"] = geo_o.line_cells_sql(wd)
     out["geo_line_simplify"] = geo_o.line_simplify_sql(wd)
     out["geo_reverse_geocode"] = geo_o.reverse_geocode_sql(wd)
     out["hnr_assoc_street_fix"] = assoc_street_fix_sql(wd)

@@ -377,3 +377,55 @@ WHERE 6371000.0 * sqrt(
         + pow((b.lon - a.lon) * pi() / 180
               * cos((a.lat + b.lat) / 2 * pi() / 180), 2)) < {RADIUS_PAIR_M}
 """
+
+
+def line_cells_sql(world_dir: str) -> str:
+    """geo_tile_linetrace: the supercover column-sweep replayed in SQL over
+    the same WKB-decoded vertices — identical float64 expression tree
+    (same swap-ordering CASE, same greatest/least x-slab, same
+    left-associated interpolation ``y0 + (xa-x0)/(x1-x0)*(y1-y0)``) so
+    every floor() sees bit-identical doubles; the LATERAL range expansions
+    mirror the engine's two ragged repeats."""
+    from .tiles import TILE_RES_DEG
+
+    res = TILE_RES_DEG
+    return f"""
+WITH {_street_verts_cte(world_dir)},
+seg0 AS (
+  SELECT a.osm_id,
+         (a.x + 180.0) / {res} AS gxa, (a.y + 90.0) / {res} AS gya,
+         (b.x + 180.0) / {res} AS gxb, (b.y + 90.0) / {res} AS gyb
+  FROM verts a JOIN verts b ON b.osm_id = a.osm_id AND b.seq = a.seq + 1
+),
+seg AS (
+  SELECT osm_id,
+         CASE WHEN gxa > gxb THEN gxb ELSE gxa END AS x0,
+         CASE WHEN gxa > gxb THEN gyb ELSE gya END AS y0,
+         CASE WHEN gxa > gxb THEN gxa ELSE gxb END AS x1,
+         CASE WHEN gxa > gxb THEN gya ELSE gyb END AS y1
+  FROM seg0
+),
+cols AS (
+  SELECT osm_id, x0, y0, x1, y1, CAST(ku.k AS BIGINT) AS k
+  FROM seg,
+       LATERAL unnest(range(CAST(floor(x0) AS BIGINT),
+                            CAST(floor(x1) AS BIGINT) + 1)) AS ku(k)
+),
+spans AS (
+  SELECT osm_id, k,
+    CASE WHEN x1 = x0 THEN y0
+         ELSE y0 + (greatest(x0, CAST(k AS DOUBLE)) - x0)
+                   / (x1 - x0) * (y1 - y0) END AS ya,
+    CASE WHEN x1 = x0 THEN y1
+         ELSE y0 + (least(x1, CAST(k AS DOUBLE) + 1.0) - x0)
+                   / (x1 - x0) * (y1 - y0) END AS yb
+  FROM cols
+),
+cells AS (
+  SELECT osm_id, k AS ix, CAST(iyu.iy AS BIGINT) AS iy
+  FROM spans,
+       LATERAL unnest(range(CAST(floor(least(ya, yb)) AS BIGINT),
+                            CAST(floor(greatest(ya, yb)) AS BIGINT) + 1)) AS iyu(iy)
+)
+SELECT DISTINCT osm_id, ix, iy, (ix << 22) | iy AS cell FROM cells
+"""

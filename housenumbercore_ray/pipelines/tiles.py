@@ -645,3 +645,89 @@ def tile_quadkey(world_dir: str) -> rd.Dataset:
             .groupby("_shard")
             .map_groups(lambda g: distinct_shard(g), batch_format="pandas")
             .map_batches(encode, batch_format="pandas"))
+
+
+def tile_line_cells(world_dir: str) -> rd.Dataset:
+    """Polyline → covering z0 cells (SUPERCOVER line trace) — the
+    ``h3.gridPathCells`` / line-rasterization analog, completing the
+    raster↔vector bridge for LINES (points: `tile_rasterize`, polygons:
+    `tile_polyfill`). Output: DISTINCT (osm_id, ix, iy, cell) — every cell
+    a street's segments pass through.
+
+    Algorithm (column sweep, fully vectorized): each segment is converted
+    to grid coordinates ``g = (coord+offset)/RES`` and swap-ordered so
+    gx0 ≤ gx1; for every integer column k in [⌊gx0⌋, ⌊gx1⌋] the segment's
+    y-extent inside the column's x-slab [max(gx0,k), min(gx1,k+1)] is
+    linearly interpolated, and rows ⌊y_lo⌋..⌊y_hi⌋ are emitted. Both
+    ragged expansions (segment→columns, column→rows) are repeat +
+    _ragged_arange — the cell axis never touches Python.
+
+    Boundary convention: cells are [k·RES, (k+1)·RES) half-open via floor;
+    a segment ending exactly on a cell edge claims the higher cell. The
+    oracle replays the identical float64 expression tree (same swap, same
+    max/min slab, same interpolation order) over the same WKB-decoded
+    vertices, so parity is bit-exact — no eps fudge.
+
+    Scale shape: stateless zero-shuffle map_batches over the streets
+    table; per-row work is O(cells touched). Per-street dedup is per-batch
+    only — each street is ONE input row, so all its segments (and their
+    duplicate corner cells) are local to the batch."""
+    from .geometry import _ragged_arange, decode_linestrings
+
+    streets = rd.read_parquet(
+        f"{world_dir}/osm_streets.parquet", columns=["osm_id", "linestring_wkb"])
+    res = TILE_RES_DEG
+
+    def trace(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"osm_id": pd.Series([], dtype=np.int64),
+                              "ix": pd.Series([], dtype=np.int64),
+                              "iy": pd.Series([], dtype=np.int64),
+                              "cell": pd.Series([], dtype=np.int64)})
+        npts, pts = decode_linestrings(b["linestring_wkb"].tolist())
+        if len(pts) < 2:
+            return empty
+        gx = (pts[:, 0] + 180.0) / res
+        gy = (pts[:, 1] + 90.0) / res
+        # segment endpoints: consecutive vertices within each street
+        valid = np.ones(len(pts) - 1, dtype=bool)
+        starts = np.concatenate(([0], np.cumsum(npts)[:-1]))
+        valid[starts[1:] - 1] = False
+        ax, ay = gx[:-1][valid], gy[:-1][valid]
+        bx, by = gx[1:][valid], gy[1:][valid]
+        seg_street = np.repeat(np.arange(len(b), dtype=np.int64),
+                               np.maximum(npts - 1, 0))
+        oid = b["osm_id"].to_numpy(np.int64)[seg_street]
+        if not len(ax):
+            return empty
+        # swap so x0 <= x1 (pairs move together)
+        sw = ax > bx
+        x0 = np.where(sw, bx, ax); y0 = np.where(sw, by, ay)
+        x1 = np.where(sw, ax, bx); y1 = np.where(sw, ay, by)
+        # expansion 1: segment -> columns
+        k0 = np.floor(x0).astype(np.int64)
+        k1 = np.floor(x1).astype(np.int64)
+        ncols = k1 - k0 + 1
+        segi = np.repeat(np.arange(len(x0), dtype=np.int64), ncols)
+        k = k0[segi] + _ragged_arange(ncols)
+        kx = k.astype(np.float64)
+        sx0, sy0 = x0[segi], y0[segi]
+        sx1, sy1 = x1[segi], y1[segi]
+        vert = sx1 == sx0
+        xa = np.maximum(sx0, kx)
+        xb = np.minimum(sx1, kx + 1.0)
+        den = np.where(vert, 1.0, sx1 - sx0)
+        ya = np.where(vert, sy0, sy0 + (xa - sx0) / den * (sy1 - sy0))
+        yb = np.where(vert, sy1, sy0 + (xb - sx0) / den * (sy1 - sy0))
+        iy_lo = np.floor(np.minimum(ya, yb)).astype(np.int64)
+        iy_hi = np.floor(np.maximum(ya, yb)).astype(np.int64)
+        # expansion 2: column -> rows
+        nrows = iy_hi - iy_lo + 1
+        coli = np.repeat(np.arange(len(k), dtype=np.int64), nrows)
+        iy = iy_lo[coli] + _ragged_arange(nrows)
+        ix = k[coli]
+        out = pd.DataFrame({"osm_id": oid[segi][coli], "ix": ix, "iy": iy})
+        out = out.drop_duplicates()
+        return out.assign(cell=_cell_id(out["ix"].to_numpy(np.int64),
+                                        out["iy"].to_numpy(np.int64)))
+
+    return streets.map_batches(trace, batch_format="pandas")

@@ -285,3 +285,58 @@ class TestQuadkey:
                     for k in range(14)]
             want.append("".join(digs))
         assert (pk == np.array(want)).all()
+
+
+class TestLineTrace:
+    def test_supercover_known_cells_and_parity(self, ray_session, tmp_path):
+        """Diagonal / vertical / horizontal segments produce exactly the
+        cells the line passes through (supercover), cells form a connected
+        path, and the SQL oracle replays bit-exactly."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from housenumbercore_ray.geo.wkb import linestring_wkb
+        from housenumbercore_ray.pipelines import geometry_oracle as go
+        from housenumbercore_ray.pipelines.tiles import TILE_RES_DEG, tile_line_cells
+
+        res = TILE_RES_DEG
+        # grid origin shorthand: cell (ix, iy) covers
+        # [ix*res-180, (ix+1)*res-180) x [iy*res-90, (iy+1)*res-90)
+        def pt(gx, gy):
+            return (gx * res - 180.0, gy * res - 90.0)
+
+        tbl = pa.table({
+            "osm_id": pa.array([1, 2, 3], type=pa.int64()),
+            "linestring_wkb": pa.array([
+                # diagonal through cell interiors: (10.2,10.2) -> (12.8,11.8)
+                linestring_wkb([pt(10.2, 10.2), pt(12.8, 11.8)]),
+                # vertical: same column, 3 rows
+                linestring_wkb([pt(20.5, 20.1), pt(20.5, 22.9)]),
+                # horizontal: same row, 3 columns
+                linestring_wkb([pt(30.1, 30.5), pt(32.9, 30.5)]),
+            ], type=pa.binary()),
+        })
+        wd = str(tmp_path)
+        pq.write_table(tbl, f"{wd}/osm_streets.parquet")
+
+        eng = (tile_line_cells(wd).to_pandas()
+               .sort_values(["osm_id", "ix", "iy"]).reset_index(drop=True))
+        got = {oid: set(zip(g["ix"], g["iy"]))
+               for oid, g in eng.groupby("osm_id")}
+        # diagonal: slope (1.6/2.6); crosses x=11 at y≈10.69 (row 10),
+        # x=12 at y≈11.31 (row 11) → column 11 spans rows 10-11
+        assert got[1] == {(10, 10), (11, 10), (11, 11), (12, 11)}
+        assert got[2] == {(20, 20), (20, 21), (20, 22)}
+        assert got[3] == {(30, 30), (31, 30), (32, 30)}
+        # 4-connectivity of each trace (supercover property)
+        for cells in got.values():
+            for c in cells:
+                if len(cells) > 1:
+                    assert any((abs(c[0]-d[0]) + abs(c[1]-d[1])) == 1
+                               for d in cells if d != c)
+
+        ora = (duckdb.sql(go.line_cells_sql(wd)).df()
+               .sort_values(["osm_id", "ix", "iy"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
