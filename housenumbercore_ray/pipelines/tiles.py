@@ -699,35 +699,48 @@ def tile_line_cells(world_dir: str) -> rd.Dataset:
         oid = b["osm_id"].to_numpy(np.int64)[seg_street]
         if not len(ax):
             return empty
-        # swap so x0 <= x1 (pairs move together)
-        sw = ax > bx
-        x0 = np.where(sw, bx, ax); y0 = np.where(sw, by, ay)
-        x1 = np.where(sw, ax, bx); y1 = np.where(sw, ay, by)
-        # expansion 1: segment -> columns
-        k0 = np.floor(x0).astype(np.int64)
-        k1 = np.floor(x1).astype(np.int64)
-        ncols = k1 - k0 + 1
-        segi = np.repeat(np.arange(len(x0), dtype=np.int64), ncols)
-        k = k0[segi] + _ragged_arange(ncols)
-        kx = k.astype(np.float64)
-        sx0, sy0 = x0[segi], y0[segi]
-        sx1, sy1 = x1[segi], y1[segi]
-        vert = sx1 == sx0
-        xa = np.maximum(sx0, kx)
-        xb = np.minimum(sx1, kx + 1.0)
-        den = np.where(vert, 1.0, sx1 - sx0)
-        ya = np.where(vert, sy0, sy0 + (xa - sx0) / den * (sy1 - sy0))
-        yb = np.where(vert, sy1, sy0 + (xb - sx0) / den * (sy1 - sy0))
-        iy_lo = np.floor(np.minimum(ya, yb)).astype(np.int64)
-        iy_hi = np.floor(np.maximum(ya, yb)).astype(np.int64)
-        # expansion 2: column -> rows
-        nrows = iy_hi - iy_lo + 1
-        coli = np.repeat(np.arange(len(k), dtype=np.int64), nrows)
-        iy = iy_lo[coli] + _ragged_arange(nrows)
-        ix = k[coli]
-        out = pd.DataFrame({"osm_id": oid[segi][coli], "ix": ix, "iy": iy})
+        segi, ix, iy = supercover_cells(ax, ay, bx, by)
+        out = pd.DataFrame({"osm_id": oid[segi], "ix": ix, "iy": iy})
         out = out.drop_duplicates()
         return out.assign(cell=_cell_id(out["ix"].to_numpy(np.int64),
                                         out["iy"].to_numpy(np.int64)))
 
     return streets.map_batches(trace, batch_format="pandas")
+
+
+def supercover_cells(ax: np.ndarray, ay: np.ndarray,
+                     bx: np.ndarray, by: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized supercover of segments in GRID coordinates: returns
+    ``(seg_idx, ix, iy)`` rows — every integer cell each segment passes
+    through, half-open [k, k+1) per axis. Pure kernel (property-tested);
+    the float expression tree is mirrored verbatim by the SQL oracle."""
+    from .geometry import _ragged_arange
+
+    # swap so x0 <= x1 (pairs move together)
+    sw = ax > bx
+    x0 = np.where(sw, bx, ax); y0 = np.where(sw, by, ay)
+    x1 = np.where(sw, ax, bx); y1 = np.where(sw, ay, by)
+    # expansion 1: segment -> columns
+    k0 = np.floor(x0).astype(np.int64)
+    k1 = np.floor(x1).astype(np.int64)
+    ncols = k1 - k0 + 1
+    segi = np.repeat(np.arange(len(x0), dtype=np.int64), ncols)
+    k = k0[segi] + _ragged_arange(ncols)
+    kx = k.astype(np.float64)
+    sx0, sy0 = x0[segi], y0[segi]
+    sx1, sy1 = x1[segi], y1[segi]
+    vert = sx1 == sx0
+    xa = np.maximum(sx0, kx)
+    xb = np.minimum(sx1, kx + 1.0)
+    den = np.where(vert, 1.0, sx1 - sx0)
+    ya = np.where(vert, sy0, sy0 + (xa - sx0) / den * (sy1 - sy0))
+    yb = np.where(vert, sy1, sy0 + (xb - sx0) / den * (sy1 - sy0))
+    iy_lo = np.floor(np.minimum(ya, yb)).astype(np.int64)
+    iy_hi = np.floor(np.maximum(ya, yb)).astype(np.int64)
+    # expansion 2: column -> rows
+    nrows = iy_hi - iy_lo + 1
+    coli = np.repeat(np.arange(len(k), dtype=np.int64), nrows)
+    iy = iy_lo[coli] + _ragged_arange(nrows)
+    ix = k[coli]
+    return segi[coli], ix, iy

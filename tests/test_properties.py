@@ -275,3 +275,44 @@ class TestRound3LateOps:
                  if boxes[a][0] <= boxes[b][2] and boxes[b][0] <= boxes[a][2]
                  and boxes[a][1] <= boxes[b][3] and boxes[b][1] <= boxes[a][3]}
         assert set(pairs) == brute
+
+
+class TestSupercoverProperties:
+    @given(st.lists(st.tuples(
+        st.floats(0.5, 99.5, allow_nan=False, width=32),
+        st.floats(0.5, 99.5, allow_nan=False, width=32),
+        st.floats(0.5, 99.5, allow_nan=False, width=32),
+        st.floats(0.5, 99.5, allow_nan=False, width=32),
+    ), min_size=1, max_size=8))
+    @settings(max_examples=60, deadline=None)
+    def test_complete_bounded_connected(self, segs):
+        """Supercover invariants on random segments: (a) COMPLETE — every
+        densely-sampled point of the segment lies in an emitted cell;
+        (b) BOUNDED — per segment at most |Δix|+|Δiy|+1 cells (the exact
+        supercover count when no lattice point is crossed); (c) CONNECTED
+        — the cells form a 4-connected path."""
+        from housenumbercore_ray.pipelines.tiles import supercover_cells
+
+        ax = np.array([s[0] for s in segs], dtype=np.float64)
+        ay = np.array([s[1] for s in segs], dtype=np.float64)
+        bx = np.array([s[2] for s in segs], dtype=np.float64)
+        by = np.array([s[3] for s in segs], dtype=np.float64)
+        segi, ix, iy = supercover_cells(ax, ay, bx, by)
+        for i in range(len(segs)):
+            cells = set(zip(ix[segi == i].tolist(), iy[segi == i].tolist()))
+            # (a) completeness by dense sampling
+            t = np.linspace(0.0, 1.0, 257)
+            sx = ax[i] + t * (bx[i] - ax[i])
+            sy = ay[i] + t * (by[i] - ay[i])
+            hit = set(zip(np.floor(sx).astype(int).tolist(),
+                          np.floor(sy).astype(int).tolist()))
+            assert hit <= cells
+            # (b) count bound
+            dx = abs(int(np.floor(bx[i])) - int(np.floor(ax[i])))
+            dy = abs(int(np.floor(by[i])) - int(np.floor(ay[i])))
+            assert len(cells) <= dx + dy + 1
+            # (c) 4-connectivity
+            if len(cells) > 1:
+                for c in cells:
+                    assert any(abs(c[0] - d[0]) + abs(c[1] - d[1]) == 1
+                               for d in cells if d != c)
