@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_dsir_weights": lambda sf: corpus.dsir_weights(sf),
         "embedding_kmeans": lambda sf: corpus.embedding_kmeans(sf),
         "embedding_knn_graph": lambda sf: corpus.embedding_knn_graph(sf),
+        "embedding_hard_negatives": lambda sf: corpus.embedding_hard_negatives(sf),
         "web_bloom_seen": lambda sf: corpus.bloom_seen(_world(sf)),
         "web_distinct_urls_hll": lambda sf: corpus.distinct_urls_hll(_world(sf)),
         "dedup_components": lambda sf: corpus.dedup_components(sf),
@@ -410,6 +411,7 @@ FROM t
         "corpus_dsir_weights": co.dsir_weights_sql(),
         "embedding_kmeans": co.embedding_kmeans_sql(),
         "embedding_knn_graph": co.knn_graph_sql(),
+        "embedding_hard_negatives": co.hard_negatives_sql(),
         "web_bloom_seen": co.bloom_seen_sql(world_dir),
         "web_distinct_urls_hll": co.distinct_hll_sql(world_dir),
         "dedup_components": co.dedup_components_sql(),

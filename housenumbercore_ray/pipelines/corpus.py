@@ -3033,6 +3033,103 @@ def embedding_knn_graph(sf_dir: str, k: int = 3, nlist: int = 16,
     )
 
 
+def embedding_hard_negatives(sf_dir: str, k: int = 3, nlist: int = 16,
+                             nprobe: int = 2) -> rd.Dataset:
+    """HARD-NEGATIVE mining for contrastive training: for every vector, its
+    ``k`` nearest neighbors by cosine whose ``label`` DIFFERS — the
+    highest-similarity wrong-class examples (the "hard negatives" a
+    contrastive/metric-learning data pipeline feeds the loss).
+
+    Same deterministic IVF coarse quantizer and scale shape as
+    :func:`embedding_knn_graph` (one assign+fan-out pass, per-list chunked
+    matmul, per-src merge of ≤ nprobe·k partials); the only change is the
+    candidate mask — ``dst_label != src_label`` instead of just
+    ``dst != src`` — applied inside the vectorized top-k selection, and the
+    label column riding the probe fan-out (+8 bytes/row on the one
+    shuffle). Output: (src_id, rank, dst_id) — rank-only contract like the
+    ANN family, so the oracle compare is float-free."""
+    vecs = _fetch_vectors(sf_dir, list(range(nlist)))
+    C = np.stack([vecs[i] for i in range(nlist)])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cref = ray.put(Cn)
+
+    class AssignProbe:
+        def __init__(self):
+            self.Cn = ray.get(cref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            sims = Xn @ self.Cn.T
+            probes = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            ids = b["vec_id"].to_numpy(np.int64)
+            lbl = b["label"].to_numpy(np.int64)
+            n = len(ids)
+            return pd.DataFrame({
+                "list_id": probes.T.reshape(-1),
+                "member": np.repeat([True] + [False] * (nprobe - 1), n),
+                "vec_id": np.tile(ids, nprobe),
+                "label": np.tile(lbl, nprobe),
+                "vn": [Xn[i] for _ in range(nprobe) for i in range(n)],
+            })
+
+    def per_list(g: pd.DataFrame, chunk: int = 1024) -> pd.DataFrame:
+        empty = pd.DataFrame({"src_id": pd.Series([], dtype=np.int64),
+                              "dst_id": pd.Series([], dtype=np.int64),
+                              "sim": pd.Series([], dtype=np.float64)})
+        mem = g[g["member"]].sort_values("vec_id", kind="mergesort")
+        if not len(mem):
+            return empty
+        M = np.stack(mem["vn"].to_numpy())
+        m_ids = mem["vec_id"].to_numpy(np.int64)
+        m_lbl = mem["label"].to_numpy(np.int64)
+        p_ids_all = g["vec_id"].to_numpy(np.int64)
+        p_lbl_all = g["label"].to_numpy(np.int64)
+        P_all = np.stack(g["vn"].to_numpy())
+        outs = []
+        for lo in range(0, len(p_ids_all), chunk):
+            p_ids = p_ids_all[lo:lo + chunk]
+            p_lbl = p_lbl_all[lo:lo + chunk]
+            sims = P_all[lo:lo + chunk] @ M.T
+            # members are vec_id-sorted → stable argsort on -sims gives
+            # (sim desc, dst asc) per row — the exact oracle tie rule
+            idx = np.argsort(-sims, axis=1, kind="stable")
+            dst = m_ids[idx]
+            dlb = m_lbl[idx]
+            s = np.take_along_axis(sims, idx, axis=1)
+            keep = (dst != p_ids[:, None]) & (dlb != p_lbl[:, None])
+            sel = keep & (np.cumsum(keep, axis=1) <= k)
+            rows, cols = np.nonzero(sel)
+            outs.append(pd.DataFrame({
+                "src_id": p_ids[rows],
+                "dst_id": dst[rows, cols],
+                "sim": s[rows, cols],
+            }))
+        out = pd.concat(outs, ignore_index=True) if outs else empty
+        return out
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["src_id", "sim", "dst_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("src_id", sort=False).head(k).copy()
+        g["rank"] = g.groupby("src_id", sort=False).cumcount() + 1
+        return g[["src_id", "rank", "dst_id"]].astype(
+            {"src_id": np.int64, "rank": np.int64, "dst_id": np.int64})
+
+    return (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"])
+        .map_batches(AssignProbe, batch_format="pandas", batch_size=4096,
+                     concurrency=(1, 4), num_cpus=1)
+        .groupby("list_id")
+        .map_groups(per_list, batch_format="pandas")
+        .map_batches(_shard_on(["src_id"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(merge_topk, batch_format="pandas")
+    )
+
+
 def _sq_minmax(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """Per-dimension global (min, max) for SQ8 quantization in ONE streaming
     pass: each batch emits d partial rows (dim, mn, mx), a d-key groupby

@@ -991,6 +991,45 @@ QUALIFY row_number() OVER (PARTITION BY uid ORDER BY sim DESC, vid) <= {k}
 """
 
 
+def hard_negatives_sql(k: int = 3, nlist: int = 16, nprobe: int = 2) -> str:
+    """embedding_hard_negatives: the IVF kNN-graph oracle with the label
+    constraint — candidates must have a DIFFERENT label than the prober;
+    everything else (quantizer, probes, tie rules, rank-only output) is
+    identical to ``knn_graph_sql``."""
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {nlist}),
+ac AS (
+  SELECT e.vec_id, e.label, e.v, c.cid, list_cosine_similarity(e.v, c.cv) AS s
+  FROM e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, label, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM ac
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS uid, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY s DESC, cid) AS rn
+    FROM ac
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.uid, a.vec_id AS vid, list_cosine_similarity(u.v, a.v) AS sim
+  FROM probes p
+  JOIN assign a ON a.cid = p.cid
+  JOIN e u ON u.vec_id = p.uid
+  WHERE a.vec_id <> p.uid AND a.label <> u.label
+)
+SELECT CAST(uid AS BIGINT) AS src_id,
+       CAST(row_number() OVER (PARTITION BY uid ORDER BY sim DESC, vid) AS BIGINT) AS rank,
+       CAST(vid AS BIGINT) AS dst_id
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY uid ORDER BY sim DESC, vid) <= {k}
+"""
+
+
 def lsh_topk_sql(dim: int, query_ids=(0, 1, 2, 3), k: int = 5,
                  max_hamming: int = 6) -> str:
     """ann_lsh_topk: deterministic approximate ANN fully recomputed —

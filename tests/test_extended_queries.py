@@ -65,7 +65,9 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "geo_tile_compact", "corpus_shuffle_shards",
             "rel_order_gaps", "rel_events_funnel",
             "corpus_mix_weights", "corpus_sample_weighted",
-            "embedding_pca_power", "geo_bbox_pairs"]
+            "embedding_pca_power", "geo_bbox_pairs",
+            "geo_tile_quadkey", "geo_radius_pairs", "geo_tile_linetrace",
+            "embedding_hard_negatives"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
@@ -108,6 +110,8 @@ def test_extended_query_matches_oracle(entry, con, name):
     sqls["geo_bbox_pairs"] = geo_o.bbox_pairs_sql(wd)
     sqls["geo_line_simplify"] = geo_o.line_simplify_sql(wd)
     sqls["geo_reverse_geocode"] = geo_o.reverse_geocode_sql(wd)
+    sqls["geo_radius_pairs"] = geo_o.radius_pairs_sql(wd)
+    sqls["geo_tile_linetrace"] = geo_o.line_cells_sql(wd)
     sqls["corpus_source_jaccard"] = co.source_jaccard_sql()
     sqls["text_bigram_lm"] = co.bigram_lm_sql()
     sqls["dedup_substring_spans"] = co.substring_spans_sql()
@@ -519,3 +523,21 @@ class TestPriceOutliers:
         # bounds columns are constant per segment
         assert (got.groupby("c_mktsegment")[["seg_median", "seg_mad"]]
                 .nunique().le(1).all().all())
+
+
+def test_hard_negatives_labels_differ(entry, ray_session):
+    """Every mined hard negative has a label different from its source
+    vector, ranks are 1..k per src, and every vector gets negatives (the
+    sf0.001 label distribution guarantees cross-label candidates in every
+    probed list)."""
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    df = entry.queries()["embedding_hard_negatives"](sf).to_pandas()
+    lbl = pd.read_parquet(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "label"]).set_index("vec_id")["label"]
+    assert (lbl.loc[df["src_id"]].to_numpy()
+            != lbl.loc[df["dst_id"]].to_numpy()).all()
+    ranks = df.groupby("src_id")["rank"].agg(["min", "max", "count"])
+    assert (ranks["min"] == 1).all()
+    assert (ranks["max"] == ranks["count"]).all()
