@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # webtext crawl ops (pages table of the world)
         "web_line_dedup": lambda sf: corpus.line_dedup(_world(sf)),
         "web_host_stats": lambda sf: corpus.host_stats(_world(sf)),
+        "web_crawl_waves": lambda sf: corpus.crawl_waves(_world(sf)),
         "text_spell_variants": lambda sf: corpus.spell_variants(_world(sf)),
         "text_cooccurrence_triangles": lambda sf: corpus.cooccurrence_triangles(_world(sf)),
         "web_repetition": lambda sf: corpus.repetition_metrics(_world(sf)),
@@ -399,6 +400,7 @@ FROM t
         "corpus_top_ngrams": co.top_ngrams_sql(),
         "web_line_dedup": co.line_dedup_sql(world_dir),
         "web_host_stats": co.host_stats_sql(world_dir),
+        "web_crawl_waves": co.crawl_waves_sql(world_dir),
         "text_spell_variants": co.spell_variants_sql(world_dir),
         "text_cooccurrence_triangles": co.cooccurrence_triangles_sql(world_dir),
         "web_repetition": co.repetition_sql(world_dir),

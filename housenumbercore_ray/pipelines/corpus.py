@@ -703,6 +703,40 @@ def host_stats(world_dir: str) -> rd.Dataset:
     )
 
 
+def crawl_waves(world_dir: str) -> rd.Dataset:
+    """Crawl-frontier POLITENESS scheduling: assign every URL a fetch wave
+    such that a host is hit at most once per wave — wave = the URL's
+    0-based position in its host's FIFO queue (deterministic URL order).
+    Output: (url, host, wave). Wave w is exactly the set of URLs a polite
+    fetcher dispatches in round w; max(wave)+1 is the crawl's makespan in
+    host-round-trips.
+
+    Scale shape: ONE host-keyed shuffle of pruned (host, url) rows — the
+    per-host group IS the semantic unit (politeness serializes a host), so
+    rank-within-host runs as a vectorized sort+cumcount per group. A
+    pathological mega-host (10⁸ urls on one host) would switch to the
+    distributed prefix-scan ranking of ``fill_token_budget`` (sorted range
+    shards + offset pass); at web scale hosts are many and shallow, so the
+    groupwise path is the right default."""
+    pages = rd.read_parquet(f"{world_dir}/pages", columns=["url"])
+
+    def add_host(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"url": b["url"].to_numpy(object),
+                             "host": b["url"].str.split("/").str[2].to_numpy(object)})
+
+    def rank_host(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("url", kind="mergesort").reset_index(drop=True)
+        return pd.DataFrame({
+            "url": g["url"].to_numpy(object),
+            "host": g["host"].to_numpy(object),
+            "wave": np.arange(len(g), dtype=np.int64),
+        })
+
+    return (pages.map_batches(add_host, batch_format="pandas")
+            .groupby("host")
+            .map_groups(rank_host, batch_format="pandas"))
+
+
 def tfidf_topk(sf_dir: str, k: int = 5) -> rd.Dataset:
     """Per-document top-k TF-IDF keywords (the corpus keyword-extraction /
     feature primitive): score = tf · ln(N / df) over raw whitespace tokens

@@ -776,6 +776,17 @@ GROUP BY 1
 """
 
 
+def crawl_waves_sql(world_dir: str) -> str:
+    """web_crawl_waves: rank-within-host recomputed as a plain window
+    function — independent of the engine's shard+sort+cumcount path."""
+    return f"""
+SELECT url, string_split(url, '/')[3] AS host,
+       CAST(row_number() OVER (PARTITION BY string_split(url, '/')[3]
+                               ORDER BY url) - 1 AS BIGINT) AS wave
+FROM read_parquet('{world_dir}/pages/*.parquet')
+"""
+
+
 def top_ngrams_sql(src: str = "documents", n: int = 3, k: int = 20) -> str:
     """corpus_top_ngrams: total n-gram occurrence counts (NOT per-doc
     distinct), deterministic (count DESC, gram ASC) top-k."""

@@ -67,7 +67,7 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "corpus_mix_weights", "corpus_sample_weighted",
             "embedding_pca_power", "geo_bbox_pairs",
             "geo_tile_quadkey", "geo_radius_pairs", "geo_tile_linetrace",
-            "embedding_hard_negatives"]
+            "embedding_hard_negatives", "web_crawl_waves"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
@@ -533,7 +533,7 @@ def test_hard_negatives_labels_differ(entry, ray_session):
     import pandas as pd
 
     sf = "/root/testdata/sf0.001"
-    df = entry.queries()["embedding_hard_negatives"](sf).to_pandas()
+    df = entry.queries()["embedding_hard_negatives", "web_crawl_waves"](sf).to_pandas()
     lbl = pd.read_parquet(f"{sf}/embeddings.parquet",
                           columns=["vec_id", "label"]).set_index("vec_id")["label"]
     assert (lbl.loc[df["src_id"]].to_numpy()
@@ -541,3 +541,13 @@ def test_hard_negatives_labels_differ(entry, ray_session):
     ranks = df.groupby("src_id")["rank"].agg(["min", "max", "count"])
     assert (ranks["min"] == 1).all()
     assert (ranks["max"] == ranks["count"]).all()
+
+
+def test_crawl_waves_politeness_invariant(entry, ray_session):
+    """Each (host, wave) combination is unique — a polite fetcher never
+    hits a host twice in one wave — and waves are gapless 0..n_host-1."""
+    df = entry.queries()["web_crawl_waves"](SF).to_pandas()
+    assert not df.duplicated(["host", "wave"]).any()
+    per = df.groupby("host")["wave"].agg(["min", "max", "count"])
+    assert (per["min"] == 0).all()
+    assert (per["max"] == per["count"] - 1).all()
