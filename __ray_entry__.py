@@ -117,6 +117,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_linetrace": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["tile_line_cells"]
         ).tile_line_cells(_world(sf)),
+        "geo_tile_moran": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.tiles", fromlist=["tile_moran"]
+        ).tile_moran(_world(sf)),
         # vector geometry over WKB columns (decode / measure / generalize)
         "geo_street_vertices": lambda sf: __import__(
             "housenumbercore_ray.pipelines.geometry", fromlist=["street_vertices"]

@@ -671,6 +671,30 @@ WHERE NOT EXISTS (SELECT 1 FROM c3
 UNION ALL
 SELECT 3, ix, iy, (ix << 22) | iy FROM c3
 """,
+        # Moran's I: pairs recomputed by a DIRECT raster self-join (queen
+        # adjacency predicate), independent of the engine's shifted-key
+        # contributions; sufficient statistics are integers (order-free),
+        # the one float expression mirrors the engine's tree exactly.
+        "geo_tile_moran": f"""
+WITH b AS ({base}),
+raster AS (SELECT ix, iy, CAST(count(*) AS BIGINT) AS x FROM b GROUP BY 1, 2),
+nb AS (
+  SELECT a.x AS xa, c.x AS xc
+  FROM raster a JOIN raster c
+    ON abs(a.ix - c.ix) <= 1 AND abs(a.iy - c.iy) <= 1
+   AND NOT (a.ix = c.ix AND a.iy = c.iy)
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx FROM raster),
+pw AS (SELECT CAST(count(*) AS BIGINT) AS w, CAST(sum(xa * xc) AS BIGINT) AS a,
+              CAST(sum(xa + xc) AS BIGINT) AS bsum FROM nb)
+SELECT n AS n_cells, w AS w_pairs, sx AS sum_x, sxx AS sum_xx, a AS cross_xx,
+       round((CAST(n AS DOUBLE) / w) *
+             ((a - (CAST(sx AS DOUBLE) / n) * bsum
+                 + (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) * w)
+              / (sxx - (CAST(sx AS DOUBLE) / n) * sx)), 9) AS moran_i
+FROM tot, pw
+""",
         # quadkey/morton: formula-independent recomputation — morton as a
         # per-bit SUM over generate_series (engine: magic-number bit spread),
         # quadkey as a per-digit ordered string aggregation (engine: base-4

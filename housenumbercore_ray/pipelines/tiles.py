@@ -328,6 +328,123 @@ def tile_kring(world_dir: str) -> rd.Dataset:
                         batch_format="pandas"))
 
 
+def tile_moran(world_dir: str) -> rd.Dataset:
+    """MORAN'S I spatial autocorrelation of the point-count raster over
+    the occupied z0 cells, queen (8-neighbor) binary weights — the
+    standard clustered-vs-dispersed statistic for a raster (I → +1
+    clustered, ≈ −1/(N−1) random, → −1 dispersed).
+
+    Output is ONE row: the integer sufficient statistics
+    (n_cells, w_pairs = ordered neighbor pairs, sum_x, sum_xx,
+    cross_xx = Σ w_ij·x_i·x_j) plus ``moran_i`` (round-9).
+
+    Exactness: x is an int64 count, so every distributed sum is an
+    INTEGER — order-independent across shards — and the single float
+    division happens once at the end, with the identical expression tree
+    in the SQL oracle (which recomputes the pairs by a direct raster
+    self-join on |Δix|≤1 ∧ |Δiy|≤1, independent of the engine's
+    shifted-key contributions).
+
+    Scale shape: the rasterize two-level reduce (shuffle = distinct-cell
+    partials), then ONE kring-style shuffle of 9 shifted rows per
+    OCCUPIED cell, then a per-batch partial sum → single-row reduce —
+    O(1) driver state."""
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ix, iy = _tile_ix_iy(b["lon"].to_numpy(), b["lat"].to_numpy())
+        g = (pd.DataFrame({"ix": ix, "iy": iy})
+             .groupby(["ix", "iy"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def reduce_cells(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["ix", "iy"], as_index=False).agg(x=("n", "sum"))
+        out["x"] = out["x"].astype(np.int64)
+        return out
+
+    raster = (_points(world_dir, ["lon", "lat"])
+              .map_batches(count_partial, batch_format="pandas")
+              .map_batches(lambda b: b.assign(
+                  cell=_cell_id(b["ix"].to_numpy(np.int64),
+                                b["iy"].to_numpy(np.int64))),
+                  batch_format="pandas")
+              .map_batches(_shard_cells(), batch_format="pandas")
+              .repartition(_shuffle_blocks())
+              .groupby("_shard")
+              .map_groups(lambda g: reduce_cells(g.drop(columns=["_shard", "cell"])),
+                          batch_format="pandas"))
+
+    def contrib(b: pd.DataFrame) -> pd.DataFrame:
+        gx = b["ix"].to_numpy(np.int64)
+        gy = b["iy"].to_numpy(np.int64)
+        x = b["x"].to_numpy(np.int64)
+        txs, tys, own_x, is_own, nb_x, nb_cnt = [], [], [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                own = dx == 0 and dy == 0
+                txs.append(gx + dx)
+                tys.append(gy + dy)
+                own_x.append(x if own else np.zeros_like(x))
+                is_own.append(np.full(len(x), 1 if own else 0, dtype=np.int64))
+                nb_x.append(np.zeros_like(x) if own else x)
+                nb_cnt.append(np.full(len(x), 0 if own else 1, dtype=np.int64))
+        tx = np.concatenate(txs)
+        ty = np.concatenate(tys)
+        return pd.DataFrame({"cell": _cell_id(tx, ty),
+                             "own_x": np.concatenate(own_x),
+                             "is_own": np.concatenate(is_own),
+                             "nb_x": np.concatenate(nb_x),
+                             "nb_cnt": np.concatenate(nb_cnt)})
+
+    def cell_stats(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("cell", as_index=False)
+               .agg(x=("own_x", "sum"), occ=("is_own", "sum"),
+                    ring=("nb_x", "sum"), deg=("nb_cnt", "sum")))
+        agg = agg[agg["occ"] > 0]
+        x = agg["x"].to_numpy(np.int64)
+        ring = agg["ring"].to_numpy(np.int64)
+        deg = agg["deg"].to_numpy(np.int64)
+        # per-shard integer partials of the global sufficient statistics
+        return pd.DataFrame({
+            "n": [np.int64(len(agg))],
+            "w": [deg.sum()],
+            "sx": [x.sum()],
+            "sxx": [(x * x).sum()],
+            "a": [(x * ring).sum()],
+            "bsum": [(x * deg).sum() + ring.sum()],
+        }).astype(np.int64)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum()); w = int(g["w"].sum())
+        sx = int(g["sx"].sum()); sxx = int(g["sxx"].sum())
+        a = int(g["a"].sum()); bsum = int(g["bsum"].sum())
+        xbar = float(sx) / n
+        num = a - xbar * bsum + xbar * xbar * w
+        den = sxx - xbar * sx
+        moran = (float(n) / w) * (num / den) if w > 0 and den != 0 else 0.0
+        return pd.DataFrame({
+            "n_cells": pd.Series([n], dtype=np.int64),
+            "w_pairs": pd.Series([w], dtype=np.int64),
+            "sum_x": pd.Series([sx], dtype=np.int64),
+            "sum_xx": pd.Series([sxx], dtype=np.int64),
+            "cross_xx": pd.Series([a], dtype=np.int64),
+            "moran_i": [round(moran, 9)],
+        })
+
+    return (raster.map_batches(contrib, batch_format="pandas")
+            .map_batches(_shard_cells(), batch_format="pandas")
+            .repartition(_shuffle_blocks())
+            .groupby("_shard")
+            .map_groups(lambda g: cell_stats(g.drop(columns=["_shard"])),
+                        batch_format="pandas")
+            .map_batches(lambda b: b.assign(_one=np.int64(0)),
+                         batch_format="pandas")
+            .groupby("_one")
+            .map_groups(lambda g: final(g.drop(columns=["_one"])),
+                        batch_format="pandas"))
+
+
 def tile_zonal_stats(world_dir: str) -> rd.Dataset:
     """Zonal statistics: per-municipality aggregates over the z0 raster —
     the raster→vector analytics join (zones = the parent-boundary bboxes,

@@ -340,3 +340,57 @@ class TestLineTrace:
         ora = (duckdb.sql(go.line_cells_sql(wd)).df()
                .sort_values(["osm_id", "ix", "iy"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
+
+
+class TestMoran:
+    def test_checkerboard_negative_uniform_cluster_positive(self, ray_session, tmp_path):
+        """Moran's I sanity on crafted rasters: a checkerboard of high/low
+        counts is strongly NEGATIVE (dispersed); two compact blobs of
+        high counts amid low background are POSITIVE (clustered)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from housenumbercore_ray.pipelines.tiles import TILE_RES_DEG, tile_moran
+
+        res = TILE_RES_DEG
+
+        def world(points, d):
+            lon = [p[0] for p in points]
+            lat = [p[1] for p in points]
+            t = pa.table({
+                "osm_id": pa.array(range(len(points)), pa.int64()),
+                "addr_street": pa.array(["s"] * len(points)),
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+            })
+            pq.write_table(t, f"{d}/osm_addresses.parquet")
+            return str(d)
+
+        def cell_pts(ix, iy, n):
+            lon = (ix + 0.5) * res - 180.0
+            lat = (iy + 0.5) * res - 90.0
+            return [(lon + 1e-6 * i, lat) for i in range(n)]
+
+        # checkerboard 6x6: parity-high (5 points) / parity-low (1 point)
+        pts = []
+        for ix in range(6):
+            for iy in range(6):
+                pts += cell_pts(100 + ix, 100 + iy, 5 if (ix + iy) % 2 else 1)
+        d1 = tmp_path / "checker"; d1.mkdir()
+        df1 = tile_moran(world(pts, d1)).to_pandas()
+        # queen weights dilute the rook anti-correlation (diagonals share
+        # parity), so the checkerboard is mildly negative, not -1
+        assert df1.loc[0, "moran_i"] < 0.0
+
+        # clustered: 3x3 blob of 5s in a 6x6 field of 1s
+        pts = []
+        for ix in range(6):
+            for iy in range(6):
+                hot = ix < 3 and iy < 3
+                pts += cell_pts(200 + ix, 200 + iy, 5 if hot else 1)
+        d2 = tmp_path / "blob"; d2.mkdir()
+        df2 = tile_moran(world(pts, d2)).to_pandas()
+        assert df2.loc[0, "moran_i"] > 0.3
+        # integer sufficient stats are exact
+        assert df2.loc[0, "n_cells"] == 36
+        assert df2.loc[0, "sum_x"] == 9 * 5 + 27 * 1
