@@ -120,6 +120,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_moran": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["tile_moran"]
         ).tile_moran(_world(sf)),
+        "geo_tile_hotspots": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.tiles", fromlist=["tile_hotspots"]
+        ).tile_hotspots(_world(sf)),
         # vector geometry over WKB columns (decode / measure / generalize)
         "geo_street_vertices": lambda sf: __import__(
             "housenumbercore_ray.pipelines.geometry", fromlist=["street_vertices"]

@@ -695,6 +695,33 @@ SELECT n AS n_cells, w AS w_pairs, sx AS sum_x, sxx AS sum_xx, a AS cross_xx,
               / (sxx - (CAST(sx AS DOUBLE) / n) * sx)), 9) AS moran_i
 FROM tot, pw
 """,
+        # Getis-Ord Gi*: window sums by a direct raster self-join (vs the
+        # engine's shifted-key contributions); global stats and window
+        # stats are integers, the z expression mirrors the engine's tree.
+        "geo_tile_hotspots": f"""
+WITH b AS ({base}),
+raster AS (SELECT ix, iy, CAST(count(*) AS BIGINT) AS x FROM b GROUP BY 1, 2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx FROM raster),
+win AS (
+  SELECT a.ix, a.iy, a.x,
+         CAST(sum(c.x) AS BIGINT) AS ring3, CAST(count(*) AS BIGINT) AS wi
+  FROM raster a JOIN raster c
+    ON abs(a.ix - c.ix) <= 1 AND abs(a.iy - c.iy) <= 1
+  GROUP BY a.ix, a.iy, a.x
+)
+SELECT (win.ix << 22) | win.iy AS cell, win.ix AS ix, win.iy AS iy, win.x AS x,
+       ring3 AS ring3_x, wi AS w_in,
+       round((ring3 - (CAST(sx AS DOUBLE) / n) * wi)
+             / (sqrt(CAST(sxx AS DOUBLE) / n
+                     - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                * sqrt((n * wi - wi * wi) / (n - 1.0))), 9) AS gi_z,
+       CAST((ring3 - (CAST(sx AS DOUBLE) / n) * wi)
+            / (sqrt(CAST(sxx AS DOUBLE) / n
+                    - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+               * sqrt((n * wi - wi * wi) / (n - 1.0))) > 1.96 AS BIGINT) AS hotspot
+FROM win, tot
+""",
         # quadkey/morton: formula-independent recomputation — morton as a
         # per-bit SUM over generate_series (engine: magic-number bit spread),
         # quadkey as a per-digit ordered string aggregation (engine: base-4

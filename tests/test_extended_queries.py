@@ -67,7 +67,8 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "corpus_mix_weights", "corpus_sample_weighted",
             "embedding_pca_power", "geo_bbox_pairs",
             "geo_tile_quadkey", "geo_radius_pairs", "geo_tile_linetrace",
-            "embedding_hard_negatives", "web_crawl_waves", "geo_tile_moran"]
+            "embedding_hard_negatives", "web_crawl_waves", "geo_tile_moran",
+            "geo_tile_hotspots"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
@@ -533,7 +534,8 @@ def test_hard_negatives_labels_differ(entry, ray_session):
     import pandas as pd
 
     sf = "/root/testdata/sf0.001"
-    df = entry.queries()["embedding_hard_negatives", "web_crawl_waves", "geo_tile_moran"](sf).to_pandas()
+    df = entry.queries()["embedding_hard_negatives", "web_crawl_waves", "geo_tile_moran",
+            "geo_tile_hotspots"](sf).to_pandas()
     lbl = pd.read_parquet(f"{sf}/embeddings.parquet",
                           columns=["vec_id", "label"]).set_index("vec_id")["label"]
     assert (lbl.loc[df["src_id"]].to_numpy()

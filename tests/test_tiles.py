@@ -394,3 +394,38 @@ class TestMoran:
         # integer sufficient stats are exact
         assert df2.loc[0, "n_cells"] == 36
         assert df2.loc[0, "sum_x"] == 9 * 5 + 27 * 1
+
+
+class TestHotspots:
+    def test_blob_center_is_hotspot(self, ray_session, tmp_path):
+        """The center of a dense blob gets the highest Gi* and a hotspot
+        flag; far-field background cells do not."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from housenumbercore_ray.pipelines.tiles import TILE_RES_DEG, tile_hotspots
+
+        res = TILE_RES_DEG
+        pts = []
+        def cell_pts(ix, iy, n):
+            lon = (ix + 0.5) * res - 180.0
+            lat = (iy + 0.5) * res - 90.0
+            return [(lon + 1e-6 * i, lat) for i in range(n)]
+        # 10x10 field of 1s with a 3x3 blob of 20s at (304..306, 304..306)
+        for ix in range(300, 310):
+            for iy in range(300, 310):
+                hot = 304 <= ix <= 306 and 304 <= iy <= 306
+                pts += cell_pts(ix, iy, 20 if hot else 1)
+        t = pa.table({
+            "osm_id": pa.array(range(len(pts)), pa.int64()),
+            "addr_street": pa.array(["s"] * len(pts)),
+            "lon": pa.array([p[0] for p in pts], pa.float64()),
+            "lat": pa.array([p[1] for p in pts], pa.float64()),
+        })
+        pq.write_table(t, f"{tmp_path}/osm_addresses.parquet")
+        df = tile_hotspots(str(tmp_path)).to_pandas().set_index(["ix", "iy"])
+        assert df.loc[(305, 305), "hotspot"] == 1
+        assert df["gi_z"].idxmax() == (305, 305)
+        assert df.loc[(305, 305), "ring3_x"] == 9 * 20
+        assert df.loc[(300, 300), "hotspot"] == 0
+        assert df.loc[(300, 300), "w_in"] == 4  # corner window
