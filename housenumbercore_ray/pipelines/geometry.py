@@ -561,3 +561,154 @@ def address_radius_pairs(world_dir: str, radius_m: float = RADIUS_PAIR_M,
 
     return (pts.map_batches(cover, batch_format="pandas")
             .groupby("cell").map_groups(pairs, batch_format="pandas"))
+
+
+DBSCAN_EPS_M = 400.0
+DBSCAN_RES_DEG = 0.008
+DBSCAN_MIN_PTS = 4
+
+
+def dbscan_clusters(world_dir: str, eps_m: float = DBSCAN_EPS_M,
+                    res_deg: float = DBSCAN_RES_DEG,
+                    min_pts: int = DBSCAN_MIN_PTS) -> rd.Dataset:
+    """Distributed DBSCAN (Ester et al. 1996) over the address points —
+    density-based spatial clustering: a point is CORE when its ε-ball
+    holds ≥ min_pts points (self included); clusters are the connected
+    components of the core-core ε-adjacency; non-core points with a core
+    neighbor are BORDER (joining their minimum-labeled core neighbor's
+    cluster — a deterministic tie rule); everything else is NOISE.
+    Output: (osm_id, role ∈ {core, border, noise}, cluster_id = min core
+    osm_id of the cluster, −1 for noise).
+
+    Scale shape — composed entirely from the engine's bounded primitives:
+    ε-neighbor pairs via the PBSM min-corner radius join
+    (:func:`address_radius_pairs` at eps/res — grid width ≥ ε for
+    |lat| ≲ 63 at the defaults), degrees by a two-level count reduce,
+    core flags by hash-partitioned joins, cluster labels by the
+    star-contraction :func:`~.corpus.connected_components` kernel
+    (min-label, object-store resident), border assignment by one more
+    bucketed join + per-point min reduce. No stage ever materializes the
+    point set on the driver.
+
+    Oracle: recursive-CTE reachability closure over the ε-graph in SQL
+    (direct neighbor-predicate self-join — no PBSM, no star contraction),
+    which independently validates the whole composition."""
+    import pyarrow as pa
+
+    from ..stages.join import bucketed_hash_join
+    from .corpus import _shard_on, connected_components
+
+    def _blocks() -> int:
+        from ..stages.shuffle import shuffle_blocks
+
+        return shuffle_blocks()
+
+    pairs = (address_radius_pairs(world_dir, radius_m=eps_m, res_deg=res_deg)
+             .map_batches(lambda b: b[["osm_id_a", "osm_id_b"]],
+                          batch_format="pandas")
+             .materialize())  # reused: degrees, core-core edges, borders
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["osm_id_a"].to_numpy(np.int64)
+        v = b["osm_id_b"].to_numpy(np.int64)
+        return pd.DataFrame({"u": np.concatenate([u, v]),
+                             "v": np.concatenate([v, u])})
+
+    both = pairs.map_batches(both_dirs, batch_format="pandas").materialize()
+
+    # degrees → core points (two-level count reduce; deg excludes self)
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("u", as_index=False).size().rename(columns={"size": "c"})
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    def core_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("u", as_index=False).agg(deg=("c", "sum"))
+        s = s[s["deg"] + 1 >= min_pts]
+        return pd.DataFrame({"node": s["u"].to_numpy(np.int64)})
+
+    cores = (both.map_batches(deg_partial, batch_format="pandas")
+             .map_batches(_shard_on(["u"]), batch_format="pandas")
+             .repartition(_blocks())
+             .groupby("_shard")
+             .map_groups(lambda g: core_shard(g.drop(columns=["_shard"])),
+                         batch_format="pandas")
+             .materialize())
+
+    i64 = pa.int64()
+    # edges with a core source
+    e_cu = bucketed_hash_join(
+        both, cores, "u", "node",
+        left_schema={"u": i64, "v": i64}, right_schema={"node": i64},
+    ).map_batches(lambda b: b[["u", "v"]], batch_format="pandas")
+    # split by whether the destination is core too
+    cores_v = cores.map_batches(
+        lambda b: pd.DataFrame({"vnode": b["node"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    e_tag = bucketed_hash_join(
+        e_cu, cores_v, "v", "vnode", how="left",
+        left_schema={"u": i64, "v": i64}, right_schema={"vnode": i64},
+    ).materialize()
+    core_core = e_tag.map_batches(
+        lambda b: b.loc[b["vnode"].notna(), ["u", "v"]]
+        .rename(columns={"u": "src", "v": "dst"}).astype(np.int64),
+        batch_format="pandas")
+    border_cand = e_tag.map_batches(
+        lambda b: b.loc[b["vnode"].isna(), ["u", "v"]].astype(np.int64),
+        batch_format="pandas")
+
+    labels = connected_components(cores, core_core, max_rounds=16,
+                                  metrics_prefix="dbscan").materialize()
+
+    core_out = labels.map_batches(
+        lambda b: pd.DataFrame({
+            "osm_id": b["node"].to_numpy(np.int64),
+            "role": np.full(len(b), "core", dtype=object),
+            "cluster_id": b["label"].to_numpy(np.int64)}),
+        batch_format="pandas")
+
+    # border: min core-neighbor label per non-core point
+    lab_b = bucketed_hash_join(
+        border_cand, labels, "u", "node",
+        left_schema={"u": i64, "v": i64},
+        right_schema={"node": i64, "label": i64},
+    )
+
+    def bmin_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("v", as_index=False).agg(lab=("label", "min"))
+        g["lab"] = g["lab"].astype(np.int64)
+        return g
+
+    def bmin_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("v", as_index=False).agg(lab=("lab", "min"))
+        return pd.DataFrame({
+            "osm_id": s["v"].to_numpy(np.int64),
+            "role": np.full(len(s), "border", dtype=object),
+            "cluster_id": s["lab"].to_numpy(np.int64)})
+
+    border_out = (lab_b.map_batches(bmin_partial, batch_format="pandas")
+                  .map_batches(_shard_on(["v"]), batch_format="pandas")
+                  .repartition(_blocks())
+                  .groupby("_shard")
+                  .map_groups(lambda g: bmin_shard(g.drop(columns=["_shard"])),
+                              batch_format="pandas"))
+
+    assigned = core_out.union(border_out).materialize()
+    aid = assigned.map_batches(
+        lambda b: pd.DataFrame({"aid": b["osm_id"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    all_pts = rd.read_parquet(f"{world_dir}/osm_addresses.parquet",
+                              columns=["osm_id"])
+    tagged = bucketed_hash_join(
+        all_pts, aid, "osm_id", "aid", how="left",
+        left_schema={"osm_id": i64}, right_schema={"aid": i64},
+    )
+    noise_out = tagged.map_batches(
+        lambda b: pd.DataFrame({
+            "osm_id": b.loc[b["aid"].isna(), "osm_id"].to_numpy(np.int64),
+            "role": np.full(int(b["aid"].isna().sum()), "noise", dtype=object),
+            "cluster_id": np.full(int(b["aid"].isna().sum()), -1,
+                                  dtype=np.int64)}),
+        batch_format="pandas")
+
+    return assigned.union(noise_out)

@@ -429,3 +429,56 @@ cells AS (
 )
 SELECT DISTINCT osm_id, ix, iy, (ix << 22) | iy AS cell FROM cells
 """
+
+
+def dbscan_sql(world_dir: str) -> str:
+    """geo_dbscan: the whole composition recomputed independently —
+    ε-graph by a direct neighbor-predicate self-join (no PBSM), cores by
+    a plain degree count, clusters by a recursive-CTE reachability
+    closure with min-label (no star contraction), border/noise by set
+    subtraction. Distance expression mirrors the engine
+    operation-for-operation."""
+    from .geometry import DBSCAN_EPS_M, DBSCAN_MIN_PTS, DBSCAN_RES_DEG
+
+    return f"""
+WITH RECURSIVE
+p AS (SELECT osm_id, lon, lat,
+        CAST(floor((lon + 180.0) / {DBSCAN_RES_DEG}) AS BIGINT) AS ix,
+        CAST(floor((lat + 90.0) / {DBSCAN_RES_DEG}) AS BIGINT) AS iy
+      FROM read_parquet('{world_dir}/osm_addresses.parquet')),
+nb AS (
+  SELECT a.osm_id AS u, b.osm_id AS v
+  FROM p a JOIN p b
+    ON a.osm_id <> b.osm_id
+   AND b.ix BETWEEN a.ix - 1 AND a.ix + 1
+   AND b.iy BETWEEN a.iy - 1 AND a.iy + 1
+  WHERE 6371000.0 * sqrt(
+          pow((b.lat - a.lat) * pi() / 180, 2)
+          + pow((b.lon - a.lon) * pi() / 180
+                * cos((a.lat + b.lat) / 2 * pi() / 180), 2)) < {DBSCAN_EPS_M}
+),
+deg AS (SELECT u, count(*) AS d FROM nb GROUP BY u),
+core AS (SELECT u FROM deg WHERE d + 1 >= {DBSCAN_MIN_PTS}),
+cce AS (SELECT nb.u, nb.v FROM nb
+        JOIN core c1 ON c1.u = nb.u JOIN core c2 ON c2.u = nb.v),
+reach(a, dnode) AS (
+  SELECT u, u FROM core
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN cce e ON e.u = r.dnode
+),
+lab AS (SELECT a AS u, min(dnode) AS cluster FROM reach GROUP BY a),
+border AS (
+  SELECT nb.v AS osm_id, min(lab.cluster) AS cluster
+  FROM nb JOIN core c ON c.u = nb.u JOIN lab ON lab.u = nb.u
+  WHERE nb.v NOT IN (SELECT u FROM core)
+  GROUP BY nb.v
+)
+SELECT u AS osm_id, 'core' AS role, CAST(cluster AS BIGINT) AS cluster_id FROM lab
+UNION ALL
+SELECT osm_id, 'border' AS role, CAST(cluster AS BIGINT) AS cluster_id FROM border
+UNION ALL
+SELECT p.osm_id, 'noise' AS role, CAST(-1 AS BIGINT) AS cluster_id
+FROM p
+WHERE p.osm_id NOT IN (SELECT u FROM lab)
+  AND p.osm_id NOT IN (SELECT osm_id FROM border)
+"""

@@ -327,3 +327,64 @@ class TestRadiusPairs:
         ora = (duckdb.sql(go.radius_pairs_sql(wd)).df()
                .sort_values(["osm_id_a", "osm_id_b"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
+
+
+class TestDbscan:
+    def test_crafted_clusters_border_and_noise(self, ray_session, tmp_path):
+        """Two 5-point core clusters 80 m-spaced (every point sees the other
+        4 -> deg 4, core at min_pts=4), one point B midway that sees exactly
+        one core from EACH cluster (deg 2 -> border, min-label tie rule picks
+        the lower cluster id), and two isolated noise points.  Engine output
+        is checked against the hand-derived roles AND the recursive-CTE
+        oracle."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from housenumbercore_ray.pipelines import geometry as g
+        from housenumbercore_ray.pipelines import geometry_oracle as go
+
+        lat0 = 50.0
+        m_per_deg_lat = 6371000.0 * np.pi / 180
+        step = 80.0 / m_per_deg_lat     # 80 m in deg lat
+        gap = 350.0 / m_per_deg_lat     # B sits 350 m off each cluster tip
+        ids, lats, lons = [], [], []
+        # cluster A: ids 1..5, stacked in latitude
+        for i in range(5):
+            ids.append(1 + i); lats.append(lat0 + i * step); lons.append(10.0)
+        top_a = lat0 + 4 * step
+        # border B: id 6, 350 m above A's top point (only A5 within 400 m)
+        ids.append(6); lats.append(top_a + gap); lons.append(10.0)
+        # cluster C: ids 11..15, starting 350 m above B
+        base_c = top_a + 2 * gap
+        for i in range(5):
+            ids.append(11 + i); lats.append(base_c + i * step); lons.append(10.0)
+        # noise: ids 20, 21 far away in lon
+        for j, nid in enumerate((20, 21)):
+            ids.append(nid); lats.append(lat0); lons.append(11.0 + j)
+        pq.write_table(pa.table({
+            "osm_id": pa.array(ids, pa.int64()),
+            "lon": pa.array(lons, pa.float64()),
+            "lat": pa.array(lats, pa.float64()),
+            "addr_housenumber": pa.array(["1"] * len(ids)),
+        }), str(tmp_path / "osm_addresses.parquet"))
+
+        wd = str(tmp_path)
+        eng = (g.dbscan_clusters(wd).to_pandas()
+               .sort_values("osm_id").reset_index(drop=True))
+        got = {int(r.osm_id): (r.role, int(r.cluster_id))
+               for r in eng.itertuples()}
+        for i in range(1, 6):
+            assert got[i] == ("core", 1)
+        for i in range(11, 16):
+            assert got[i] == ("core", 11)
+        # B borders cores 5 (cluster 1) and 11 (cluster 11): min label wins
+        assert got[6] == ("border", 1)
+        assert got[20] == ("noise", -1)
+        assert got[21] == ("noise", -1)
+        assert len(eng) == 13
+
+        ora = (duckdb.sql(go.dbscan_sql(wd)).df()
+               .sort_values("osm_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
