@@ -120,6 +120,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_moran": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["tile_moran"]
         ).tile_moran(_world(sf)),
+        "geo_tile_distance": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.tiles", fromlist=["tile_bfs_distance"]
+        ).tile_bfs_distance(_world(sf)),
         "geo_tile_hotspots": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["tile_hotspots"]
         ).tile_hotspots(_world(sf)),

@@ -535,7 +535,13 @@ def tiles_sql(world_dir: str) -> dict[str, str]:
     The vectorize oracle computes the true reachability closure of the
     4-adjacency with a recursive CTE (min-label per cell), independent of
     the engine's star-contraction kernel."""
-    from .tiles import N_ZOOMS, TILE_RES_DEG, VECTORIZE_MIN_POINTS
+    from .tiles import (
+        BFS_HOT_POINTS,
+        BFS_MAX_ROUNDS,
+        N_ZOOMS,
+        TILE_RES_DEG,
+        VECTORIZE_MIN_POINTS,
+    )
 
     res = TILE_RES_DEG
     base = (f"SELECT CAST(osm_id AS BIGINT) AS osm_id, "
@@ -754,4 +760,27 @@ FROM cells c
 JOIN enc e ON e.ix = c.ix AND e.iy = c.iy
 JOIN par ON par.ix = c.ix AND par.iy = c.iy
 """,
+        # BFS distance transform: recursive-CTE breadth-first closure over
+        # a grid-free 4-neighbor self-join (engine: frontier expansion with
+        # bucketed joins + anti-join). UNION dedups (ix,iy,d) rows; min(d)
+        # is the hop distance; the d < cap guard mirrors BFS_MAX_ROUNDS.
+        "geo_tile_distance": f"""
+WITH RECURSIVE
+b AS ({base}),
+cells AS (SELECT ix, iy, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+bfs(ix, iy, d) AS (
+  SELECT ix, iy, 0 FROM cells WHERE n >= {{bfs_hot}}
+  UNION
+  SELECT c.ix, c.iy, f.d + 1
+  FROM bfs f JOIN cells c
+    ON (c.ix = f.ix AND abs(c.iy - f.iy) = 1)
+    OR (c.iy = f.iy AND abs(c.ix - f.ix) = 1)
+  WHERE f.d < {{bfs_cap}}
+),
+lab AS (SELECT ix, iy, min(d) AS dist FROM bfs GROUP BY ix, iy)
+SELECT (c.ix << 22) | c.iy AS cell, c.ix, c.iy, c.n AS n_points,
+       CAST(coalesce(l.dist, -1) AS BIGINT) AS dist
+FROM cells c LEFT JOIN lab l ON l.ix = c.ix AND l.iy = c.iy
+""".replace("{bfs_hot}", str(BFS_HOT_POINTS)).replace(
+            "{bfs_cap}", str(BFS_MAX_ROUNDS)),
     }

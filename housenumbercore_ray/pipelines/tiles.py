@@ -965,3 +965,130 @@ def supercover_cells(ax: np.ndarray, ay: np.ndarray,
     iy = iy_lo[coli] + _ragged_arange(nrows)
     ix = k[coli]
     return segi[coli], ix, iy
+
+
+#: BFS distance transform: cells with >= this many points are sources.
+BFS_HOT_POINTS = VECTORIZE_MIN_POINTS
+#: BFS round cap — occupied cells farther than this (4-connected hops
+#: through OCCUPIED cells) report dist = -1.
+BFS_MAX_ROUNDS = 8
+
+
+def tile_bfs_distance(world_dir: str, hot_n: int = BFS_HOT_POINTS,
+                      max_rounds: int = BFS_MAX_ROUNDS) -> rd.Dataset:
+    """Multi-source BFS distance transform over the occupied z0 raster:
+    for every occupied cell, the 4-connected hop distance — walking only
+    through OCCUPIED cells — to the nearest HOT cell (n_points >= hot_n);
+    hot cells are 0, cells farther than max_rounds (or in a component
+    with no hot cell) are -1.  Output: (cell, ix, iy, n_points, dist).
+    The raster analog of a proximity/service-area surface (GRASS
+    r.grow.distance with a cost mask).
+
+    Scale shape: the raster lives in the object store (never the driver).
+    Frontier expansion round d: the frontier emits 4 neighbor keys, ONE
+    bucketed hash join keeps the occupied ones, ONE left join against the
+    label set drops already-labeled cells, one sharded distinct closes
+    the round — every structure is O(frontier) rows, and the sum of all
+    frontiers is at most the occupied-cell count, so total shuffle volume
+    across all rounds is O(cells × 4) regardless of max_rounds. Driver
+    state: one count per round (early exit on an empty frontier). BFS
+    discovery order IS the min distance, so no per-cell min reduce is
+    needed across rounds.
+
+    Oracle: recursive-CTE BFS over a grid-free neighbor self-join with a
+    min(d) closure — independent of the frontier/anti-join mechanics."""
+    from ..stages.join import bucketed_hash_join
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ix, iy = _tile_ix_iy(b["lon"].to_numpy(), b["lat"].to_numpy())
+        g = (pd.DataFrame({"cell": _cell_id(ix, iy), "ix": ix, "iy": iy})
+             .groupby(["cell", "ix", "iy"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def reduce_cells(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["cell", "ix", "iy"], as_index=False)
+               .agg(n_points=("n", "sum")))
+        out["n_points"] = out["n_points"].astype(np.int64)
+        return out
+
+    cells = (_points(world_dir, ["lon", "lat"])
+             .map_batches(count_partial, batch_format="pandas")
+             .map_batches(_shard_cells(), batch_format="pandas")
+             .repartition(_shuffle_blocks())
+             .groupby("_shard")
+             .map_groups(lambda g: reduce_cells(g.drop(columns=["_shard"])),
+                         batch_format="pandas")
+             .materialize())  # occupied raster; reused every round
+
+    i64 = pa.int64()
+    occ_keys = cells.map_batches(
+        lambda b: pd.DataFrame({"occ": b["cell"].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+
+    frontier = cells.map_batches(
+        lambda b, h=hot_n: pd.DataFrame(
+            {"cell": b.loc[b["n_points"] >= h, "cell"].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+    lab = frontier.map_batches(
+        lambda b: b.assign(dist=np.int64(0)),
+        batch_format="pandas").materialize()
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["cell"].to_numpy(np.int64)
+        ix, iy = c >> _IY_BITS, c & ((1 << _IY_BITS) - 1)
+        return pd.DataFrame({"nkey": np.concatenate([
+            _cell_id(ix + 1, iy), _cell_id(ix - 1, iy),
+            _cell_id(ix, iy + 1), _cell_id(ix, iy - 1)])})
+
+    def distinct_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"cell": np.unique(g["nkey"].to_numpy(np.int64))})
+
+    for d in range(1, max_rounds + 1):
+        cand = frontier.map_batches(expand, batch_format="pandas")
+        occ_cand = bucketed_hash_join(
+            cand, occ_keys, "nkey", "occ",
+            left_schema={"nkey": i64}, right_schema={"occ": i64},
+        ).map_batches(lambda b: b[["nkey"]], batch_format="pandas")
+        fresh = bucketed_hash_join(
+            occ_cand, lab, "nkey", "cell", how="left",
+            left_schema={"nkey": i64},
+            right_schema={"cell": i64, "dist": i64},
+        ).map_batches(
+            lambda b: b.loc[b["dist"].isna(), ["nkey"]],
+            batch_format="pandas")
+        frontier = (fresh
+                    .map_batches(lambda b: b.assign(
+                        _shard=(pd.util.hash_array(
+                            b["nkey"].to_numpy(np.int64)) % 64).astype(np.int64)),
+                        batch_format="pandas")
+                    .repartition(_shuffle_blocks())
+                    .groupby("_shard")
+                    .map_groups(
+                        lambda g: distinct_shard(g.drop(columns=["_shard"])),
+                        batch_format="pandas")
+                    .materialize())
+        if frontier.count() == 0:
+            break
+        lab = lab.union(frontier.map_batches(
+            lambda b, dd=d: b.assign(dist=np.int64(dd)),
+            batch_format="pandas")).materialize()
+
+    out = bucketed_hash_join(
+        cells, lab, "cell", "cell", how="left",
+        left_schema={"cell": i64, "ix": i64, "iy": i64, "n_points": i64},
+        right_schema={"cell": i64, "dist": i64},
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cell": b["cell"].to_numpy(np.int64),
+            "ix": b["ix"].to_numpy(np.int64),
+            "iy": b["iy"].to_numpy(np.int64),
+            "n_points": b["n_points"].to_numpy(np.int64),
+            "dist": b["dist"].fillna(-1).to_numpy(np.int64),
+        })
+
+    return out.map_batches(finish, batch_format="pandas")

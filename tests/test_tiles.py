@@ -429,3 +429,45 @@ class TestHotspots:
         assert df.loc[(305, 305), "ring3_x"] == 9 * 20
         assert df.loc[(300, 300), "hotspot"] == 0
         assert df.loc[(300, 300), "w_in"] == 4  # corner window
+
+
+class TestBfsDistance:
+    def test_corridor_cap_island_and_diagonal(self, ray_session, tmp_path):
+        """BFS distance transform on a crafted raster: a hot source at the
+        head of a 1-cell-wide corridor yields hop distances 1,2,...; cells
+        past the round cap report -1; a disconnected occupied island is -1;
+        a diagonal-only neighbor is NOT reachable (4-connectivity)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from housenumbercore_ray.pipelines.tiles import (
+            BFS_MAX_ROUNDS, TILE_RES_DEG, tile_bfs_distance)
+
+        res = TILE_RES_DEG
+        pts = []
+        def cell_pts(ix, iy, n):
+            lon = (ix + 0.5) * res - 180.0
+            lat = (iy + 0.5) * res - 90.0
+            return [(lon + 1e-6 * i, lat) for i in range(n)]
+        pts += cell_pts(100, 100, 5)            # hot source (>= 3 points)
+        for k in range(1, BFS_MAX_ROUNDS + 3):  # corridor beyond the cap
+            pts += cell_pts(100 + k, 100, 1)
+        pts += cell_pts(99, 99, 1)              # diagonal-only neighbor
+        pts += cell_pts(200, 200, 1)            # disconnected island
+        t = pa.table({
+            "osm_id": pa.array(range(len(pts)), pa.int64()),
+            "addr_street": pa.array(["s"] * len(pts)),
+            "lon": pa.array([p[0] for p in pts], pa.float64()),
+            "lat": pa.array([p[1] for p in pts], pa.float64()),
+        })
+        pq.write_table(t, f"{tmp_path}/osm_addresses.parquet")
+        df = (tile_bfs_distance(str(tmp_path)).to_pandas()
+              .set_index(["ix", "iy"]))
+        assert df.loc[(100, 100), "dist"] == 0
+        for k in range(1, BFS_MAX_ROUNDS + 1):
+            assert df.loc[(100 + k, 100), "dist"] == k
+        for k in range(BFS_MAX_ROUNDS + 1, BFS_MAX_ROUNDS + 3):
+            assert df.loc[(100 + k, 100), "dist"] == -1
+        assert df.loc[(99, 99), "dist"] == -1
+        assert df.loc[(200, 200), "dist"] == -1
+        assert (df["n_points"] >= 1).all()
