@@ -123,6 +123,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_distance": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["tile_bfs_distance"]
         ).tile_bfs_distance(_world(sf)),
+        "geo_hex_bin": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.tiles", fromlist=["hex_bin"]
+        ).hex_bin(_world(sf)),
+        "geo_hex_kring": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.tiles", fromlist=["hex_kring"]
+        ).hex_kring(_world(sf)),
         "geo_tile_hotspots": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["tile_hotspots"]
         ).tile_hotspots(_world(sf)),

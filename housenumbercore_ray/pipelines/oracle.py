@@ -525,6 +525,37 @@ FROM summ LEFT JOIN street_geom sg
     }
 
 
+#: shared CTE chain computing per-point flat-top axial hex coords (hq, hr)
+#: — the SQL mirror of tiles.hex_axial (see its docstring for the
+#: arithmetic contract). Placeholders: world_dir, c1=2/3, c2=-1/3,
+#: c3=sqrt(3)/3, size.
+_HEX_CTES = """pts AS (
+  SELECT coalesce(addr_street, '') AS street,
+         (lon * {c1}) / {size} AS q0,
+         ((lon * {c2}) + (lat * {c3})) / {size} AS r0
+  FROM read_parquet('{world_dir}/osm_addresses.parquet')
+),
+rnd AS (
+  SELECT street, q0, r0, -q0 - r0 AS y0,
+         floor(q0 + 0.5) AS rx, floor(-q0 - r0 + 0.5) AS ry,
+         floor(r0 + 0.5) AS rz
+  FROM pts
+),
+fx AS (
+  SELECT street, rx, ry, rz,
+         abs(rx - q0) AS dx, abs(ry - y0) AS dy, abs(rz - r0) AS dz
+  FROM rnd
+),
+hx AS (
+  SELECT street,
+         CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END
+              AS BIGINT) AS hq,
+         CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz)
+              THEN -rx - ry ELSE rz END AS BIGINT) AS hr
+  FROM fx
+)"""
+
+
 def tiles_sql(world_dir: str) -> dict[str, str]:
     """Full SQL recomputation of the tile operators (pipelines/tiles.py).
 
@@ -538,6 +569,9 @@ def tiles_sql(world_dir: str) -> dict[str, str]:
     from .tiles import (
         BFS_HOT_POINTS,
         BFS_MAX_ROUNDS,
+        HEX_OFFSET,
+        HEX_SIZE_DEG,
+        HEX_SQRT3_3,
         N_ZOOMS,
         TILE_RES_DEG,
         VECTORIZE_MIN_POINTS,
@@ -783,4 +817,39 @@ SELECT (c.ix << 22) | c.iy AS cell, c.ix, c.iy, c.n AS n_points,
 FROM cells c LEFT JOIN lab l ON l.ix = c.ix AND l.iy = c.iy
 """.replace("{bfs_hot}", str(BFS_HOT_POINTS)).replace(
             "{bfs_cap}", str(BFS_MAX_ROUNDS)),
+        # Hex binning: the cube-rounding algebra of tiles.hex_axial written
+        # as stepwise SQL over float64 — identical multiply/add/floor/abs
+        # order, floor(v+0.5) rounding (no banker's-round mismatch), and
+        # the SAME sqrt(3)/3 literal (HEX_SQRT3_3) on both sides.
+        "geo_hex_bin": f"""
+WITH {_HEX_CTES.format(world_dir=world_dir, c1=repr(2.0 / 3.0),
+                       c2=repr(-1.0 / 3.0), c3=repr(HEX_SQRT3_3),
+                       size=repr(HEX_SIZE_DEG))}
+SELECT ((hq + {HEX_OFFSET}) << 22) | (hr + {HEX_OFFSET}) AS hex, hq, hr,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(count(DISTINCT street) AS BIGINT) AS n_streets
+FROM hx GROUP BY 1, 2, 3
+""",
+        # Hex k-ring (gridDisk k=1): raster counts per hex, then each hex
+        # contributes its count to itself and its 6 axial neighbors; the
+        # n_own trick mirrors the engine (occupied = sum(n_own) > 0).
+        "geo_hex_kring": f"""
+WITH {_HEX_CTES.format(world_dir=world_dir, c1=repr(2.0 / 3.0),
+                       c2=repr(-1.0 / 3.0), c3=repr(HEX_SQRT3_3),
+                       size=repr(HEX_SIZE_DEG))},
+raster AS (SELECT hq, hr, CAST(count(*) AS BIGINT) AS n FROM hx GROUP BY 1, 2),
+offs(dq, dr) AS (
+  VALUES (0, 0), (1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)
+),
+contrib AS (
+  SELECT r.hq + o.dq AS hq, r.hr + o.dr AS hr,
+         CASE WHEN o.dq = 0 AND o.dr = 0 THEN r.n ELSE 0 END AS n_own,
+         r.n AS n_disk
+  FROM raster r CROSS JOIN offs o
+)
+SELECT ((hq + {HEX_OFFSET}) << 22) | (hr + {HEX_OFFSET}) AS hex, hq, hr,
+       CAST(sum(n_own) AS BIGINT) AS n_points,
+       CAST(sum(n_disk) AS BIGINT) AS disk_points
+FROM contrib GROUP BY 1, 2, 3 HAVING sum(n_own) > 0
+""",
     }

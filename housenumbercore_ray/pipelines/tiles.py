@@ -1092,3 +1092,138 @@ def tile_bfs_distance(world_dir: str, hot_n: int = BFS_HOT_POINTS,
         })
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+#: Hexagonal (H3-analog) grid: FLAT-TOP hexagons, axial (q, r) coords,
+#: circumradius in degrees.  0.02° keeps the hex width (1.5 × size
+#: horizontally) comparable to two z0 square tiles.
+HEX_SIZE_DEG = 0.02
+#: sqrt(3)/3 as one shared float64 literal — the numpy kernel and the SQL
+#: oracle embed the SAME constant, so no library-sqrt parity assumption.
+HEX_SQRT3_3 = 0.5773502691896258
+#: axial coords are offset into non-negatives before bit-packing.
+HEX_OFFSET = 1 << 21
+
+
+def hex_axial(lon: np.ndarray, lat: np.ndarray,
+              size: float = HEX_SIZE_DEG) -> tuple[np.ndarray, np.ndarray]:
+    """lon/lat → flat-top axial hex coordinates (q, r) via cube rounding
+    (the standard hex-grid algorithm, e.g. Red Blob Games' hex guide).
+
+    Arithmetic contract with the SQL oracle: every step is plain float64
+    multiply / add / floor / abs in the SAME order the oracle writes it,
+    and rounding is ``floor(v + 0.5)`` — NOT banker's ``np.round`` — so
+    numpy and DuckDB agree bit-for-bit on ties. The cube-round fix picks
+    the coordinate with the largest rounding error and recomputes it from
+    the other two (branches are exclusive; the fixed coordinate is never
+    an input to another fix)."""
+    x = np.asarray(lon, np.float64)
+    y = np.asarray(lat, np.float64)
+    q0 = x * (2.0 / 3.0) / size
+    r0 = (x * (-1.0 / 3.0) + y * HEX_SQRT3_3) / size
+    y0 = -q0 - r0
+    rx = np.floor(q0 + 0.5)
+    ry = np.floor(y0 + 0.5)
+    rz = np.floor(r0 + 0.5)
+    dx = np.abs(rx - q0)
+    dy = np.abs(ry - y0)
+    dz = np.abs(rz - r0)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & ~(dy > dz)
+    hq = np.where(fix_x, -ry - rz, rx).astype(np.int64)
+    hr = np.where(fix_z, -rx - ry, rz).astype(np.int64)
+    return hq, hr
+
+
+def _hex_id(hq: np.ndarray, hr: np.ndarray) -> np.ndarray:
+    return ((hq + HEX_OFFSET) << _IY_BITS) | (hr + HEX_OFFSET)
+
+
+def hex_bin(world_dir: str, size: float = HEX_SIZE_DEG) -> rd.Dataset:
+    """Point → hexagonal cell aggregation (the H3 ``latLngToCell`` +
+    ``cellToParent``-free binning): per-hex point count and DISTINCT
+    street count.  Output: (hex, hq, hr, n_points, n_streets).
+
+    Scale shape: identical to :func:`tile_rasterize` — stateless
+    vectorized hex assignment per batch, per-batch partial groupby on
+    (hex, street) so shuffle volume is distinct partials (not points),
+    then ONE sharded hex-complete reduce. The hex id is the shuffle key
+    a downstream hex op would reuse, exactly like the square cell id.
+
+    Oracle: the same cube-rounding algebra written as SQL CASE/floor
+    expressions over float64 — bit-exact, no epsilon."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        hq, hr = hex_axial(b["lon"].to_numpy(), b["lat"].to_numpy(), size)
+        g = (pd.DataFrame({"cell": _hex_id(hq, hr), "hq": hq, "hr": hr,
+                           "street": b["addr_street"].fillna("").to_numpy()})
+             .groupby(["cell", "hq", "hr", "street"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["cell", "hq", "hr"], as_index=False)
+               .agg(n_points=("n", "sum"), n_streets=("street", "nunique")))
+        out["n_points"] = out["n_points"].astype(np.int64)
+        out["n_streets"] = out["n_streets"].astype(np.int64)
+        return out.rename(columns={"cell": "hex"})
+
+    parts = _points(world_dir, ["lon", "lat", "addr_street"]).map_batches(
+        partial, batch_format="pandas")
+    return (parts.map_batches(_shard_cells(), batch_format="pandas")
+            .repartition(_shuffle_blocks())
+            .groupby("_shard")
+            .map_groups(lambda g: reduce_shard(g.drop(columns=["_shard"])),
+                        batch_format="pandas"))
+
+
+#: axial flat-top hex neighbor directions (the H3 gridDisk(1) ring).
+HEX_DIRS = ((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
+
+
+def hex_kring(world_dir: str, size: float = HEX_SIZE_DEG) -> rd.Dataset:
+    """Hex-disk convolution (k=1): for every OCCUPIED hex, its own point
+    count plus the 7-hex disk sum (self + 6 axial neighbors) — the H3
+    ``gridDisk`` aggregate on the hexagonal grid.
+
+    Scale shape: same zero-join trick as :func:`tile_kring` — per-batch
+    hex partials emit 7 shifted contribution rows carrying
+    (n_own = n at the identity offset else 0, n_disk = n); ONE sharded
+    groupby sums both in the same shuffle and occupied hexes are exactly
+    those with n_own > 0. Shuffle volume = 7 × distinct-hexes-per-batch."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        hq, hr = hex_axial(b["lon"].to_numpy(), b["lat"].to_numpy(), size)
+        g = (pd.DataFrame({"hq": hq, "hr": hr}).groupby(["hq", "hr"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        gq = g["hq"].to_numpy(np.int64)
+        gr = g["hr"].to_numpy(np.int64)
+        gn = g["n"].to_numpy(np.int64)
+        tqs, trs, owns, disks = [gq], [gr], [gn], [gn]
+        for dq, dr in HEX_DIRS:
+            tqs.append(gq + dq)
+            trs.append(gr + dr)
+            owns.append(np.zeros_like(gn))
+            disks.append(gn)
+        tq = np.concatenate(tqs)
+        tr = np.concatenate(trs)
+        return pd.DataFrame({"hq": tq, "hr": tr, "cell": _hex_id(tq, tr),
+                             "n_own": np.concatenate(owns),
+                             "n_disk": np.concatenate(disks)})
+
+    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["cell", "hq", "hr"], as_index=False)
+               .agg(n_points=("n_own", "sum"), disk_points=("n_disk", "sum")))
+        out = out[out["n_points"] > 0]
+        out["n_points"] = out["n_points"].astype(np.int64)
+        out["disk_points"] = out["disk_points"].astype(np.int64)
+        return out.rename(columns={"cell": "hex"})
+
+    parts = _points(world_dir, ["lon", "lat"]).map_batches(
+        partial, batch_format="pandas")
+    return (parts.map_batches(_shard_cells(), batch_format="pandas")
+            .repartition(_shuffle_blocks())
+            .groupby("_shard")
+            .map_groups(lambda g: reduce_shard(g.drop(columns=["_shard"])),
+                        batch_format="pandas"))

@@ -471,3 +471,52 @@ class TestBfsDistance:
         assert df.loc[(99, 99), "dist"] == -1
         assert df.loc[(200, 200), "dist"] == -1
         assert (df["n_points"] >= 1).all()
+
+
+class TestHexBin:
+    def test_axial_round_trip_and_disk(self, ray_session, tmp_path):
+        """hex_axial maps hex centers back to their (q, r); hex_kring's
+        7-hex disk sums self + the 6 axial neighbors (and nothing else)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from housenumbercore_ray.pipelines.tiles import (
+            HEX_DIRS, HEX_SIZE_DEG, hex_axial, hex_bin, hex_kring)
+
+        s = HEX_SIZE_DEG
+        sq3 = 3.0 ** 0.5
+
+        def center(q, r):  # flat-top axial -> lon/lat of the hex center
+            return s * 1.5 * q, s * (sq3 / 2.0 * q + sq3 * r)
+
+        qs = np.array([0, 5, -7, 100, -100], np.int64)
+        rs = np.array([0, -3, 11, -50, 50], np.int64)
+        lon, lat = zip(*(center(q, r) for q, r in zip(qs, rs)))
+        hq, hr = hex_axial(np.array(lon), np.array(lat))
+        assert (hq == qs).all() and (hr == rs).all()
+
+        # disk fixture: 5 points at hex (10, 10), 1 in each neighbor,
+        # 1 in a far hex
+        pts = []
+        cx, cy = center(10, 10)
+        pts += [(cx + 1e-9 * i, cy) for i in range(5)]
+        for dq, dr in HEX_DIRS:
+            pts.append(center(10 + dq, 10 + dr))
+        pts.append(center(40, 40))
+        t = pa.table({
+            "osm_id": pa.array(range(len(pts)), pa.int64()),
+            "addr_street": pa.array(["s"] * len(pts)),
+            "lon": pa.array([p[0] for p in pts], pa.float64()),
+            "lat": pa.array([p[1] for p in pts], pa.float64()),
+        })
+        pq.write_table(t, f"{tmp_path}/osm_addresses.parquet")
+        binned = hex_bin(str(tmp_path)).to_pandas().set_index(["hq", "hr"])
+        assert binned.loc[(10, 10), "n_points"] == 5
+        assert binned.loc[(40, 40), "n_points"] == 1
+        assert len(binned) == 8
+        disk = hex_kring(str(tmp_path)).to_pandas().set_index(["hq", "hr"])
+        assert disk.loc[(10, 10), "n_points"] == 5
+        assert disk.loc[(10, 10), "disk_points"] == 11
+        assert disk.loc[(40, 40), "disk_points"] == 1
+        # a neighbor's disk: itself + center(5) + the two adjacent dirs
+        assert disk.loc[(11, 10), "disk_points"] == 1 + 5 + 2
