@@ -534,8 +534,7 @@ def test_hard_negatives_labels_differ(entry, ray_session):
     import pandas as pd
 
     sf = "/root/testdata/sf0.001"
-    df = entry.queries()["embedding_hard_negatives", "web_crawl_waves", "geo_tile_moran",
-            "geo_tile_hotspots"](sf).to_pandas()
+    df = entry.queries()["embedding_hard_negatives"](sf).to_pandas()
     lbl = pd.read_parquet(f"{sf}/embeddings.parquet",
                           columns=["vec_id", "label"]).set_index("vec_id")["label"]
     assert (lbl.loc[df["src_id"]].to_numpy()
