@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_hex_kring": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["hex_kring"]
         ).hex_kring(_world(sf)),
+        "geo_tile_kde": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.tiles", fromlist=["tile_kde"]
+        ).tile_kde(_world(sf)),
         "geo_tile_hotspots": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["tile_hotspots"]
         ).tile_hotspots(_world(sf)),

@@ -852,4 +852,22 @@ SELECT ((hq + {HEX_OFFSET}) << 22) | (hr + {HEX_OFFSET}) AS hex, hq, hr,
        CAST(sum(n_disk) AS BIGINT) AS disk_points
 FROM contrib GROUP BY 1, 2, 3 HAVING sum(n_own) > 0
 """,
+        # KDE raster: binomial(4)⊗binomial(4) weighted neighborhood sum via
+        # an offset-table self-join; integer weights, one exact /256 float.
+        "geo_tile_kde": f"""
+WITH b AS ({base}),
+raster AS (SELECT ix, iy, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+k(d, w) AS (VALUES (-2, 1), (-1, 4), (0, 6), (1, 4), (2, 1)),
+contrib AS (
+  SELECT r.ix + kx.d AS ix, r.iy + ky.d AS iy,
+         CASE WHEN kx.d = 0 AND ky.d = 0 THEN r.n ELSE 0 END AS n_own,
+         r.n * (kx.w * ky.w) AS num
+  FROM raster r CROSS JOIN k kx CROSS JOIN k ky
+)
+SELECT (ix << 22) | iy AS cell, ix, iy,
+       CAST(sum(n_own) AS BIGINT) AS n_points,
+       CAST(sum(num) AS BIGINT) AS kde_num,
+       CAST(sum(num) AS BIGINT) / 256.0 AS kde
+FROM contrib GROUP BY 1, 2, 3 HAVING sum(n_own) > 0
+""",
     }

@@ -1227,3 +1227,62 @@ def hex_kring(world_dir: str, size: float = HEX_SIZE_DEG) -> rd.Dataset:
             .groupby("_shard")
             .map_groups(lambda g: reduce_shard(g.drop(columns=["_shard"])),
                         batch_format="pandas"))
+
+
+#: binomial(4) smoothing kernel — the discrete Gaussian the KDE raster
+#: uses. Integer weights keep the distributed sum exact; the density is
+#: one final division by 256 (= (sum w)²), a power of two, so the float
+#: is exact too.
+KDE_KERNEL = ((-2, 1), (-1, 4), (0, 6), (1, 4), (2, 1))
+
+
+def tile_kde(world_dir: str) -> rd.Dataset:
+    """Kernel-density-smoothed point raster: for every OCCUPIED z0 cell,
+    the 5×5 binomial(4)⊗binomial(4) weighted neighborhood count — the
+    raster KDE / Gaussian-blur heatmap surface (QGIS heatmap analog with
+    a discrete kernel).  Output: (cell, ix, iy, n_points, kde_num, kde)
+    with kde = kde_num / 256 and kde_num exact int64.
+
+    Scale shape: same zero-join contribution pattern as
+    :func:`tile_kring` — per-batch cell partials emit 25 shifted rows
+    carrying (n_own at the identity offset, w(dx)·w(dy)·n) and ONE
+    sharded groupby sums both; occupied cells are n_own > 0. Shuffle
+    volume = 25 × distinct-cells-per-batch; integer weights mean shard
+    order can never change the result."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ix, iy = _tile_ix_iy(b["lon"].to_numpy(), b["lat"].to_numpy())
+        g = (pd.DataFrame({"ix": ix, "iy": iy}).groupby(["ix", "iy"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        gx = g["ix"].to_numpy(np.int64)
+        gy = g["iy"].to_numpy(np.int64)
+        gn = g["n"].to_numpy(np.int64)
+        txs, tys, owns, nums = [], [], [], []
+        for dx, wx in KDE_KERNEL:
+            for dy, wy in KDE_KERNEL:
+                txs.append(gx + dx)
+                tys.append(gy + dy)
+                owns.append(gn if (dx == 0 and dy == 0) else np.zeros_like(gn))
+                nums.append(gn * (wx * wy))
+        tx = np.concatenate(txs)
+        ty = np.concatenate(tys)
+        return pd.DataFrame({"ix": tx, "iy": ty, "cell": _cell_id(tx, ty),
+                             "n_own": np.concatenate(owns),
+                             "num": np.concatenate(nums)})
+
+    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["cell", "ix", "iy"], as_index=False)
+               .agg(n_points=("n_own", "sum"), kde_num=("num", "sum")))
+        out = out[out["n_points"] > 0]
+        out["n_points"] = out["n_points"].astype(np.int64)
+        out["kde_num"] = out["kde_num"].astype(np.int64)
+        out["kde"] = out["kde_num"].to_numpy(np.float64) / 256.0
+        return out
+
+    parts = _points(world_dir, ["lon", "lat"]).map_batches(
+        partial, batch_format="pandas")
+    return (parts.map_batches(_shard_cells(), batch_format="pandas")
+            .repartition(_shuffle_blocks())
+            .groupby("_shard")
+            .map_groups(lambda g: reduce_shard(g.drop(columns=["_shard"])),
+                        batch_format="pandas"))

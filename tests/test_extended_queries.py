@@ -68,7 +68,8 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "embedding_pca_power", "geo_bbox_pairs",
             "geo_tile_quadkey", "geo_radius_pairs", "geo_tile_linetrace",
             "embedding_hard_negatives", "web_crawl_waves", "geo_tile_moran",
-            "geo_tile_hotspots"]
+            "geo_tile_hotspots", "geo_tile_distance", "geo_dbscan",
+            "geo_hex_bin", "geo_hex_kring", "geo_tile_kde"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
@@ -113,6 +114,7 @@ def test_extended_query_matches_oracle(entry, con, name):
     sqls["geo_reverse_geocode"] = geo_o.reverse_geocode_sql(wd)
     sqls["geo_radius_pairs"] = geo_o.radius_pairs_sql(wd)
     sqls["geo_tile_linetrace"] = geo_o.line_cells_sql(wd)
+    sqls["geo_dbscan"] = geo_o.dbscan_sql(wd)
     sqls["corpus_source_jaccard"] = co.source_jaccard_sql()
     sqls["text_bigram_lm"] = co.bigram_lm_sql()
     sqls["dedup_substring_spans"] = co.substring_spans_sql()

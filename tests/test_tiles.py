@@ -183,6 +183,20 @@ class TestKringAndZonal:
         # isolated cell: window holds only itself
         assert df.loc[(300, 300)]["ring3_points"] == 5
 
+    def test_kde_binomial_window(self, ray_session, crafted_world):
+        from housenumbercore_ray.pipelines.tiles import tile_kde
+
+        df = tile_kde(crafted_world).to_pandas().set_index(["ix", "iy"])
+        # occupied cells only
+        assert len(df) == 6
+        # (100,100): self 3*36 + (101,100) 3*w(1)w(0)=3*24 + (101,101)
+        # 3*16 + (100,101) 2*24 + (102,101) 1*w(2)w(1)=1*4 = 280
+        assert df.loc[(100, 100)]["kde_num"] == 280
+        assert df.loc[(100, 100)]["kde"] == 280 / 256.0
+        assert df.loc[(100, 100)]["n_points"] == 3
+        # isolated cell: only its own 5*36
+        assert df.loc[(300, 300)]["kde_num"] == 180
+
     def test_zonal_rollup(self, ray_session, crafted_world):
         from housenumbercore_ray.pipelines.tiles import tile_zonal_stats
 
