@@ -135,6 +135,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_hotspots": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["tile_hotspots"]
         ).tile_hotspots(_world(sf)),
+        "geo_tile_contour": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.tiles", fromlist=["tile_contour"]
+        ).tile_contour(_world(sf)),
         # vector geometry over WKB columns (decode / measure / generalize)
         "geo_street_vertices": lambda sf: __import__(
             "housenumbercore_ray.pipelines.geometry", fromlist=["street_vertices"]

@@ -870,4 +870,57 @@ SELECT (ix << 22) | iy AS cell, ix, iy,
        CAST(sum(num) AS BIGINT) / 256.0 AS kde
 FROM contrib GROUP BY 1, 2, 3 HAVING sum(n_own) > 0
 """,
+        # Marching-squares contours: raster counts, 4 corner left-joins per
+        # candidate square (absent corner = empty cell = 0), the literal
+        # 16-case segment table (saddles 5/10 use the fixed two-segment
+        # choice the engine documents), and the SAME float64 interpolation
+        # (L - va) / (vb - va) — integer corners, iso-level 2.5, so the
+        # denominator never vanishes on a crossing edge.
+        "geo_tile_contour": f"""
+WITH b AS ({base}),
+raster AS (SELECT ix, iy, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+d(dx, dy) AS (VALUES (0, 0), (1, 0), (0, 1), (1, 1)),
+sq AS (SELECT DISTINCT r.ix - d.dx AS sx, r.iy - d.dy AS sy
+       FROM raster r CROSS JOIN d),
+corner AS (
+  SELECT s.sx, s.sy,
+         coalesce(r0.n, 0) AS v0, coalesce(r1.n, 0) AS v1,
+         coalesce(r2.n, 0) AS v2, coalesce(r3.n, 0) AS v3
+  FROM sq s
+  LEFT JOIN raster r0 ON r0.ix = s.sx     AND r0.iy = s.sy
+  LEFT JOIN raster r1 ON r1.ix = s.sx + 1 AND r1.iy = s.sy
+  LEFT JOIN raster r2 ON r2.ix = s.sx + 1 AND r2.iy = s.sy + 1
+  LEFT JOIN raster r3 ON r3.ix = s.sx     AND r3.iy = s.sy + 1
+),
+cs AS (
+  SELECT *,
+         (CASE WHEN v0 >= {VECTORIZE_MIN_POINTS} THEN 1 ELSE 0 END)
+       + (CASE WHEN v1 >= {VECTORIZE_MIN_POINTS} THEN 2 ELSE 0 END)
+       + (CASE WHEN v2 >= {VECTORIZE_MIN_POINTS} THEN 4 ELSE 0 END)
+       + (CASE WHEN v3 >= {VECTORIZE_MIN_POINTS} THEN 8 ELSE 0 END) AS mscase
+  FROM corner
+),
+segtab(mscase, seg, ea, eb) AS (VALUES
+  (1, 0, 3, 0), (2, 0, 0, 1), (3, 0, 3, 1), (4, 0, 1, 2),
+  (5, 0, 3, 0), (5, 1, 1, 2), (6, 0, 0, 2), (7, 0, 3, 2),
+  (8, 0, 2, 3), (9, 0, 2, 0), (10, 0, 0, 1), (10, 1, 2, 3),
+  (11, 0, 2, 1), (12, 0, 1, 3), (13, 0, 1, 0), (14, 0, 0, 3))
+SELECT c.sx AS sq_ix, c.sy AS sq_iy, CAST(c.mscase AS BIGINT) AS mscase,
+       CAST(t.seg AS BIGINT) AS seg,
+       CAST(t.ea AS BIGINT) AS edge_a,
+       (2.5 - (CASE t.ea WHEN 0 THEN c.v0 WHEN 1 THEN c.v1
+                         WHEN 2 THEN c.v2 ELSE c.v3 END))
+       / ((CASE t.ea WHEN 0 THEN c.v1 WHEN 1 THEN c.v2
+                     WHEN 2 THEN c.v3 ELSE c.v0 END)
+        - (CASE t.ea WHEN 0 THEN c.v0 WHEN 1 THEN c.v1
+                     WHEN 2 THEN c.v2 ELSE c.v3 END)) AS t_a,
+       CAST(t.eb AS BIGINT) AS edge_b,
+       (2.5 - (CASE t.eb WHEN 0 THEN c.v0 WHEN 1 THEN c.v1
+                         WHEN 2 THEN c.v2 ELSE c.v3 END))
+       / ((CASE t.eb WHEN 0 THEN c.v1 WHEN 1 THEN c.v2
+                     WHEN 2 THEN c.v3 ELSE c.v0 END)
+        - (CASE t.eb WHEN 0 THEN c.v0 WHEN 1 THEN c.v1
+                     WHEN 2 THEN c.v2 ELSE c.v3 END)) AS t_b
+FROM cs c JOIN segtab t ON t.mscase = c.mscase
+""",
     }

@@ -1286,3 +1286,143 @@ def tile_kde(world_dir: str) -> rd.Dataset:
             .groupby("_shard")
             .map_groups(lambda g: reduce_shard(g.drop(columns=["_shard"])),
                         batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Marching-squares contour extraction (raster → vector isolines)
+# ---------------------------------------------------------------------------
+
+#: iso-level for contour extraction: strictly between the integer counts
+#: 2 and 3, so "above" ⇔ n >= VECTORIZE_MIN_POINTS and an edge crossing
+#: always has integer corner values on both sides (denominator never 0,
+#: t never exactly 0 or 1).
+CONTOUR_LEVEL = VECTORIZE_MIN_POINTS - 0.5
+
+#: marching-squares segment table, indexed by the 4-bit corner case
+#: (bit k set ⇔ corner ck above; c0=BL, c1=BR, c2=TR, c3=TL).  Each
+#: entry lists (edge_a, edge_b) pairs; edges e0=bottom(c0→c1),
+#: e1=right(c1→c2), e2=top(c2→c3), e3=left(c3→c0).  Saddles (5, 10)
+#: use the fixed below-center choice — no center disambiguation —
+#: which the SQL oracle replays literally.
+MS_SEGMENTS: tuple[tuple[tuple[int, int], ...], ...] = (
+    (),                    # 0
+    ((3, 0),),             # 1: c0
+    ((0, 1),),             # 2: c1
+    ((3, 1),),             # 3: c0 c1
+    ((1, 2),),             # 4: c2
+    ((3, 0), (1, 2)),      # 5: c0 c2 (saddle)
+    ((0, 2),),             # 6: c1 c2
+    ((3, 2),),             # 7: c0 c1 c2
+    ((2, 3),),             # 8: c3
+    ((2, 0),),             # 9: c0 c3
+    ((0, 1), (2, 3)),      # 10: c1 c3 (saddle)
+    ((2, 1),),             # 11: c0 c1 c3
+    ((1, 3),),             # 12: c2 c3
+    ((1, 0),),             # 13: c0 c2 c3
+    ((0, 3),),             # 14: c1 c2 c3
+    (),                    # 15
+)
+
+# flattened lookup: per-case segment count / offset into _MS_EA/_MS_EB
+_MS_COUNT = np.array([len(s) for s in MS_SEGMENTS], np.int64)
+_MS_OFFSET = np.concatenate(([0], np.cumsum(_MS_COUNT)[:-1]))
+_MS_EA = np.array([ea for segs in MS_SEGMENTS for ea, _ in segs], np.int64)
+_MS_EB = np.array([eb for segs in MS_SEGMENTS for _, eb in segs], np.int64)
+#: edge k runs from corner _EDGE_FIRST[k] to corner _EDGE_SECOND[k]
+_EDGE_FIRST = np.array([0, 1, 2, 3], np.int64)
+_EDGE_SECOND = np.array([1, 2, 3, 0], np.int64)
+
+
+def tile_contour(world_dir: str) -> rd.Dataset:
+    """Raster → vector isolines: marching squares over the z0 count
+    raster at iso-level ``CONTOUR_LEVEL`` (=2.5, i.e. the boundary of the
+    vectorize/BFS hot-cell set).  One row per contour segment:
+
+        (sq_ix, sq_iy, mscase, seg, edge_a, t_a, edge_b, t_b)
+
+    where square (sq_ix, sq_iy) has corners c0=cell(sq_ix,sq_iy) …
+    c2=cell(sq_ix+1,sq_iy+1), ``mscase`` is the 4-bit above-mask, and
+    each endpoint is (edge id, fractional position along that edge from
+    its first corner, linearly interpolated: t=(L-va)/(vb-va), exact
+    IEEE float64 on both engine and oracle).
+
+    Scale shape: the same zero-join contribution pattern as
+    :func:`tile_kring` — per-batch cell-count partials emit 4 rows (one
+    per square the cell is a corner of), ONE sharded groupby assembles
+    each square's corner values (absent corners are empty cells = 0),
+    and the case/segment/interpolation math is fully vectorized
+    (np.repeat over the flattened case table).  Shuffle volume = 4 ×
+    distinct-cells-per-batch; squares are shard-complete so no
+    cross-shard fixup exists.  GDAL contour / QGIS isoline analog."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ix, iy = _tile_ix_iy(b["lon"].to_numpy(), b["lat"].to_numpy())
+        g = (pd.DataFrame({"ix": ix, "iy": iy}).groupby(["ix", "iy"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        gx = g["ix"].to_numpy(np.int64)
+        gy = g["iy"].to_numpy(np.int64)
+        gn = g["n"].to_numpy(np.int64)
+        sqx, sqy, corner, n = [], [], [], []
+        # cell (ix,iy) is corner (dx,dy) of square (ix-dx, iy-dy);
+        # corner index: (0,0)→0, (1,0)→1, (1,1)→2, (0,1)→3
+        for dx, dy, c in ((0, 0, 0), (1, 0, 1), (1, 1, 2), (0, 1, 3)):
+            sqx.append(gx - dx)
+            sqy.append(gy - dy)
+            corner.append(np.full(gx.shape, c, np.int64))
+            n.append(gn)
+        sx = np.concatenate(sqx)
+        sy = np.concatenate(sqy)
+        return pd.DataFrame({"cell": _cell_id(sx, sy), "sq_ix": sx, "sq_iy": sy,
+                             "corner": np.concatenate(corner),
+                             "n": np.concatenate(n)})
+
+    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # corner-value matrix per square: partial counts sum exactly
+        agg = (g.groupby(["sq_ix", "sq_iy", "corner"], as_index=False)
+               .agg(n=("n", "sum")))
+        wide = agg.pivot_table(index=["sq_ix", "sq_iy"], columns="corner",
+                               values="n", fill_value=0, aggfunc="sum")
+        wide = wide.reindex(columns=[0, 1, 2, 3], fill_value=0)
+        v = wide.to_numpy(np.int64)                        # (n_sq, 4)
+        sq = wide.index.to_frame(index=False)
+        above = v >= VECTORIZE_MIN_POINTS
+        mscase = (above[:, 0] * 1 + above[:, 1] * 2
+                  + above[:, 2] * 4 + above[:, 3] * 8).astype(np.int64)
+        cnt = _MS_COUNT[mscase]
+        rows = np.repeat(np.arange(len(mscase)), cnt)      # square row per segment
+        if len(rows) == 0:
+            return pd.DataFrame({"sq_ix": np.array([], np.int64),
+                                 "sq_iy": np.array([], np.int64),
+                                 "mscase": np.array([], np.int64),
+                                 "seg": np.array([], np.int64),
+                                 "edge_a": np.array([], np.int64),
+                                 "t_a": np.array([], np.float64),
+                                 "edge_b": np.array([], np.int64),
+                                 "t_b": np.array([], np.float64)})
+        # per-segment index within its square: 0,1
+        seg = (np.arange(len(rows))
+               - np.repeat(np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)).astype(np.int64)
+        flat = _MS_OFFSET[mscase][rows] + seg
+        ea = _MS_EA[flat]
+        eb = _MS_EB[flat]
+        vr = v[rows]                                        # (n_seg, 4)
+        cols = np.arange(len(rows))
+
+        def interp(e: np.ndarray) -> np.ndarray:
+            va = vr[cols, _EDGE_FIRST[e]].astype(np.float64)
+            vb = vr[cols, _EDGE_SECOND[e]].astype(np.float64)
+            return (CONTOUR_LEVEL - va) / (vb - va)
+
+        return pd.DataFrame({"sq_ix": sq["sq_ix"].to_numpy(np.int64)[rows],
+                             "sq_iy": sq["sq_iy"].to_numpy(np.int64)[rows],
+                             "mscase": mscase[rows], "seg": seg,
+                             "edge_a": ea, "t_a": interp(ea),
+                             "edge_b": eb, "t_b": interp(eb)})
+
+    parts = _points(world_dir, ["lon", "lat"]).map_batches(
+        partial, batch_format="pandas")
+    return (parts.map_batches(_shard_cells(), batch_format="pandas")
+            .repartition(_shuffle_blocks())
+            .groupby("_shard")
+            .map_groups(lambda g: reduce_shard(g.drop(columns=["_shard", "cell"])),
+                        batch_format="pandas"))

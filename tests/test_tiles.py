@@ -534,3 +534,68 @@ class TestHexBin:
         assert disk.loc[(40, 40), "disk_points"] == 1
         # a neighbor's disk: itself + center(5) + the two adjacent dirs
         assert disk.loc[(11, 10), "disk_points"] == 1 + 5 + 2
+
+
+class TestContour:
+    def test_isolated_hot_cell_yields_diamond(self, ray_session, crafted_world):
+        from housenumbercore_ray.pipelines.tiles import tile_contour
+
+        df = tile_contour(crafted_world).to_pandas()
+        # the isolated hot cell (300,300; 5 points, empty neighbors)
+        # crosses the iso-line in exactly the 4 squares it corners
+        iso = df[(df.sq_ix.between(299, 300)) & (df.sq_iy.between(299, 300))]
+        assert len(iso) == 4
+        got = {(r.sq_ix, r.sq_iy): (r.mscase, r.edge_a, r.t_a, r.edge_b, r.t_b)
+               for r in iso.itertuples()}
+        # t = (2.5-0)/(5-0) or (2.5-5)/(0-5) = 0.5 on every crossing edge
+        assert got[(300, 300)] == (1, 3, 0.5, 0, 0.5)
+        assert got[(299, 300)] == (2, 0, 0.5, 1, 0.5)
+        assert got[(299, 299)] == (4, 1, 0.5, 2, 0.5)
+        assert got[(300, 299)] == (8, 2, 0.5, 3, 0.5)
+
+    def test_l_shape_interpolation(self, ray_session, crafted_world):
+        from housenumbercore_ray.pipelines.tiles import tile_contour
+
+        df = tile_contour(crafted_world).to_pandas().set_index(["sq_ix", "sq_iy"])
+        # sq(100,100): corners 3,3,3 hot + c3=cell(100,101)=2 cold → case 7
+        r = df.loc[(100, 100)]
+        assert (r.mscase, r.edge_a, r.edge_b) == (7, 3, 2)
+        assert r.t_a == (2.5 - 2.0) / (3.0 - 2.0)   # e3: c3(2)→c0(3)
+        assert r.t_b == (2.5 - 3.0) / (2.0 - 3.0)   # e2: c2(3)→c3(2)
+        # sq(101,100): c0=3 hot, c3=3 hot, c1 empty, c2=cell(102,101)=1 → case 9
+        r = df.loc[(101, 100)]
+        assert (r.mscase, r.edge_a, r.edge_b) == (9, 2, 0)
+        assert r.t_a == (2.5 - 1.0) / (3.0 - 1.0)   # e2: c2(1)→c3(3)
+        assert r.t_b == (2.5 - 3.0) / (0.0 - 3.0)   # e0: c0(3)→c1(0)
+
+    def test_saddle_fixed_choice(self, ray_session, tmp_path):
+        """Diagonal hot pair → case 5 square emits the fixed two-segment
+        below-center resolution (no center disambiguation)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from housenumbercore_ray.pipelines.tiles import TILE_RES_DEG, tile_contour
+
+        res = TILE_RES_DEG
+        pts = []
+        for ix, iy in [(200, 200), (201, 201)]:
+            lon = (ix + 0.5) * res - 180.0
+            lat = (iy + 0.5) * res - 90.0
+            pts += [(lon + 1e-5 * i, lat) for i in range(3)]
+        t = pa.table({
+            "osm_id": pa.array(range(len(pts)), pa.int64()),
+            "addr_street": pa.array(["s"] * len(pts)),
+            "lon": pa.array([p[0] for p in pts], pa.float64()),
+            "lat": pa.array([p[1] for p in pts], pa.float64()),
+        })
+        pq.write_table(t, f"{tmp_path}/osm_addresses.parquet")
+        df = tile_contour(str(tmp_path)).to_pandas()
+        sad = df[(df.sq_ix == 200) & (df.sq_iy == 200)].sort_values("seg")
+        assert list(sad.mscase) == [5, 5]
+        assert [(r.edge_a, r.edge_b) for r in sad.itertuples()] == [(3, 0), (1, 2)]
+        # every crossing edge here runs 0↔3 → t = 2.5/3 or 1/6 depending
+        # on direction; case-5 square: e3 c3(0)→c0(3), e0 c0(3)→c1(0),
+        # e1 c1(0)→c2(3), e2 c2(3)→c3(0)
+        r0, r1 = sad.itertuples()
+        assert r0.t_a == 2.5 / 3.0 and r0.t_b == (2.5 - 3.0) / (0.0 - 3.0)
+        assert r1.t_a == 2.5 / 3.0 and r1.t_b == (2.5 - 3.0) / (0.0 - 3.0)
