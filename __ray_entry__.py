@@ -138,6 +138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_contour": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["tile_contour"]
         ).tile_contour(_world(sf)),
+        "geo_tile_idw": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.tiles", fromlist=["tile_idw"]
+        ).tile_idw(_world(sf)),
         # vector geometry over WKB columns (decode / measure / generalize)
         "geo_street_vertices": lambda sf: __import__(
             "housenumbercore_ray.pipelines.geometry", fromlist=["street_vertices"]

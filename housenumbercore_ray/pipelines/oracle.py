@@ -923,4 +923,31 @@ SELECT c.sx AS sq_ix, c.sy AS sq_iy, CAST(c.mscase AS BIGINT) AS mscase,
                      WHEN 2 THEN c.v2 ELSE c.v3 END)) AS t_b
 FROM cs c JOIN segtab t ON t.mscase = c.mscase
 """,
+        # IDW gridding: offset-table self-join with the exact integer
+        # weights 40/d² (lcm{1,2,4,5,8}=40); empty cells are sum(n_own)=0,
+        # the single float division replayed identically.
+        "geo_tile_idw": f"""
+WITH b AS ({base}),
+raster AS (SELECT ix, iy, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+offs(dx, dy) AS (
+  SELECT dx, dy
+  FROM (SELECT unnest([-2, -1, 0, 1, 2]) AS dx) x
+  CROSS JOIN (SELECT unnest([-2, -1, 0, 1, 2]) AS dy) y
+),
+contrib AS (
+  SELECT r.ix + o.dx AS ix, r.iy + o.dy AS iy,
+         CASE WHEN o.dx = 0 AND o.dy = 0 THEN r.n ELSE 0 END AS n_own,
+         CASE WHEN o.dx = 0 AND o.dy = 0 THEN 0
+              ELSE r.n * (40 // (o.dx * o.dx + o.dy * o.dy)) END AS num,
+         CASE WHEN o.dx = 0 AND o.dy = 0 THEN 0
+              ELSE 40 // (o.dx * o.dx + o.dy * o.dy) END AS den
+  FROM raster r CROSS JOIN offs o
+)
+SELECT (ix << 22) | iy AS cell, ix, iy,
+       CAST(sum(num) AS BIGINT) AS idw_num,
+       CAST(sum(den) AS BIGINT) AS idw_den,
+       CAST(sum(num) AS BIGINT) * 1.0 / CAST(sum(den) AS BIGINT) AS idw
+FROM contrib GROUP BY 1, 2, 3
+HAVING sum(n_own) = 0 AND sum(den) > 0
+""",
     }

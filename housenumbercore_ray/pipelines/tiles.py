@@ -1426,3 +1426,105 @@ def tile_contour(world_dir: str) -> rd.Dataset:
             .groupby("_shard")
             .map_groups(lambda g: reduce_shard(g.drop(columns=["_shard", "cell"])),
                         batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# IDW gridding (vector → raster interpolation at empty cells)
+# ---------------------------------------------------------------------------
+
+#: inverse-distance-squared weights over the 5×5 ring (center excluded),
+#: scaled by lcm{1,2,4,5,8} = 40 so every weight is an exact integer:
+#: w(dx,dy) = 40 / (dx²+dy²) ∈ {40, 20, 10, 8, 5}.  Integer numerator
+#: and denominator accumulate exactly in any shard order; the single
+#: float division happens once per output cell.
+IDW_SCALE = 40
+IDW_OFFSETS: tuple[tuple[int, int, int], ...] = tuple(
+    (dx, dy, IDW_SCALE // (dx * dx + dy * dy))
+    for dx in range(-2, 3) for dy in range(-2, 3) if not (dx == 0 and dy == 0)
+)
+
+
+def tile_idw(world_dir: str) -> rd.Dataset:
+    """Vector → raster interpolation: inverse-distance-squared (power 2)
+    estimate of the point-count surface at EMPTY cells, from occupied
+    cells within the 5×5 search window (GDAL ``gdal_grid invdist`` with a
+    bounded window / QGIS IDW analog).  Output one row per empty cell
+    with at least one occupied window neighbor:
+
+        (cell, ix, iy, idw_num, idw_den, idw)
+
+    where idw_num = Σ 40·n/d², idw_den = Σ 40/d² over occupied window
+    neighbors (both exact int64; d² = dx²+dy² in cell units) and
+    idw = idw_num / idw_den.
+
+    Scale shape: unlike :func:`tile_kde` (whose per-target sums are all
+    LINEAR in the source count, so batch-split partials add up), the IDW
+    denominator counts each SOURCE CELL once — so the raster must be
+    cell-complete before contributions are emitted.  Two bounded
+    shuffles: (1) per-batch count partials → sharded reduce to the exact
+    per-cell raster (volume = distinct cells per batch), (2) each raster
+    cell emits its 24 ring contributions + an identity marker → sharded
+    reduce per target (volume = 25 × raster cells, independent of point
+    count).  Integer weights mean shard/arrival order can never change
+    the result."""
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ix, iy = _tile_ix_iy(b["lon"].to_numpy(), b["lat"].to_numpy())
+        g = (pd.DataFrame({"ix": ix, "iy": iy}).groupby(["ix", "iy"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype(np.int64)
+        g["cell"] = _cell_id(g["ix"].to_numpy(np.int64), g["iy"].to_numpy(np.int64))
+        return g
+
+    def reduce_raster(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["cell", "ix", "iy"], as_index=False).agg(n=("n", "sum"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def contrib(b: pd.DataFrame) -> pd.DataFrame:
+        gx = b["ix"].to_numpy(np.int64)
+        gy = b["iy"].to_numpy(np.int64)
+        gn = b["n"].to_numpy(np.int64)
+        zeros = np.zeros_like(gn)
+        txs = [gx]
+        tys = [gy]
+        owns = [gn]
+        nums = [zeros]
+        dens = [zeros]
+        for dx, dy, w in IDW_OFFSETS:
+            txs.append(gx + dx)
+            tys.append(gy + dy)
+            owns.append(zeros)
+            nums.append(gn * w)
+            dens.append(np.full(gn.shape, w, np.int64))
+        tx = np.concatenate(txs)
+        ty = np.concatenate(tys)
+        return pd.DataFrame({"ix": tx, "iy": ty, "cell": _cell_id(tx, ty),
+                             "n_own": np.concatenate(owns),
+                             "num": np.concatenate(nums),
+                             "den": np.concatenate(dens)})
+
+    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["cell", "ix", "iy"], as_index=False)
+               .agg(n_own=("n_own", "sum"), idw_num=("num", "sum"),
+                    idw_den=("den", "sum")))
+        out = out[(out["n_own"] == 0) & (out["idw_den"] > 0)]
+        out = out.drop(columns=["n_own"])
+        out["idw_num"] = out["idw_num"].astype(np.int64)
+        out["idw_den"] = out["idw_den"].astype(np.int64)
+        out["idw"] = out["idw_num"].to_numpy(np.float64) / out["idw_den"].to_numpy(np.float64)
+        return out
+
+    raster = (_points(world_dir, ["lon", "lat"])
+              .map_batches(count_partial, batch_format="pandas")
+              .map_batches(_shard_cells(), batch_format="pandas")
+              .repartition(_shuffle_blocks())
+              .groupby("_shard")
+              .map_groups(lambda g: reduce_raster(g.drop(columns=["_shard"])),
+                          batch_format="pandas"))
+    return (raster.map_batches(contrib, batch_format="pandas")
+            .map_batches(_shard_cells(), batch_format="pandas")
+            .repartition(_shuffle_blocks())
+            .groupby("_shard")
+            .map_groups(lambda g: reduce_shard(g.drop(columns=["_shard"])),
+                        batch_format="pandas"))

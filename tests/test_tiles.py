@@ -599,3 +599,40 @@ class TestContour:
         r0, r1 = sad.itertuples()
         assert r0.t_a == 2.5 / 3.0 and r0.t_b == (2.5 - 3.0) / (0.0 - 3.0)
         assert r1.t_a == 2.5 / 3.0 and r1.t_b == (2.5 - 3.0) / (0.0 - 3.0)
+
+
+class TestIdw:
+    def test_isolated_cell_window(self, ray_session, crafted_world):
+        from housenumbercore_ray.pipelines.tiles import tile_idw
+
+        df = tile_idw(crafted_world).to_pandas()
+        win = df[(df.ix.between(298, 302)) & (df.iy.between(298, 302))]
+        # the isolated hot cell (300,300; 5 pts) fills its 24 ring cells
+        assert len(win) == 24
+        w = win.set_index(["ix", "iy"])
+        # direct neighbor: d²=1 → num=5·40, den=40, idw=5
+        assert w.loc[(301, 300)]["idw_num"] == 200
+        assert w.loc[(301, 300)]["idw_den"] == 40
+        assert w.loc[(301, 300)]["idw"] == 5.0
+        # diagonal: d²=2 → w=20; knight: d²=5 → w=8; corner: d²=8 → w=5
+        assert w.loc[(301, 301)]["idw_den"] == 20
+        assert w.loc[(302, 301)]["idw_den"] == 8
+        assert w.loc[(302, 302)]["idw_den"] == 5
+        assert (win["idw"] == 5.0).all()  # single source → estimate = its value
+
+    def test_occupied_cells_excluded_and_blend(self, ray_session, crafted_world):
+        from housenumbercore_ray.pipelines.tiles import tile_idw
+
+        df = tile_idw(crafted_world).to_pandas().set_index(["ix", "iy"])
+        # occupied cells never appear
+        for c in [(100, 100), (101, 100), (101, 101), (100, 101), (102, 101), (300, 300)]:
+            assert c not in df.index
+        # (100, 102): sources within the 5x5 window — (100,100) n=3 d²=4,
+        # (101,100) n=3 d²=5, (101,101) n=3 d²=1... wait d²=(1²+1²)=2? no:
+        # target (100,102): (101,101) → d²=1+1=2 w=20; (100,101) → d²=1 w=40;
+        # (101,100) → d²=1+4=5 w=8; (100,100) → d²=4 w=10; (102,101) → d²=4+1=5 w=8
+        r = df.loc[(100, 102)]
+        num = 20 * 3 + 40 * 2 + 8 * 3 + 10 * 3 + 8 * 1
+        den = 20 + 40 + 8 + 10 + 8
+        assert r["idw_num"] == num and r["idw_den"] == den
+        assert r["idw"] == num / den
