@@ -141,6 +141,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_idw": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["tile_idw"]
         ).tile_idw(_world(sf)),
+        "geo_tile_slope": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.tiles", fromlist=["tile_slope"]
+        ).tile_slope(_world(sf)),
         # vector geometry over WKB columns (decode / measure / generalize)
         "geo_street_vertices": lambda sf: __import__(
             "housenumbercore_ray.pipelines.geometry", fromlist=["street_vertices"]

@@ -1528,3 +1528,75 @@ def tile_idw(world_dir: str) -> rd.Dataset:
             .groupby("_shard")
             .map_groups(lambda g: reduce_shard(g.drop(columns=["_shard"])),
                         batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Sobel gradient (raster derivative: slope magnitude of the density surface)
+# ---------------------------------------------------------------------------
+
+#: source-centric Sobel emission weights: a source cell with count n adds
+#: ex·n to the target's Gx and ey·n to its Gy, where for emission offset
+#: (dx,dy) the target-centric kernel weight is taken at (-dx,-dy):
+#:   Gx = [[-1,0,+1],[-2,0,+2],[-1,0,+1]]  →  ex = -dx·(2-|dy|)
+#:   Gy = Gxᵀ                              →  ey = -dy·(2-|dx|)
+SOBEL_OFFSETS: tuple[tuple[int, int, int, int], ...] = tuple(
+    (dx, dy, -dx * (2 - abs(dy)), -dy * (2 - abs(dx)))
+    for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+)
+
+
+def tile_slope(world_dir: str) -> rd.Dataset:
+    """Raster derivative: 3×3 Sobel gradient of the z0 point-count
+    surface at every OCCUPIED cell — the slope / edge-strength raster of
+    the address-density field (GDAL ``gdaldem slope`` / image-gradient
+    analog on the count DEM).  Output:
+
+        (cell, ix, iy, n_points, gx, gy, g2, grad)
+
+    with gx/gy the exact int64 Sobel responses, g2 = gx²+gy² exact, and
+    grad = sqrt(g2) the single replayed float op.
+
+    Scale shape: same zero-join contribution pattern as :func:`tile_kde`
+    — Sobel is LINEAR in the source counts, so batch-split partials sum
+    exactly (unlike :func:`tile_idw`'s denominator); 9 shifted integer
+    contributions per distinct cell per batch, ONE sharded groupby.
+    Shard order can never change an integer sum."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ix, iy = _tile_ix_iy(b["lon"].to_numpy(), b["lat"].to_numpy())
+        g = (pd.DataFrame({"ix": ix, "iy": iy}).groupby(["ix", "iy"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        gx_ = g["ix"].to_numpy(np.int64)
+        gy_ = g["iy"].to_numpy(np.int64)
+        gn = g["n"].to_numpy(np.int64)
+        txs, tys, owns, exs, eys = [], [], [], [], []
+        for dx, dy, ex, ey in SOBEL_OFFSETS:
+            txs.append(gx_ + dx)
+            tys.append(gy_ + dy)
+            owns.append(gn if (dx == 0 and dy == 0) else np.zeros_like(gn))
+            exs.append(gn * ex)
+            eys.append(gn * ey)
+        tx = np.concatenate(txs)
+        ty = np.concatenate(tys)
+        return pd.DataFrame({"ix": tx, "iy": ty, "cell": _cell_id(tx, ty),
+                             "n_own": np.concatenate(owns),
+                             "cx": np.concatenate(exs),
+                             "cy": np.concatenate(eys)})
+
+    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["cell", "ix", "iy"], as_index=False)
+               .agg(n_points=("n_own", "sum"), gx=("cx", "sum"), gy=("cy", "sum")))
+        out = out[out["n_points"] > 0]
+        for c in ("n_points", "gx", "gy"):
+            out[c] = out[c].astype(np.int64)
+        out["g2"] = out["gx"] * out["gx"] + out["gy"] * out["gy"]
+        out["grad"] = np.sqrt(out["g2"].to_numpy(np.float64))
+        return out
+
+    parts = _points(world_dir, ["lon", "lat"]).map_batches(
+        partial, batch_format="pandas")
+    return (parts.map_batches(_shard_cells(), batch_format="pandas")
+            .repartition(_shuffle_blocks())
+            .groupby("_shard")
+            .map_groups(lambda g: reduce_shard(g.drop(columns=["_shard"])),
+                        batch_format="pandas"))

@@ -636,3 +636,33 @@ class TestIdw:
         den = 20 + 40 + 8 + 10 + 8
         assert r["idw_num"] == num and r["idw_den"] == den
         assert r["idw"] == num / den
+
+
+class TestSlope:
+    def test_isolated_cell_gradient_points_inward(self, ray_session, crafted_world):
+        from housenumbercore_ray.pipelines.tiles import tile_slope
+
+        df = tile_slope(crafted_world).to_pandas().set_index(["ix", "iy"])
+        # only occupied cells appear
+        assert (300, 300) in df.index
+        r = df.loc[(300, 300)]
+        # symmetric isolated peak: zero gradient at the peak itself
+        assert r["gx"] == 0 and r["gy"] == 0 and r["g2"] == 0 and r["grad"] == 0.0
+        assert r["n_points"] == 5
+
+    def test_l_shape_sobel_values(self, ray_session, crafted_world):
+        import numpy as np
+
+        from housenumbercore_ray.pipelines.tiles import tile_slope
+
+        df = tile_slope(crafted_world).to_pandas().set_index(["ix", "iy"])
+        # raster: (100,100)=3 (101,100)=3 (101,101)=3 (100,101)=2 (102,101)=1
+        # Gx at (100,100): +1·n(101,101) +2·n(101,100) -1·n(100,101)... careful:
+        # Gx(t) = Σ u·(2-|v|)·n(t+(u,v)):
+        #   (1,0)→2·3=6, (1,1)→1·3=3, (-0/-1 col: u=-1 all empty), (0,±1) w=0
+        #   plus (1,-1): empty → Gx=9
+        # Gy(t) = Σ v·(2-|u|)·n: (0,1)→2·2=4, (1,1)→1·3=3 → Gy=7
+        r = df.loc[(100, 100)]
+        assert r["gx"] == 9 and r["gy"] == 7
+        assert r["g2"] == 81 + 49
+        assert r["grad"] == np.sqrt(130.0)
