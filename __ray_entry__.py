@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_price_quantiles": relational.price_quantiles,
         "rel_order_gaps": relational.order_gaps,
         "rel_events_funnel": relational.events_funnel,
+        "rel_retention_cohorts": relational.retention_cohorts,
     }
     return q
 
@@ -716,6 +717,19 @@ SELECT CAST(u.user_id AS BIGINT) AS user_id,
        CAST(CASE WHEN p.t3 IS NOT NULL THEN 3 WHEN c.t2 IS NOT NULL THEN 2
                  WHEN v.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
 FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+""",
+        "rel_retention_cohorts": """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+  FROM events
+),
+c AS (SELECT user_id, min(d) AS cohort FROM ud GROUP BY user_id)
+SELECT CAST(c.cohort AS BIGINT) AS cohort_day,
+       CAST(ud.d - c.cohort AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud JOIN c USING (user_id)
+GROUP BY 1, 2
 """,
         "dedup_winnow_pairs": co.winnow_pairs_sql(),
         "rel_top_suppliers_per_nation": """

@@ -917,3 +917,39 @@ def price_outliers(sf_dir: str, k: int = 2) -> rd.Dataset:
         return out
 
     return joined().map_batches(flag, batch_format="pandas")
+
+
+def retention_cohorts(sf_dir: str) -> rd.Dataset:
+    """Cohort retention over the event log: a user's cohort is their first
+    active epoch-day; for every (cohort_day, day_offset) pair, the number
+    of cohort users active on cohort_day + offset — the standard retention
+    triangle. Daily (not weekly/monthly) grain because the synthetic event
+    log spans ~30 days; the grain is one constant.
+
+    Scale shape: a per-batch DISTINCT (user, day) partial bounds the
+    first shuffle to distinct pairs (≤ users × days, independent of the
+    event count); the per-user reduce emits one row per active day
+    (cohort = min day, offsets vectorized); the closing count groupby
+    has at most days² / 2 keys — the driver never sees per-user data."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return (pd.DataFrame({"user_id": b["user_id"].to_numpy(np.int64), "d": d})
+                .drop_duplicates())
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ds_ = np.unique(g["d"].to_numpy(np.int64))
+        cohort = int(ds_[0])
+        return pd.DataFrame({
+            "cohort_day": np.full(len(ds_), cohort, dtype=np.int64),
+            "day_offset": (ds_ - cohort).astype(np.int64),
+        })
+
+    return (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Count(alias_name="n_users"))
+    )

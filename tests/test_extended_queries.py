@@ -70,7 +70,7 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "embedding_hard_negatives", "web_crawl_waves", "geo_tile_moran",
             "geo_tile_hotspots", "geo_tile_distance", "geo_dbscan",
             "geo_hex_bin", "geo_hex_kring", "geo_tile_kde", "geo_tile_contour",
-            "geo_tile_idw", "geo_tile_slope"]
+            "geo_tile_idw", "geo_tile_slope", "rel_retention_cohorts"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
