@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": corpus.ann_lsh_topk,
         "ann_ivf_topk": corpus.ann_ivf_topk,
         "ann_sq_topk": corpus.ann_sq_topk,
+        "ann_pq_topk": corpus.ann_pq_topk,
         "embedding_label_centroids": corpus.embedding_label_centroids,
         "corpus_dup_rate_by_source": corpus.dup_rate_by_source,
         "dedup_embedding_pairs": corpus.embedding_near_dup_pairs,
@@ -763,6 +764,7 @@ GROUP BY q.quantile
         "theo_muni_summary": _theo_oracle(world_dir),
     }
     out["ann_sq_topk"] = co.sq_topk_sql()
+    out["ann_pq_topk"] = co.pq_topk_sql()
     out["embedding_label_centroids"] = co.label_centroids_sql()
     out["corpus_dup_rate_by_source"] = co.dup_rate_by_source_sql()
     out["corpus_shuffle_shards"] = co.shuffle_shards_sql()

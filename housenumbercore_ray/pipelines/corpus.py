@@ -4798,3 +4798,113 @@ def cooccurrence_triangles(world_dir: str) -> rd.Dataset:
                              "c": tri[:, 2].astype(object)})
 
     return closed.map_batches(to_triangle, batch_format="pandas")
+
+
+def _pq_codebooks(sf_dir: str, m: int = 16, kc: int = 16,
+                  iters: int = 4) -> np.ndarray:
+    """Per-subspace Lloyd codebooks for PQ-ADC ANN: ONE streaming pass per
+    iteration trains ALL m sub-quantizers at once — per-batch partials are
+    keyed (sub, cluster), so m·kc rows leave each batch regardless of
+    corpus size, and driver state is O(m·kc·subdim) floats. Same
+    determinism contract as :func:`_kmeans_centroids` (the SQL oracle
+    replays it per subspace): init = the subvectors of ``vec_id < kc``,
+    squared-euclid assignment with ties → lowest cluster, round-6 centroid
+    updates, empty clusters keep their previous centroid."""
+    import pyarrow.parquet as pq
+
+    dim = _embedding_dim(sf_dir)
+    sd = dim // m
+    init = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", kc)]).to_pandas()
+    init = init.sort_values("vec_id")
+    C = (np.stack(init["embedding"].to_numpy()).astype(np.float64)
+         .reshape(kc, m, sd).transpose(1, 0, 2).copy())  # (m, kc, sd)
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        class Partial:
+            def __init__(self):
+                self.C = ray.get(ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                X = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+                Xs = X.reshape(len(X), m, sd)
+                cnt = np.zeros((m, kc), dtype=np.int64)
+                sums = np.zeros((m, kc, sd))
+                for s in range(m):
+                    d2 = ((Xs[:, s, None, :] - self.C[s][None]) ** 2).sum(-1)
+                    cl = d2.argmin(axis=1)
+                    cnt[s] = np.bincount(cl, minlength=kc)
+                    np.add.at(sums[s], cl, Xs[:, s])
+                out = pd.DataFrame({
+                    "sub": np.repeat(np.arange(m, dtype=np.int64), kc),
+                    "cluster": np.tile(np.arange(kc, dtype=np.int64), m),
+                    "cnt": cnt.ravel(),
+                })
+                flat = sums.reshape(m * kc, sd)
+                for j in range(sd):
+                    out[f"s{j}"] = flat[:, j]
+                return out
+
+        tot = (
+            emb.map_batches(Partial, batch_format="pandas", batch_size=4096,
+                            concurrency=(1, 4), num_cpus=1)
+            .groupby(["sub", "cluster"])
+            .map_groups(lambda g: g.groupby(["sub", "cluster"], as_index=False).sum(),
+                        batch_format="pandas")
+            .to_pandas()          # exactly m·kc rows
+            .sort_values(["sub", "cluster"])
+        )
+        cnt = tot["cnt"].to_numpy(np.float64).reshape(m, kc)
+        sums = tot[[f"s{j}" for j in range(sd)]].to_numpy().reshape(m, kc, sd)
+        C = C.copy()
+        ne = cnt > 0
+        C[ne] = np.round(sums[ne] / cnt[ne][:, None], 6)
+    return C
+
+
+def ann_pq_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK,
+                m: int = 16, kc: int = 16, iters: int = 4) -> rd.Dataset:
+    """Product-quantization (PQ-ADC) ANN top-k — the compressed-domain
+    member of the ANN family (brute / LSH / IVF / SQ8 / PQ): each vector
+    is represented by m per-subspace centroid codes (64 float32 → 16 bytes
+    at these defaults), and queries score candidates via an
+    asymmetric-distance lookup table, m adds per vector.
+
+    Codebooks come from the shared streaming per-subspace Lloyd loop
+    (:func:`_pq_codebooks`); query vectors from a filtered parquet read;
+    the scan is an actor pool whose per-query LUTs (nq·m·kc floats) are
+    built once in ``__init__``; per-batch partial top-k → tiny
+    groupby(qid) reduce. Output (qid, rank, vec_id, d2_adc) ordered by
+    (round-6 ADC distance, vec_id); corpus_oracle.pq_topk_sql replays the
+    training, encoding and scoring end-to-end in SQL."""
+    from ..stages.similarity import PQTopK
+
+    C = _pq_codebooks(sf_dir, m, kc, iters)
+    qv = _fetch_vectors(sf_dir, query_ids)
+    qids = np.asarray(sorted(qv), dtype=np.int64)
+    Q = np.stack([qv[int(q)] for q in qids]).astype(np.float64)
+    side_ref = ray.put((qids, Q, C))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        PQTopK, fn_constructor_args=(side_ref, k),
+        batch_format="pandas", batch_size=4096, concurrency=(1, 4), num_cpus=1,
+    )
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["d2_adc", "vec_id"], kind="mergesort")
+             .head(k).reset_index(drop=True))
+        return pd.DataFrame({
+            "qid": g["qid"].astype(np.int64),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            "vec_id": g["vec_id"].astype(np.int64),
+            "d2_adc": g["d2_adc"].astype(np.float64),
+        })
+
+    return partials.groupby("qid").map_groups(fin, batch_format="pandas")

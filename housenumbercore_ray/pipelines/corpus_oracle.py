@@ -1580,3 +1580,66 @@ FROM bi e1
 JOIN bi e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
 JOIN bi e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
 """
+
+
+def pq_topk_sql(query_ids=(0, 1, 2, 3), k: int = 5, m: int = 16,
+                kc: int = 16, iters: int = 4, dim: int = 64) -> str:
+    """ann_pq_topk: the per-subspace Lloyd training, code assignment and
+    ADC scoring replayed end-to-end in SQL. One CTE chain with the
+    subspace index as a COLUMN (``sub`` = vectors × range(m) sub-slices):
+    init = subvectors of vec_id < kc, per-iteration argmin assignment
+    (ties → lowest cluster) and round-6 centroid averages with empty
+    clusters keeping the previous centroid — the embedding_kmeans
+    contract per subspace — then the final codes, per-(query, vector,
+    subspace) squared distances to the ASSIGNED centroid, summed and
+    rounded to 6, ranked (d2_adc, vec_id) per query."""
+    sd = dim // m
+    d2 = (f"list_sum(list_transform(range(1, {sd + 1}), "
+          f"i -> (x.sv[i]-c.cv[i])*(x.sv[i]-c.cv[i])))")
+    avg_list = "[" + ", ".join(f"round(avg(x.sv[{i}]), 6)"
+                               for i in range(1, sd + 1)) + "]"
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    parts = [f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sub AS (SELECT e.vec_id, t.s, e.v[(t.s*{sd}+1):(t.s*{sd}+{sd})] AS sv
+        FROM e, range(0, {m}) t(s)),
+c0 AS (SELECT s, vec_id AS cl, sv AS cv FROM sub WHERE vec_id < {kc})"""]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(f""",
+a{t} AS (SELECT vec_id, s, cl FROM (
+  SELECT vec_id, s, cl, d2, row_number() OVER (PARTITION BY vec_id, s
+                                               ORDER BY d2, cl) AS rn
+  FROM (SELECT x.vec_id, x.s, c.cl, {d2} AS d2
+        FROM sub x JOIN {prev} c ON c.s = x.s))
+  WHERE rn = 1),
+c{t}r AS (SELECT a{t}.s, a{t}.cl, {avg_list} AS cv
+          FROM a{t} JOIN sub x ON x.vec_id = a{t}.vec_id AND x.s = a{t}.s
+          GROUP BY a{t}.s, a{t}.cl),
+c{t} AS (SELECT p.s, p.cl, coalesce(r.cv, p.cv) AS cv
+         FROM {prev} p LEFT JOIN c{t}r r ON r.s = p.s AND r.cl = p.cl)""")
+        prev = f"c{t}"
+    parts.append(f""",
+codes AS (SELECT vec_id, s, cl FROM (
+  SELECT vec_id, s, cl, d2, row_number() OVER (PARTITION BY vec_id, s
+                                               ORDER BY d2, cl) AS rn
+  FROM (SELECT x.vec_id, x.s, c.cl, {d2} AS d2
+        FROM sub x JOIN {prev} c ON c.s = x.s))
+  WHERE rn = 1),
+q AS (SELECT vec_id AS qid, s, sv FROM sub WHERE vec_id IN ({ids})),
+per AS (SELECT q.qid, co.vec_id,
+               list_sum(list_transform(range(1, {sd + 1}),
+                 i -> (q.sv[i]-c.cv[i])*(q.sv[i]-c.cv[i]))) AS pd2
+        FROM q JOIN codes co ON co.s = q.s
+        JOIN {prev} c ON c.s = co.s AND c.cl = co.cl),
+ad AS (SELECT qid, vec_id, round(sum(pd2), 6) AS d2_adc
+       FROM per GROUP BY 1, 2)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id, d2_adc
+FROM (SELECT qid, vec_id, d2_adc,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY d2_adc, vec_id) AS rn
+      FROM ad)
+WHERE rn <= {k}
+""")
+    return "".join(parts)

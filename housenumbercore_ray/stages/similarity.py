@@ -198,3 +198,49 @@ class SignedProjectionLSH:
             "bucket": self.signature(X),
             "vec_id": batch["vec_id"].astype(np.int64),
         })
+
+
+class PQTopK:
+    """Product-quantization ADC scan stage (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): ``__init__`` builds the
+    per-query asymmetric-distance lookup tables LUT[q, s, c] =
+    ‖q_sub_s − codebook[s][c]‖² ONCE per actor; ``__call__`` encodes a
+    batch to m codes (per-subspace squared-euclid argmin, ties → lowest
+    centroid — the engine-wide kmeans assignment contract) and scores
+    every (query, vector) pair with m LUT adds. At deployment scale the
+    scan reads only the m-byte codes — vectors are never re-touched; here
+    codes are derived in the same pass to keep the input table unchanged.
+    Emits per-batch partial top-k rows (qid, vec_id, d2_adc round-6)."""
+
+    def __init__(self, side_ref, k: int = 5):
+        import ray
+
+        self.qids, Q, self.C = ray.get(side_ref)
+        self.k = k
+        m, kc, sd = self.C.shape
+        Qs = Q.reshape(len(Q), m, sd)
+        self.lut = ((Qs[:, :, None, :] - self.C[None]) ** 2).sum(-1)  # (nq, m, kc)
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        m, kc, sd = self.C.shape
+        X = _to_matrix(b["embedding"])
+        Xs = X.reshape(len(X), m, sd)
+        codes = np.empty((len(X), m), dtype=np.int64)
+        for s in range(m):
+            codes[:, s] = ((Xs[:, s, None, :] - self.C[s][None]) ** 2).sum(-1).argmin(1)
+        nq = len(self.qids)
+        adc = np.zeros((nq, len(X)))
+        for s in range(m):
+            adc += self.lut[:, s, codes[:, s]]
+        vec_ids = b["vec_id"].to_numpy(np.int64)
+        k = min(self.k, len(X))
+        out = []
+        for qi in range(nq):
+            d = np.round(adc[qi], 6)
+            order = np.lexsort((vec_ids, d))[:k]
+            out.append(pd.DataFrame({
+                "qid": np.full(k, self.qids[qi], dtype=np.int64),
+                "vec_id": vec_ids[order],
+                "d2_adc": d[order],
+            }))
+        return pd.concat(out, ignore_index=True)

@@ -70,7 +70,8 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "embedding_hard_negatives", "web_crawl_waves", "geo_tile_moran",
             "geo_tile_hotspots", "geo_tile_distance", "geo_dbscan",
             "geo_hex_bin", "geo_hex_kring", "geo_tile_kde", "geo_tile_contour",
-            "geo_tile_idw", "geo_tile_slope", "rel_retention_cohorts"]
+            "geo_tile_idw", "geo_tile_slope", "rel_retention_cohorts",
+            "ann_pq_topk"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
@@ -437,6 +438,33 @@ class TestR3LateOps:
         sq = e.queries()["ann_sq_topk"](SF).to_pandas()
         hit = exact.merge(sq, on=["qid", "vec_id"], how="inner")
         assert len(hit) / len(exact) >= 0.6
+
+    def test_pq_topk_recall_vs_exact(self, ray_session):
+        """PQ-ADC (8×16 codebooks over 64 dims) must recover most of the
+        exact euclidean top-k; ADC is an 8-term approximation, so the
+        recall bound is deliberately loose. Exact baseline computed in
+        pandas (squared L2, ties → lowest vec_id) — independent of the
+        engine's brute-force cosine path."""
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as e
+
+        pqr = e.queries()["ann_pq_topk"](SF).to_pandas()
+        t = pq.read_table(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).to_pandas()
+        X = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+        ids = t["vec_id"].to_numpy(np.int64)
+        hits = 0
+        for qid in sorted(pqr["qid"].unique()):
+            q = X[ids == qid][0]
+            d = ((X - q) ** 2).sum(1)
+            top = ids[np.lexsort((ids, d))[:5]]
+            hits += len(set(top) & set(pqr.loc[pqr["qid"] == qid, "vec_id"]))
+        assert hits / len(pqr) >= 0.5
+        # ADC distances are non-negative and rank-sorted within each query
+        assert (pqr["d2_adc"] >= 0).all()
+        assert (pqr.sort_values(["qid", "rank"]).groupby("qid")["d2_adc"]
+                .apply(lambda s: s.is_monotonic_increasing).all())
 
 
 def test_tile_compact_tiles_occupied_set_exactly(ray_session):
