@@ -154,6 +154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_street_length": lambda sf: __import__(
             "housenumbercore_ray.pipelines.geometry", fromlist=["street_length"]
         ).street_length(_world(sf)),
+        "geo_street_bearing": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.geometry", fromlist=["street_bearing"]
+        ).street_bearing(_world(sf)),
         "geo_radius_pairs": lambda sf: __import__(
             "housenumbercore_ray.pipelines.geometry", fromlist=["address_radius_pairs"]
         ).address_radius_pairs(_world(sf)),
@@ -865,6 +868,7 @@ def oracle_sql() -> dict[str, str]:
     out["geo_street_vertices"] = geo_o.street_vertices_sql(wd)
     out["geo_muni_area"] = geo_o.muni_area_sql(wd)
     out["geo_street_length"] = geo_o.street_length_sql(wd)
+    out["geo_street_bearing"] = geo_o.street_bearing_sql(wd)
     out["geo_bbox_pairs"] = geo_o.bbox_pairs_sql(wd)
     out["geo_radius_pairs"] = geo_o.radius_pairs_sql(wd)
     out["geo_tile_linetrace"] = geo_o.line_cells_sql(wd)

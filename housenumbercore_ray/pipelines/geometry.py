@@ -712,3 +712,56 @@ def dbscan_clusters(world_dir: str, eps_m: float = DBSCAN_EPS_M,
         batch_format="pandas")
 
     return assigned.union(noise_out)
+
+
+def street_bearing(world_dir: str) -> rd.Dataset:
+    """Per-street AXIAL mean bearing — circular statistics on doubled
+    angles (Mardia's axial-data convention): each segment's bearing from
+    north θ = atan2(Δlon·cos(midlat), Δlat) is direction-ambiguous for a
+    street, so the mean is taken over 2θ and halved → bearing ∈ [0°, 180°);
+    the mean resultant length R ∈ [0, 1] measures alignment (1 = all
+    segments parallel) — the street-grid-orientation analytic popularized
+    by Boeing 2019 ("Urban spatial order: street network orientation").
+
+    Output (osm_id, n_segments, bearing_deg round-6, resultant round-6);
+    single-vertex streets are dropped (no segment → no direction).
+
+    Scale shape: stateless zero-shuffle map_batches — one np.frombuffer
+    WKB decode and two bincount reductions per batch (the street_length
+    shape); geometry_oracle.street_bearing_sql replays the identical
+    expression tree on the same bytes."""
+    streets = rd.read_parquet(
+        f"{world_dir}/osm_streets.parquet", columns=["osm_id", "linestring_wkb"]
+    )
+
+    def bearing(b: pd.DataFrame) -> pd.DataFrame:
+        npts, pts = decode_linestrings(b["linestring_wkb"].tolist())
+        lon, lat = pts[:, 0], pts[:, 1]
+        n = len(b)
+        nseg = np.maximum(npts - 1, 0)
+        if len(pts) > 1:
+            starts = np.concatenate(([0], np.cumsum(npts)[:-1]))
+            th = np.arctan2(
+                (lon[1:] - lon[:-1]) * np.cos((lat[:-1] + lat[1:]) / 2 * np.pi / 180),
+                lat[1:] - lat[:-1],
+            )
+            valid = np.ones(len(pts) - 1, dtype=bool)
+            valid[starts[1:] - 1] = False
+            seg_street = np.repeat(np.arange(n, dtype=np.int64), nseg)
+            s = np.bincount(seg_street, weights=np.sin(2 * th)[valid], minlength=n)
+            c = np.bincount(seg_street, weights=np.cos(2 * th)[valid], minlength=n)
+        else:
+            s = np.zeros(n)
+            c = np.zeros(n)
+        keep = nseg > 0
+        half = np.degrees(np.arctan2(s[keep], c[keep])) / 2
+        half = np.where(half < 0, half + 180, half)
+        r = np.sqrt(s[keep] ** 2 + c[keep] ** 2) / np.maximum(nseg[keep], 1)
+        return pd.DataFrame({
+            "osm_id": b["osm_id"].to_numpy(np.int64)[keep],
+            "n_segments": nseg[keep].astype(np.int64),
+            "bearing_deg": np.round(half, 6),
+            "resultant": np.round(r, 6),
+        })
+
+    return streets.map_batches(bearing, batch_format="pandas")

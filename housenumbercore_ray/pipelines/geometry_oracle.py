@@ -482,3 +482,29 @@ FROM p
 WHERE p.osm_id NOT IN (SELECT u FROM lab)
   AND p.osm_id NOT IN (SELECT osm_id FROM border)
 """
+
+
+def street_bearing_sql(world_dir: str) -> str:
+    """geo_street_bearing: segment bearings, axial doubling, resultant and
+    halved mean angle recomputed from the same WKB bytes with the same
+    expression shapes; libm atan2/sin/cos ulp differences are absorbed by
+    the round-6 contract."""
+    return f"""
+WITH {_street_verts_cte(world_dir)},
+seg AS (
+  SELECT a.osm_id,
+         atan2((b.x - a.x) * cos((a.y + b.y) / 2 * pi() / 180),
+               b.y - a.y) AS th
+  FROM verts a JOIN verts b ON b.osm_id = a.osm_id AND b.seq = a.seq + 1
+),
+agg AS (SELECT osm_id, count(*) AS n,
+               sum(sin(2 * th)) AS s, sum(cos(2 * th)) AS c
+        FROM seg GROUP BY osm_id),
+fin AS (SELECT osm_id, n, degrees(atan2(s, c)) / 2 AS half,
+               sqrt(s * s + c * c) / n AS r
+        FROM agg)
+SELECT CAST(osm_id AS BIGINT) AS osm_id, CAST(n AS BIGINT) AS n_segments,
+       round(CASE WHEN half < 0 THEN half + 180 ELSE half END, 6) AS bearing_deg,
+       round(r, 6) AS resultant
+FROM fin
+"""

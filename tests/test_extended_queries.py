@@ -71,7 +71,7 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "geo_tile_hotspots", "geo_tile_distance", "geo_dbscan",
             "geo_hex_bin", "geo_hex_kring", "geo_tile_kde", "geo_tile_contour",
             "geo_tile_idw", "geo_tile_slope", "rel_retention_cohorts",
-            "ann_pq_topk"]
+            "ann_pq_topk", "geo_street_bearing"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
@@ -111,6 +111,7 @@ def test_extended_query_matches_oracle(entry, con, name):
 
     sqls["geo_street_vertices"] = geo_o.street_vertices_sql(wd)
     sqls["geo_muni_area"] = geo_o.muni_area_sql(wd)
+    sqls["geo_street_bearing"] = geo_o.street_bearing_sql(wd)
     sqls["geo_bbox_pairs"] = geo_o.bbox_pairs_sql(wd)
     sqls["geo_line_simplify"] = geo_o.line_simplify_sql(wd)
     sqls["geo_reverse_geocode"] = geo_o.reverse_geocode_sql(wd)
