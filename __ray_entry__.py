@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_order_gaps": relational.order_gaps,
         "rel_events_funnel": relational.events_funnel,
         "rel_retention_cohorts": relational.retention_cohorts,
+        "rel_basket_pairs": relational.basket_pairs,
     }
     return q
 
@@ -734,6 +735,23 @@ SELECT CAST(c.cohort AS BIGINT) AS cohort_day,
        CAST(count(*) AS BIGINT) AS n_users
 FROM ud JOIN c USING (user_id)
 GROUP BY 1, 2
+""",
+        "rel_basket_pairs": """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pc AS (SELECT l_partkey, count(*) AS n FROM op GROUP BY 1),
+t AS (SELECT count(DISTINCT l_orderkey) AS total FROM op),
+pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+              count(*) AS support
+       FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT CAST(part_a AS BIGINT) AS part_a, CAST(part_b AS BIGINT) AS part_b,
+       CAST(support AS BIGINT) AS support,
+       round(support / CAST(pa.n AS DOUBLE), 6) AS conf_a_b,
+       round(support * CAST(t.total AS DOUBLE) / (CAST(pa.n AS DOUBLE) * CAST(pb.n AS DOUBLE)), 6) AS lift
+FROM pr JOIN pc pa ON pa.l_partkey = pr.part_a
+        JOIN pc pb ON pb.l_partkey = pr.part_b
+        CROSS JOIN t
 """,
         "dedup_winnow_pairs": co.winnow_pairs_sql(),
         "rel_top_suppliers_per_nation": """

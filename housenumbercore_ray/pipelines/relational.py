@@ -953,3 +953,82 @@ def retention_cohorts(sf_dir: str) -> rd.Dataset:
         .groupby(["cohort_day", "day_offset"])
         .aggregate(Count(alias_name="n_users"))
     )
+
+
+def basket_pairs(sf_dir: str, min_support: int = 2) -> rd.Dataset:
+    """Market-basket pair mining over lineitem (association rules): parts
+    co-ordered in the same order, with support (co-order count),
+    confidence P(b|a) and lift — the Apriori k=2 pass every recommender /
+    co-occurrence analysis starts from.
+
+    Scale shape: pair expansion runs inside orderkey-hash shards (orders
+    are shard-exclusive, so per-shard pair counts are exact partials) via
+    a vectorized self-merge per shard — never a global all-pairs; the
+    (part_a, part_b) support groupby is the ONE unbounded shuffle and its
+    volume is pre-shrunk by the per-shard partial count. Part marginals
+    and the order total come from a second sharded pass whose output is
+    bounded by the part dimension, broadcast via ray.put into the closing
+    attach stage. Floats (conf, lift) round to 6 with the division shapes
+    mirrored in the SQL oracle."""
+    from ..pipelines.corpus import _shard_on, _shuffle_blocks
+
+    cols = ["l_orderkey", "l_partkey"]
+
+    def pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(cols)
+        m = u.merge(u, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        out = (m.groupby(["l_partkey_x", "l_partkey_y"], sort=False)
+               .size().rename("cnt").reset_index())
+        return out.rename(columns={"l_partkey_x": "part_a",
+                                   "l_partkey_y": "part_b"})
+
+    pair_partials = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+        .map_batches(_shard_on(["l_orderkey"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(lambda g: pairs_shard(g.drop(columns=["_shard"])),
+                    batch_format="pandas")
+    )
+    support = (
+        pair_partials.groupby(["part_a", "part_b"])
+        .aggregate(Sum("cnt", alias_name="support"))
+    )
+
+    def marg_shard(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(cols)
+        pc = u["l_partkey"].value_counts()
+        return pd.DataFrame({
+            "part": np.concatenate([pc.index.to_numpy(np.int64), [-1]]),
+            "n": np.concatenate([pc.to_numpy(np.int64),
+                                 [u["l_orderkey"].nunique()]]),
+        })
+
+    marg = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+        .map_batches(_shard_on(["l_orderkey"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(lambda g: marg_shard(g.drop(columns=["_shard"])),
+                    batch_format="pandas")
+        .groupby("part")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()          # bounded by the part dimension (+1 total row)
+    )
+    counts = dict(zip(marg["part"].astype(np.int64), marg["n"].astype(np.int64)))
+    total = counts.pop(-1)
+    cref = ray.put(counts)
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["support"] >= min_support].copy()
+        pc = ray.get(cref)
+        na = b["part_a"].map(pc).to_numpy(np.float64)
+        nb = b["part_b"].map(pc).to_numpy(np.float64)
+        s = b["support"].to_numpy(np.float64)
+        b["conf_a_b"] = np.round(s / na, 6)
+        b["lift"] = np.round(s * float(total) / (na * nb), 6)
+        b["support"] = b["support"].astype(np.int64)
+        return b
+
+    return support.map_batches(attach, batch_format="pandas")
