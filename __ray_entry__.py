@@ -111,6 +111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_compact": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["tile_compact"]
         ).tile_compact(_world(sf)),
+        "geo_morton_range": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.tiles", fromlist=["morton_range_query"]
+        ).morton_range_query(_world(sf)),
         "geo_tile_quadkey": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["tile_quadkey"]
         ).tile_quadkey(_world(sf)),

@@ -572,10 +572,13 @@ def tiles_sql(world_dir: str) -> dict[str, str]:
         HEX_OFFSET,
         HEX_SIZE_DEG,
         HEX_SQRT3_3,
+        MORTON_QUERY_RECT,
         N_ZOOMS,
         TILE_RES_DEG,
         VECTORIZE_MIN_POINTS,
     )
+
+    mx0, mx1, my0, my1 = MORTON_QUERY_RECT
 
     res = TILE_RES_DEG
     base = (f"SELECT CAST(osm_id AS BIGINT) AS osm_id, "
@@ -585,6 +588,17 @@ def tiles_sql(world_dir: str) -> dict[str, str]:
             f"FROM read_parquet('{world_dir}/osm_addresses.parquet')")
     zooms = ", ".join(str(z) for z in range(N_ZOOMS))
     return {
+        "geo_morton_range": f"""
+WITH b AS ({base}),
+inb AS (SELECT osm_id, ix, iy FROM b
+        WHERE ix BETWEEN {mx0} AND {mx1} AND iy BETWEEN {my0} AND {my1}),
+k AS (SELECT unnest(range(0, 22)) AS k)
+SELECT i.osm_id, i.ix, i.iy,
+       CAST(sum(((i.ix >> k.k) & 1) * (CAST(1 AS BIGINT) << (2 * k.k))
+                + ((i.iy >> k.k) & 1) * (CAST(1 AS BIGINT) << (2 * k.k + 1)))
+            AS BIGINT) AS morton
+FROM inb i CROSS JOIN k GROUP BY i.osm_id, i.ix, i.iy
+""",
         "geo_tile_assign": f"""
 WITH b AS ({base})
 SELECT osm_id, ix, iy, (ix << 22) | iy AS cell FROM b

@@ -1600,3 +1600,86 @@ def tile_slope(world_dir: str) -> rd.Dataset:
             .groupby("_shard")
             .map_groups(lambda g: reduce_shard(g.drop(columns=["_shard"])),
                         batch_format="pandas"))
+
+
+#: inclusive (x0, x1, y0, y1) z0-cell rectangle of the morton range-query
+#: demo — lon ≈ [10.20, 10.56), lat ≈ [50.05, 50.19) of the synthetic world.
+MORTON_QUERY_RECT = (19020, 19055, 14005, 14018)
+
+
+def morton_ranges(x0: int, x1: int, y0: int, y1: int,
+                  bits: int = 22) -> tuple[np.ndarray, np.ndarray]:
+    """Decompose an INCLUSIVE cell rectangle into maximal Morton-aligned
+    quadtree squares and coalesce them into sorted, inclusive [start, end]
+    Z-order code ranges — the standard space-filling-curve covering trick
+    (S2's CellUnion / BigTable key-range pruning): an aligned 2^l-square
+    that lies fully inside the rectangle is ONE contiguous run of 4^l
+    codes. Recursion visits only squares intersecting the rectangle
+    boundary, O(perimeter · levels) nodes."""
+    out: list[tuple[int, int]] = []
+
+    def rec(qx: int, qy: int, size: int) -> None:
+        if qx > x1 or qx + size - 1 < x0 or qy > y1 or qy + size - 1 < y0:
+            return
+        if qx >= x0 and qx + size - 1 <= x1 and qy >= y0 and qy + size - 1 <= y1:
+            base = int(_morton(np.asarray([qx]), np.asarray([qy]))[0])
+            out.append((base, base + size * size - 1))
+            return
+        h = size // 2
+        for dy in (0, h):
+            for dx in (0, h):
+                rec(qx + dx, qy + dy, h)
+
+    rec(0, 0, 1 << bits)
+    out.sort()
+    merged = [list(out[0])]
+    for s, e in out[1:]:
+        if s == merged[-1][1] + 1:
+            merged[-1][1] = e
+        else:
+            merged.append([s, e])
+    return (np.asarray([m[0] for m in merged], dtype=np.int64),
+            np.asarray([m[1] for m in merged], dtype=np.int64))
+
+
+def morton_range_query(world_dir: str,
+                       rect: tuple[int, int, int, int] = MORTON_QUERY_RECT) -> rd.Dataset:
+    """Space-filling-curve RANGE QUERY over the address points: the query
+    rectangle (inclusive z0 cell bounds) is decomposed ON THE DRIVER into
+    maximal Morton-aligned code ranges (:func:`morton_ranges` — O(perimeter)
+    ranges, broadcast once), and the point table is filtered by range
+    membership with one vectorized searchsorted per batch.
+
+    Why it matters at 100 TB: on a Morton-SORTED table this covering turns
+    a bbox query into a handful of contiguous key ranges — row-group /
+    partition pruning instead of a full scan (the S2/quadkey index-read
+    pattern the `tile_quadkey` docstring promises). The synthetic table is
+    unsorted, so here the covering drives the filter kernel; the oracle is
+    a plain bbox predicate + per-bit morton recomputation, proving the
+    decomposition + pruning EXACTLY equals the rectangle semantics.
+    Output (osm_id, ix, iy, morton)."""
+    import ray
+
+    x0, x1, y0, y1 = rect
+    starts, ends = morton_ranges(x0, x1, y0, y1)
+    ref = ray.put((starts, ends))
+
+    class InRanges:
+        def __init__(self):
+            self.starts, self.ends = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            ix, iy = _tile_ix_iy(b["lon"].to_numpy(), b["lat"].to_numpy())
+            m = _morton(ix, iy)
+            pos = np.searchsorted(self.starts, m, side="right") - 1
+            ok = (pos >= 0) & (m <= self.ends[np.clip(pos, 0, None)])
+            return pd.DataFrame({
+                "osm_id": b["osm_id"].to_numpy(np.int64)[ok],
+                "ix": ix[ok],
+                "iy": iy[ok],
+                "morton": m[ok],
+            })
+
+    return _points(world_dir, ["osm_id", "lon", "lat"]).map_batches(
+        InRanges, batch_format="pandas", batch_size=8192,
+        concurrency=(1, 4), num_cpus=1)

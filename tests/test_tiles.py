@@ -666,3 +666,25 @@ class TestSlope:
         assert r["gx"] == 9 and r["gy"] == 7
         assert r["g2"] == 81 + 49
         assert r["grad"] == np.sqrt(130.0)
+
+
+def test_morton_ranges_cover_rectangle_exactly():
+    """SFC covering invariant: the decoded union of the morton ranges is
+    EXACTLY the rectangle's cell set (coverage + nothing extra), ranges
+    are sorted, disjoint and non-adjacent (maximally coalesced)."""
+    import numpy as np
+
+    from housenumbercore_ray.pipelines.tiles import _morton, morton_ranges
+
+    rng = np.random.RandomState(7)
+    for _ in range(25):
+        x0 = int(rng.randint(0, 500)); x1 = x0 + int(rng.randint(0, 60))
+        y0 = int(rng.randint(0, 500)); y1 = y0 + int(rng.randint(0, 60))
+        starts, ends = morton_ranges(x0, x1, y0, y1)
+        assert (starts[1:] > ends[:-1] + 1).all()  # sorted, coalesced
+        xs, ys = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
+        codes = np.sort(_morton(xs.ravel(), ys.ravel()))
+        # total size matches and every cell code lands inside a range
+        assert (ends - starts + 1).sum() == codes.size
+        pos = np.searchsorted(starts, codes, side="right") - 1
+        assert (pos >= 0).all() and (codes <= ends[pos]).all()
