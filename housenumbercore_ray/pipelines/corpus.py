@@ -4908,3 +4908,55 @@ def ann_pq_topk(sf_dir: str, query_ids=DEFAULT_QUERY_IDS, k: int = TOPK,
         })
 
     return partials.groupby("qid").map_groups(fin, batch_format="pandas")
+
+
+def gram_novelty(sf_dir: str, n: int = 5) -> rd.Dataset:
+    """First-occurrence n-gram novelty per document — the within-corpus
+    duplication-attribution analytic: each distinct word n-gram is OWNED by
+    the lowest doc_id containing it; a doc's novelty is the fraction of its
+    distinct n-grams it owns (1.0 = entirely fresh text, → 0 = assembled
+    from earlier docs — the deterministic cousin of an "unseen n-gram rate"
+    curve). Docs with fewer than n tokens emit no row (zero grams).
+
+    Scale shape: ONE gram-sharded shuffle of distinct (gram, doc) pairs —
+    a gram's pairs all land in one shard, so the per-gram min-doc and the
+    per-doc partial counts are exact inside the shard — then a doc-keyed
+    groupby over bounded partials. No gram dictionary is ever broadcast
+    (the TF-IDF no-vocabulary-broadcast rule). Output (doc_id, n_grams,
+    n_novel, novelty round-6)."""
+    from ..stages.textops import ngram_flat
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        flat, counts = ngram_flat(b["text"].fillna("").tolist(), n)
+        ids = np.repeat(b["doc_id"].to_numpy(np.int64), counts)
+        return (pd.DataFrame({"gram": np.asarray(flat, dtype=object),
+                              "doc_id": ids})
+                .drop_duplicates())
+
+    def shard_partial(g: pd.DataFrame) -> pd.DataFrame:
+        mn = g.groupby("gram", sort=False)["doc_id"].transform("min")
+        return (g.assign(own=(g["doc_id"] == mn).astype(np.int64))
+                .groupby("doc_id", as_index=False)
+                .agg(n_grams=("gram", "size"), n_novel=("own", "sum")))
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        ng = int(g["n_grams"].sum())
+        nv = int(g["n_novel"].sum())
+        return pd.DataFrame({
+            "doc_id": [np.int64(g["doc_id"].iloc[0])],
+            "n_grams": [np.int64(ng)],
+            "n_novel": [np.int64(nv)],
+            "novelty": [round(nv / ng, 6)],
+        })
+
+    return (
+        _docs(sf_dir)
+        .map_batches(pairs, batch_format="pandas")
+        .map_batches(_shard_on(["gram"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(lambda g: shard_partial(g.drop(columns=["_shard"])),
+                    batch_format="pandas")
+        .groupby("doc_id")
+        .map_groups(fin, batch_format="pandas")
+    )

@@ -1643,3 +1643,29 @@ FROM (SELECT qid, vec_id, d2_adc,
 WHERE rn <= {k}
 """)
     return "".join(parts)
+
+
+def gram_novelty_sql(src: str = "documents", n: int = 5) -> str:
+    """corpus_gram_novelty: min-doc gram ownership and per-doc novelty
+    recomputed on the raw gram strings (distinct per doc, docs shorter
+    than n tokens drop out of the GROUP BY)."""
+    gram = " || ' ' || ".join(f"ts[i+{j}]" for j in range(n)) \
+        .replace("ts[i+0]", "ts[i]")
+    return f"""
+WITH {_tokens_cte(src, 'doc_id', 'text')},
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) < {n} THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(list_transform(range(1, len(ts) - {n - 2}), i -> {gram})) END AS grams
+  FROM tok
+),
+e AS (SELECT doc_id, unnest(grams) AS gm FROM g),
+mn AS (SELECT gm, min(doc_id) AS own FROM e GROUP BY gm)
+SELECT CAST(e.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN mn.own = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN mn.own = e.doc_id THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM e JOIN mn USING (gm)
+GROUP BY e.doc_id
+"""
