@@ -4960,3 +4960,65 @@ def gram_novelty(sf_dir: str, n: int = 5) -> rd.Dataset:
         .groupby("doc_id")
         .map_groups(fin, batch_format="pandas")
     )
+
+
+def fps_sample(sf_dir: str, k: int = 16) -> pd.DataFrame:
+    """k-center / farthest-point diversity sampling over the embedding
+    column — the greedy 2-approximation of the k-center cover problem and
+    the core-set selection step of diversity-aware data curation (Sener &
+    Savarese 2018, "Active Learning for CNNs: A Core-Set Approach"):
+    seed = vec_id 0, then k−1 rounds each picking the vector FARTHEST
+    (squared-euclid, per-center d2 rounded to 6, ties → lowest vec_id)
+    from the already-selected set.
+
+    Output (rank, vec_id, radius): radius is the picked point's distance
+    to the previously-selected set — the monotonically non-increasing
+    k-center coverage-radius curve (0.0 for the seed by convention).
+
+    Scale shape: per round ONE streaming pass — per-batch top-1 partials
+    (vec_id, md) reduce to one row on the driver; per-vector running
+    state is RECOMPUTED each round from the O(k·d) broadcast center
+    matrix (min over per-center ROUND-6 d2 is order-independent, so
+    recompute ≡ carried state, and retries stay deterministic). The
+    corpus streams k−1 times — the embedding_kmeans iterative contract;
+    FPS is inherently sequential in k. Center vectors are fetched by
+    filtered parquet reads (never a full-table driver read)."""
+    vecs = _fetch_vectors(sf_dir, [0])
+    C = np.stack([vecs[0]])
+    sel = [0]
+    radii = [0.0]
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    for _ in range(k - 1):
+        ref = ray.put(C)
+
+        class Far:
+            def __init__(self):
+                self.C = ray.get(ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                X = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+                d2 = np.round(((X[:, None, :] - self.C[None]) ** 2).sum(-1), 6)
+                md = d2.min(axis=1)
+                ids = b["vec_id"].to_numpy(np.int64)
+                i = int(np.lexsort((ids, -md))[0])
+                return pd.DataFrame({"vec_id": [ids[i]], "md": [md[i]]})
+
+        part = (
+            emb.map_batches(Far, batch_format="pandas", batch_size=4096,
+                            concurrency=(1, 4), num_cpus=1)
+            .to_pandas()      # one row per batch — O(blocks), not O(rows)
+            .sort_values(["md", "vec_id"], ascending=[False, True],
+                         kind="mergesort")
+        )
+        vid = int(part["vec_id"].iloc[0])
+        radii.append(float(part["md"].iloc[0]))
+        sel.append(vid)
+        C = np.vstack([C, _fetch_vectors(sf_dir, [vid])[vid]])
+
+    return pd.DataFrame({
+        "rank": np.arange(1, k + 1, dtype=np.int64),
+        "vec_id": np.asarray(sel, dtype=np.int64),
+        "radius": np.round(np.asarray(radii), 6),
+    })

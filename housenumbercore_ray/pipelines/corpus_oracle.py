@@ -1669,3 +1669,33 @@ SELECT CAST(e.doc_id AS BIGINT) AS doc_id,
 FROM e JOIN mn USING (gm)
 GROUP BY e.doc_id
 """
+
+
+def fps_sample_sql(k: int = 16, dim: int = 64) -> str:
+    """embedding_fps_sample: the greedy farthest-point chain replayed
+    round by round — m0 = round-6 d2 to the seed, each round picks the
+    max-md row (ties → lowest vec_id) and folds the new center in with
+    least(md, round-6 d2), exactly the engine's recomputed running min."""
+    def d2(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))")
+
+    parts = [f"""
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m0 AS MATERIALIZED (SELECT e.vec_id, round({d2('e.v', 'c.v')}, 6) AS md
+       FROM e JOIN e c ON c.vec_id = 0)"""]
+    prev = "m0"
+    for t in range(1, k):
+        parts.append(f""",
+s{t} AS MATERIALIZED (SELECT vec_id, md FROM {prev} ORDER BY md DESC, vec_id LIMIT 1),
+m{t} AS MATERIALIZED (SELECT m.vec_id,
+                least(m.md, round({d2('ev.v', 'cv.v')}, 6)) AS md
+         FROM {prev} m
+         JOIN e ev ON ev.vec_id = m.vec_id
+         CROSS JOIN (SELECT e.v FROM e JOIN s{t} ON e.vec_id = s{t}.vec_id) cv)""")
+        prev = f"m{t}"
+    rows = ["SELECT CAST(1 AS BIGINT) AS rank, CAST(0 AS BIGINT) AS vec_id, 0.0 AS radius"]
+    for t in range(1, k):
+        rows.append(f"SELECT CAST({t + 1} AS BIGINT), CAST(vec_id AS BIGINT), md FROM s{t}")
+    parts.append("\n" + "\nUNION ALL ".join(rows) + "\n")
+    return "".join(parts)
