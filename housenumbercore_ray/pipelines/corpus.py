@@ -4939,14 +4939,17 @@ def gram_novelty(sf_dir: str, n: int = 5) -> rd.Dataset:
                 .groupby("doc_id", as_index=False)
                 .agg(n_grams=("gram", "size"), n_novel=("own", "sum")))
 
-    def fin(g: pd.DataFrame) -> pd.DataFrame:
-        ng = int(g["n_grams"].sum())
-        nv = int(g["n_novel"].sum())
+    def fin_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # doc-sharded final (a Ray group per doc is the fine-group
+        # anti-pattern): vectorized per-doc sums inside each shard
+        s = g.groupby("doc_id", sort=False, as_index=False).sum()
+        ng = s["n_grams"].to_numpy(np.int64)
+        nv = s["n_novel"].to_numpy(np.int64)
         return pd.DataFrame({
-            "doc_id": [np.int64(g["doc_id"].iloc[0])],
-            "n_grams": [np.int64(ng)],
-            "n_novel": [np.int64(nv)],
-            "novelty": [round(nv / ng, 6)],
+            "doc_id": s["doc_id"].to_numpy(np.int64),
+            "n_grams": ng,
+            "n_novel": nv,
+            "novelty": np.round(nv / ng, 6),
         })
 
     return (
@@ -4957,8 +4960,11 @@ def gram_novelty(sf_dir: str, n: int = 5) -> rd.Dataset:
         .groupby("_shard")
         .map_groups(lambda g: shard_partial(g.drop(columns=["_shard"])),
                     batch_format="pandas")
-        .groupby("doc_id")
-        .map_groups(fin, batch_format="pandas")
+        .map_batches(_shard_on(["doc_id"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(lambda g: fin_shard(g.drop(columns=["_shard"])),
+                    batch_format="pandas")
     )
 
 

@@ -991,9 +991,23 @@ def basket_pairs(sf_dir: str, min_support: int = 2) -> rd.Dataset:
         .map_groups(lambda g: pairs_shard(g.drop(columns=["_shard"])),
                     batch_format="pandas")
     )
+
+    # two-level reduce: a Ray group PER PAIR is pathological (~1.2M
+    # one-row groups at sf0.1 took 200 s); shard on the pair key and sum
+    # vectorized inside each shard, pushing the min_support cut into the
+    # shard (pair-complete shards make both exact)
+    def support_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby(["part_a", "part_b"], sort=False, as_index=False)["cnt"]
+             .sum().rename(columns={"cnt": "support"}))
+        return s[s["support"] >= min_support]
+
     support = (
-        pair_partials.groupby(["part_a", "part_b"])
-        .aggregate(Sum("cnt", alias_name="support"))
+        pair_partials.map_batches(_shard_on(["part_a", "part_b"]),
+                                  batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(lambda g: support_shard(g.drop(columns=["_shard"])),
+                    batch_format="pandas")
     )
 
     def marg_shard(g: pd.DataFrame) -> pd.DataFrame:
@@ -1012,8 +1026,12 @@ def basket_pairs(sf_dir: str, min_support: int = 2) -> rd.Dataset:
         .groupby("_shard")
         .map_groups(lambda g: marg_shard(g.drop(columns=["_shard"])),
                     batch_format="pandas")
-        .groupby("part")
-        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(_shard_on(["part"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(lambda g: g.drop(columns=["_shard"])
+                    .groupby("part", sort=False, as_index=False)["n"].sum(),
+                    batch_format="pandas")
         .to_pandas()          # bounded by the part dimension (+1 total row)
     )
     counts = dict(zip(marg["part"].astype(np.int64), marg["n"].astype(np.int64)))
@@ -1021,7 +1039,7 @@ def basket_pairs(sf_dir: str, min_support: int = 2) -> rd.Dataset:
     cref = ray.put(counts)
 
     def attach(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["support"] >= min_support].copy()
+        b = b.copy()
         pc = ray.get(cref)
         na = b["part_a"].map(pc).to_numpy(np.float64)
         nb = b["part_b"].map(pc).to_numpy(np.float64)
