@@ -938,18 +938,27 @@ def retention_cohorts(sf_dir: str) -> rd.Dataset:
         return (pd.DataFrame({"user_id": b["user_id"].to_numpy(np.int64), "d": d})
                 .drop_duplicates())
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ds_ = np.unique(g["d"].to_numpy(np.int64))
-        cohort = int(ds_[0])
+    def per_user_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # user-sharded (one Ray group per user is the fine-group
+        # anti-pattern): global dedup + per-user cohort, all vectorized —
+        # shards are user-complete so both are exact
+        u = g.drop_duplicates(["user_id", "d"])
+        cohort = (u.groupby("user_id", sort=False)["d"].transform("min")
+                  .to_numpy(np.int64))
         return pd.DataFrame({
-            "cohort_day": np.full(len(ds_), cohort, dtype=np.int64),
-            "day_offset": (ds_ - cohort).astype(np.int64),
+            "cohort_day": cohort,
+            "day_offset": u["d"].to_numpy(np.int64) - cohort,
         })
+
+    from ..pipelines.corpus import _shard_on, _shuffle_blocks
 
     return (
         ds.map_batches(pairs, batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(_shard_on(["user_id"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(lambda g: per_user_shard(g.drop(columns=["_shard"])),
+                    batch_format="pandas")
         .groupby(["cohort_day", "day_offset"])
         .aggregate(Count(alias_name="n_users"))
     )
