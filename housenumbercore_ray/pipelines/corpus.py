@@ -5028,3 +5028,226 @@ def fps_sample(sf_dir: str, k: int = 16) -> pd.DataFrame:
         "vec_id": np.asarray(sel, dtype=np.int64),
         "radius": np.round(np.asarray(radii), 6),
     })
+
+
+def _doc_trigram_rows(b: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc distinct (tri, occ) trigram rows plus the backoff keys:
+    tri = w1⊕w2⊕w3, bi23 = w2⊕w3, w3 (⊕ = BIGRAM_SEP) over the
+    text_token_stats tokenizer."""
+    from ..stages.textops import _norm_ws
+
+    toks = _norm_ws(b["text"]).str.strip().str.split()
+    lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                          "tri": pd.Series([], dtype=object),
+                          "bi23": pd.Series([], dtype=object),
+                          "w3": pd.Series([], dtype=object),
+                          "occ": pd.Series([], dtype=np.int64)})
+    if lens.sum() == 0:
+        return empty
+    flat = np.concatenate([t for t in toks.tolist() if isinstance(t, list) and t])
+    doc = np.repeat(b["doc_id"].to_numpy(np.int64), lens)
+    pos = _ragged_pos(lens)
+    starts = pos < (np.repeat(lens, lens) - 2)  # token starts a trigram
+    idx = np.nonzero(starts)[0]
+    if len(idx) == 0:
+        return empty
+    w1 = pd.Series(flat[idx], dtype=object)
+    w2 = pd.Series(flat[idx + 1], dtype=object)
+    w3 = pd.Series(flat[idx + 2], dtype=object)
+    tri = w1 + BIGRAM_SEP + w2 + BIGRAM_SEP + w3
+    out = (pd.DataFrame({"doc_id": doc[idx], "tri": tri.to_numpy(),
+                         "bi23": (w2 + BIGRAM_SEP + w3).to_numpy(),
+                         "w3": w3.to_numpy()})
+           .groupby(["doc_id", "tri"], sort=False)
+           .agg(bi23=("bi23", "first"), w3=("w3", "first"),
+                occ=("tri", "size"))
+           .reset_index())
+    out["occ"] = out["occ"].astype(np.int64)
+    return out
+
+
+def _trigram_counts(sf_dir: str, n_shards: int = N_SHARDS) -> rd.Dataset:
+    """Trigram model table (tri, c123, c12) over the TRAIN HALF
+    (doc_id % 2 == 0): context-sharded (w1⊕w2-complete shards), so the
+    trigram count and its context total reduce together — the
+    _bigram_counts shape one order up."""
+    docs = _docs(sf_dir, columns=("doc_id", "text"))
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"].to_numpy(np.int64) % 2 == 0]
+        tg = _doc_trigram_rows(b)
+        g = tg.groupby("tri", sort=False)["occ"].sum().reset_index()
+        ctx = g["tri"].str.rsplit(BIGRAM_SEP, n=1).str[0]
+        g["shard"] = (pd.util.hash_array(ctx.to_numpy(object)) % n_shards).astype(np.int64)
+        g["ctx"] = ctx
+        return g[["shard", "ctx", "tri", "occ"]]
+
+    def count_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("tri", sort=False).agg(
+            c123=("occ", "sum"), ctx=("ctx", "first")).reset_index()
+        c = g.groupby("ctx", sort=False)["occ"].sum()
+        t["c12"] = t["ctx"].map(c).astype(np.int64)
+        t["c123"] = t["c123"].astype(np.int64)
+        return t[["tri", "c123", "c12"]]
+
+    return (
+        docs.map_batches(count_partial, batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("shard")
+        .map_groups(count_reduce, batch_format="pandas")
+    )
+
+
+def _train_bigram_counts(sf_dir: str, n_shards: int = N_SHARDS) -> rd.Dataset:
+    """(bi, c23, c2) over the train half — the _bigram_counts shape with
+    the doc filter: c23 = count of bigram (w2, w3), c2 = count of w2 as a
+    CONTEXT (bigrams starting with w2) — the stupid-backoff denominators."""
+    docs = _docs(sf_dir, columns=("doc_id", "text"))
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"].to_numpy(np.int64) % 2 == 0]
+        bg = _doc_bigram_rows(b)
+        g = bg.groupby("gram", sort=False)["occ"].sum().reset_index()
+        w1 = g["gram"].str.split(BIGRAM_SEP, n=1).str[0]
+        g["shard"] = (pd.util.hash_array(w1.to_numpy(object)) % n_shards).astype(np.int64)
+        g["w1"] = w1
+        return g[["shard", "w1", "gram", "occ"]]
+
+    def count_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("gram", sort=False).agg(
+            c23=("occ", "sum"), w1=("w1", "first")).reset_index()
+        ctx = g.groupby("w1", sort=False)["occ"].sum()
+        c["c2"] = c["w1"].map(ctx).astype(np.int64)
+        c["c23"] = c["c23"].astype(np.int64)
+        return c.rename(columns={"gram": "bi"})[["bi", "c23", "c2"]]
+
+    return (
+        docs.map_batches(count_partial, batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("shard")
+        .map_groups(count_reduce, batch_format="pandas")
+    )
+
+
+def _train_unigram_counts(sf_dir: str, n_shards: int = N_SHARDS) -> rd.Dataset:
+    """(w, c3) unigram counts over the train half — token-sharded."""
+    from ..stages.textops import _norm_ws
+
+    docs = _docs(sf_dir, columns=("doc_id", "text"))
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"].to_numpy(np.int64) % 2 == 0]
+        toks = _norm_ws(b["text"]).str.strip().str.split()
+        flat = [t for lst in toks.tolist() if isinstance(lst, list) for t in lst]
+        if not flat:
+            return pd.DataFrame({"shard": pd.Series([], dtype=np.int64),
+                                 "w": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64)})
+        vc = pd.Series(flat, dtype=object).value_counts()
+        g = pd.DataFrame({"w": vc.index.to_numpy(object),
+                          "c": vc.to_numpy(np.int64)})
+        g["shard"] = (pd.util.hash_array(g["w"].to_numpy(object)) % n_shards).astype(np.int64)
+        return g[["shard", "w", "c"]]
+
+    def count_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("w", sort=False, as_index=False)["c"].sum()
+        out = out.rename(columns={"c": "c3"})
+        out["c3"] = out["c3"].astype(np.int64)
+        return out
+
+    return (
+        docs.map_batches(count_partial, batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("shard")
+        .map_groups(count_reduce, batch_format="pandas")
+    )
+
+
+def trigram_lm_scores(sf_dir: str, n_shards: int = N_SHARDS) -> rd.Dataset:
+    """Trigram LM scoring with STUPID BACKOFF (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the web-scale LM smoothing
+    that needs only counts): the model trains on the EVEN half of the
+    corpus (doc_id % 2 == 0) and scores EVERY document, so unseen
+    trigrams in the odd half genuinely exercise the backoff chain:
+
+        S(w3|w1w2) = c123/c12                  if the trigram was seen
+                   = 0.4 · c23/c2              else if the bigram was seen
+                   = 0.16 · (c3+1)/(N+V)       otherwise (add-one unigram)
+
+    nll = −(1/m) Σ ln S over a doc's m trigram occurrences. Output
+    (doc_id, n_trigrams, nll) for docs with ≥ 3 tokens.
+
+    Scale shape (the bigram_lm discipline — NO model broadcast): three
+    context-sharded count tables (tri / bi / unigram, each reduced with
+    its denominator in a context-complete shard), then three
+    hash-partitioned LEFT joins walk the backoff chain shard-by-shard;
+    N and V are two scalar aggregates over the vocab-bounded unigram
+    table (materialized once — it is the one bounded table here). The
+    corpus streams four times (3 count passes + 1 score pass)."""
+    import pyarrow as pa
+
+    from ..stages.join import bucketed_hash_join
+
+    tri_t = _trigram_counts(sf_dir, n_shards)
+    bi_t = _train_bigram_counts(sf_dir, n_shards)
+    uni_t = _train_unigram_counts(sf_dir, n_shards).materialize()
+    n_total = int(uni_t.sum("c3") or 0)
+    v_total = int(uni_t.count())
+
+    docs = _docs(sf_dir, columns=("doc_id", "text"))
+    rows = docs.map_batches(_doc_trigram_rows, batch_format="pandas")
+
+    s_row = {"doc_id": pa.int64(), "tri": pa.string(), "bi23": pa.string(),
+             "w3": pa.string(), "occ": pa.int64()}
+    j1 = bucketed_hash_join(
+        rows, tri_t, "tri", "tri", how="left",
+        left_schema=s_row,
+        right_schema={"tri": pa.string(), "c123": pa.int64(), "c12": pa.int64()},
+    )
+    s_j1 = dict(s_row, c123=pa.float64(), c12=pa.float64())
+    j2 = bucketed_hash_join(
+        j1, bi_t, "bi23", "bi", how="left",
+        left_schema=s_j1,
+        right_schema={"bi": pa.string(), "c23": pa.int64(), "c2": pa.int64()},
+    )
+    s_j2 = dict(s_j1, bi=pa.string(), c23=pa.float64(), c2=pa.float64())
+    j3 = bucketed_hash_join(
+        j2, uni_t, "w3", "w", how="left",
+        left_schema=s_j2,
+        right_schema={"w": pa.string(), "c3": pa.int64()},
+    )
+
+    alpha = 0.4
+
+    def score_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c123 = b["c123"].to_numpy(np.float64)
+        c12 = b["c12"].to_numpy(np.float64)
+        c23 = b["c23"].to_numpy(np.float64)
+        c2 = b["c2"].to_numpy(np.float64)
+        c3 = np.nan_to_num(b["c3"].to_numpy(np.float64), nan=0.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.where(~np.isnan(c123), c123 / c12,
+                         np.where(~np.isnan(c23), alpha * c23 / c2,
+                                  0.16 * (c3 + 1.0) / (n_total + v_total)))
+        occ = b["occ"].to_numpy(np.int64)
+        return (pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
+                              "slp": occ * np.log(s), "m": occ})
+                .groupby("doc_id", sort=False, as_index=False).sum())
+
+    def fin_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("doc_id", sort=False, as_index=False).sum()
+        return pd.DataFrame({
+            "doc_id": s["doc_id"].to_numpy(np.int64),
+            "n_trigrams": s["m"].to_numpy(np.int64),
+            "nll": -s["slp"].to_numpy(np.float64) / s["m"].to_numpy(np.float64),
+        })
+
+    return (
+        j3.map_batches(score_partial, batch_format="pandas")
+        .map_batches(_shard_on(["doc_id"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(lambda g: fin_shard(g.drop(columns=["_shard"])),
+                    batch_format="pandas")
+    )

@@ -1699,3 +1699,60 @@ m{t} AS MATERIALIZED (SELECT m.vec_id,
         rows.append(f"SELECT CAST({t + 1} AS BIGINT), CAST(vec_id AS BIGINT), md FROM s{t}")
     parts.append("\n" + "\nUNION ALL ".join(rows) + "\n")
     return "".join(parts)
+
+
+def trigram_lm_sql() -> str:
+    """text_trigram_lm: the stupid-backoff chain replayed — train-half
+    trigram/bigram/unigram counts with their context denominators, then
+    per-occurrence CASE walking exactly the engine's backoff branches and
+    the same division shapes; -(Σ occ·ln S)/Σ occ per doc."""
+    from ..stages.textops import EXOTIC_WS_RE2
+
+    return f"""
+WITH d0 AS (SELECT doc_id,
+                   regexp_replace(text, '{EXOTIC_WS_RE2}', ' ', 'g') AS text
+            FROM documents),
+tl AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       FROM d0 WHERE trim(text) <> ''),
+tg0 AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(l) - 1),
+                      i -> l[i] || chr(31) || l[i+1] || chr(31) || l[i+2])) AS tri,
+               unnest(list_transform(range(1, len(l) - 1),
+                      i -> l[i] || chr(31) || l[i+1])) AS ctx,
+               unnest(list_transform(range(1, len(l) - 1),
+                      i -> l[i+1] || chr(31) || l[i+2])) AS bi23,
+               unnest(list_transform(range(1, len(l) - 1), i -> l[i+2])) AS w3
+        FROM tl WHERE len(l) >= 3),
+tg AS (SELECT doc_id, tri, any_value(ctx) AS ctx, any_value(bi23) AS bi23,
+              any_value(w3) AS w3, count(*)::BIGINT AS occ
+       FROM tg0 GROUP BY doc_id, tri),
+c123t AS (SELECT tri, sum(occ)::BIGINT AS c123 FROM tg
+          WHERE doc_id % 2 = 0 GROUP BY tri),
+c12t AS (SELECT ctx, sum(occ)::BIGINT AS c12 FROM tg
+         WHERE doc_id % 2 = 0 GROUP BY ctx),
+bg0 AS (SELECT unnest(list_transform(range(1, len(l)),
+                      i -> l[i] || chr(31) || l[i+1])) AS bi,
+               unnest(list_transform(range(1, len(l)), i -> l[i])) AS w1
+        FROM tl WHERE len(l) >= 2 AND doc_id % 2 = 0),
+c23t AS (SELECT bi, count(*)::BIGINT AS c23 FROM bg0 GROUP BY bi),
+c2t AS (SELECT w1, count(*)::BIGINT AS c2 FROM bg0 GROUP BY w1),
+ug AS (SELECT unnest(l) AS w FROM tl WHERE doc_id % 2 = 0),
+nv AS (SELECT count(*)::BIGINT AS n, count(DISTINCT w)::BIGINT AS v FROM ug),
+c3t AS (SELECT w, count(*)::BIGINT AS c3 FROM ug GROUP BY w),
+s AS (SELECT g.doc_id, g.occ,
+             g.occ * ln(CASE WHEN t.c123 IS NOT NULL
+                               THEN t.c123::DOUBLE / x.c12
+                             WHEN b.c23 IS NOT NULL
+                               THEN 0.4 * b.c23::DOUBLE / w.c2
+                             ELSE 0.16 * (coalesce(u.c3, 0) + 1)::DOUBLE
+                                  / (nv.n + nv.v) END) AS slp
+      FROM tg g
+      LEFT JOIN c123t t ON t.tri = g.tri
+      LEFT JOIN c12t x ON x.ctx = g.ctx
+      LEFT JOIN c23t b ON b.bi = g.bi23
+      LEFT JOIN c2t w ON w.w1 = split_part(g.bi23, chr(31), 1)
+      LEFT JOIN c3t u ON u.w = g.w3
+      CROSS JOIN nv)
+SELECT doc_id, sum(occ)::BIGINT AS n_trigrams, (-sum(slp)) / sum(occ) AS nll
+FROM s GROUP BY doc_id
+"""

@@ -72,7 +72,8 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "geo_hex_bin", "geo_hex_kring", "geo_tile_kde", "geo_tile_contour",
             "geo_tile_idw", "geo_tile_slope", "rel_retention_cohorts",
             "ann_pq_topk", "geo_street_bearing", "rel_basket_pairs",
-            "geo_morton_range", "corpus_gram_novelty", "embedding_fps_sample"]
+            "geo_morton_range", "corpus_gram_novelty", "embedding_fps_sample",
+            "text_trigram_lm"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
