@@ -111,6 +111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_compact": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["tile_compact"]
         ).tile_compact(_world(sf)),
+        "geo_tile_coverage": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.tiles", fromlist=["tile_coverage"]
+        ).tile_coverage(_world(sf)),
         "geo_morton_range": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["morton_range_query"]
         ).morton_range_query(_world(sf)),
@@ -896,6 +899,7 @@ def oracle_sql() -> dict[str, str]:
     out["geo_muni_area"] = geo_o.muni_area_sql(wd)
     out["geo_street_length"] = geo_o.street_length_sql(wd)
     out["geo_street_bearing"] = geo_o.street_bearing_sql(wd)
+    out["geo_tile_coverage"] = geo_o.tile_coverage_sql(wd)
     out["geo_bbox_pairs"] = geo_o.bbox_pairs_sql(wd)
     out["geo_radius_pairs"] = geo_o.radius_pairs_sql(wd)
     out["geo_tile_linetrace"] = geo_o.line_cells_sql(wd)

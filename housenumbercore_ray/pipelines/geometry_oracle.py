@@ -508,3 +508,71 @@ SELECT CAST(osm_id AS BIGINT) AS osm_id, CAST(n AS BIGINT) AS n_segments,
        round(r, 6) AS resultant
 FROM fin
 """
+
+
+def tile_coverage_sql(world_dir: str, res: float = 0.01) -> str:
+    """geo_tile_coverage: the synthetic world's boundary rings are
+    axis-aligned rectangles (worldgen construction — no holes), so the
+    engine's general Sutherland–Hodgman clip + shoelace reduces to
+    interval-intersection products over the decoded per-ring WKB bboxes —
+    the engine-general / oracle-special split. The ring walk is the
+    muni_area recursive chain; tile bounds use the identical
+    ``i*res − 180/90`` float expressions as the engine."""
+    return f"""
+WITH RECURSIVE
+h AS (SELECT area_id, hex(polygon_wkb) AS hx,
+             {_u32le('hex(polygon_wkb)', '1')} AS gtype
+      FROM read_parquet('{world_dir}/boundaries.parquet')
+      WHERE sub_id = '-1'),
+hn AS (SELECT *, CASE WHEN gtype = 3 THEN 1 ELSE {_u32le('hx', '5')} END AS npolys,
+              CASE WHEN gtype = 3 THEN 0 ELSE 9 END AS p0
+       FROM h),
+rings(area_id, poly_idx, ring_idx, nrings, off, n) AS (
+  SELECT area_id, 0, 0, {_u32le('hx', 'p0 + 5')}, p0 + 13,
+         {_u32le('hx', 'p0 + 9')}
+  FROM hn
+  UNION ALL
+  SELECT r.area_id,
+    CASE WHEN r.ring_idx + 1 < r.nrings THEN r.poly_idx ELSE r.poly_idx + 1 END,
+    CASE WHEN r.ring_idx + 1 < r.nrings THEN r.ring_idx + 1 ELSE 0 END,
+    CASE WHEN r.ring_idx + 1 < r.nrings THEN r.nrings
+         ELSE {_u32le('hn.hx', 'r.off + 16*r.n + 5')} END,
+    CASE WHEN r.ring_idx + 1 < r.nrings THEN r.off + 16*r.n + 4
+         ELSE r.off + 16*r.n + 13 END,
+    CASE WHEN r.ring_idx + 1 < r.nrings THEN {_u32le('hn.hx', 'r.off + 16*r.n')}
+         ELSE {_u32le('hn.hx', 'r.off + 16*r.n + 9')} END
+  FROM rings r JOIN hn ON hn.area_id = r.area_id
+  WHERE r.ring_idx + 1 < r.nrings OR r.poly_idx + 1 < hn.npolys
+),
+idx AS (SELECT area_id, poly_idx, ring_idx, off, unnest(range(n)) AS i
+        FROM rings),
+u AS (SELECT area_id, poly_idx, ring_idx, i,
+        {_u64le('hn.hx', 'idx.off + 16*i')} AS ux,
+        {_u64le('hn.hx', 'idx.off + 16*i + 8')} AS uy
+      FROM idx JOIN hn USING (area_id)),
+verts AS (SELECT area_id, poly_idx, ring_idx, i,
+        {_f64_from_u('ux')} AS x, {_f64_from_u('uy')} AS y FROM u),
+bb AS (SELECT area_id, poly_idx, ring_idx,
+              min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1
+       FROM verts GROUP BY 1, 2, 3),
+tx AS (SELECT bb.*, unnest(range(CAST(floor((x0 + 180.0) / {res}) AS BIGINT),
+                                 CAST(floor((x1 + 180.0) / {res}) AS BIGINT) + 1)) AS ix
+       FROM bb),
+txy AS (SELECT tx.*, unnest(range(CAST(floor((y0 + 90.0) / {res}) AS BIGINT),
+                                  CAST(floor((y1 + 90.0) / {res}) AS BIGINT) + 1)) AS iy
+        FROM tx),
+ov AS (SELECT area_id, ix, iy,
+              greatest(0.0, least(x1, (ix + 1) * {res} - 180.0)
+                            - greatest(x0, ix * {res} - 180.0))
+            * greatest(0.0, least(y1, (iy + 1) * {res} - 90.0)
+                            - greatest(y0, iy * {res} - 90.0)) AS a
+       FROM txy),
+agg AS (SELECT area_id, ix, iy, sum(a) AS cov FROM ov GROUP BY 1, 2, 3)
+SELECT * FROM (
+  SELECT CAST(area_id AS BIGINT) AS area_id, CAST(ix AS BIGINT) AS ix,
+         CAST(iy AS BIGINT) AS iy,
+         round(cov / (((ix + 1) * {res} - 180.0 - (ix * {res} - 180.0))
+                      * ((iy + 1) * {res} - 90.0 - (iy * {res} - 90.0))), 9) AS frac
+  FROM agg)
+WHERE frac > 0
+"""

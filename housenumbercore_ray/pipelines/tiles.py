@@ -1683,3 +1683,110 @@ def morton_range_query(world_dir: str,
     return _points(world_dir, ["osm_id", "lon", "lat"]).map_batches(
         InRanges, batch_format="pandas", batch_size=8192,
         concurrency=(1, 4), num_cpus=1)
+
+
+def _clip_ring_rect(pts: np.ndarray, x0: float, x1: float,
+                    y0: float, y1: float) -> np.ndarray:
+    """Sutherland–Hodgman clip of a closed ring against an axis-aligned
+    rectangle (the window is convex, the subject ring may be anything).
+    Clipped coordinates are set EXACTLY to the plane constant on the
+    clipped axis — no interpolation drift — so clipping an axis-aligned
+    ring yields the exact interval-intersection rectangle (the property
+    the SQL oracle's min/max replay relies on)."""
+    P = pts[:-1] if len(pts) > 1 and bool((pts[0] == pts[-1]).all()) else pts
+    poly = [(float(p[0]), float(p[1])) for p in P]
+    for axis, bound, keep_ge in ((0, x0, True), (0, x1, False),
+                                 (1, y0, True), (1, y1, False)):
+        if not poly:
+            break
+        out = []
+        n = len(poly)
+        for i in range(n):
+            a = poly[i]
+            b = poly[(i + 1) % n]
+            ain = (a[axis] >= bound) if keep_ge else (a[axis] <= bound)
+            bin_ = (b[axis] >= bound) if keep_ge else (b[axis] <= bound)
+            if ain:
+                out.append(a)
+            if ain != bin_:
+                t = (bound - a[axis]) / (b[axis] - a[axis])
+                if axis == 0:
+                    out.append((bound, a[1] + t * (b[1] - a[1])))
+                else:
+                    out.append((a[0] + t * (b[0] - a[0]), bound))
+        poly = out
+    return (np.asarray(poly, dtype=np.float64)
+            if poly else np.zeros((0, 2), dtype=np.float64))
+
+
+def _shoelace_local(cp: np.ndarray, ox: float, oy: float) -> float:
+    """|shoelace| of an open ring, RE-CENTERED at (ox, oy): cross terms
+    stay O(window²) instead of O(lon·lat), keeping cancellation error far
+    inside the round-9 output contract (the muni_area recentering trick)."""
+    x = cp[:, 0] - ox
+    y = cp[:, 1] - oy
+    return abs(0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)))
+
+
+def tile_coverage(world_dir: str) -> rd.Dataset:
+    """AREA-WEIGHTED rasterization — per (boundary polygon, z0 tile) the
+    fraction of the tile covered by the polygon (exterior rings minus
+    holes): the raster↔vector bridge for CONTINUOUS fields (population /
+    statistic downscaling, partial-tile zonal weights), where
+    `tile_polyfill`'s binary center-in/out cover is too coarse.
+
+    Engine path is fully general: every ring is Sutherland–Hodgman
+    clipped against each candidate tile rectangle and measured with a
+    recentered shoelace. The oracle exploits the synthetic world's
+    rectangular rings (interval-intersection products over the decoded
+    WKB bboxes) — the established engine-general / oracle-special split
+    (see pipelines/oracle.py header).
+
+    Scale shape: the boundary table is a DIMENSION table (admin-unit
+    cardinality — the muni_area precedent), streamed stateless; per
+    polygon the candidate tiles come from its bbox, and the per-tile clip
+    is a short loop over ≤ a few small rings. Zero shuffle. Output
+    (area_id, ix, iy, frac round-9), tiles with frac > 0 only."""
+    from ..geo.wkb import wkb_rings
+
+    res = TILE_RES_DEG
+    bounds = rd.read_parquet(f"{world_dir}/boundaries.parquet",
+                             columns=["area_id", "sub_id", "polygon_wkb"])
+
+    def cover(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["sub_id"] == "-1"]
+        out_aid, out_ix, out_iy, out_a = [], [], [], []
+        for aid, wkb in zip(b["area_id"].to_numpy(np.int64), b["polygon_wkb"]):
+            acc: dict[tuple[int, int], float] = {}
+            for pts, ext in wkb_rings(bytes(wkb)):
+                sgn = 1.0 if ext else -1.0
+                (rx0, ry0), (rx1, ry1) = pts.min(0), pts.max(0)
+                ix0 = int(np.floor((rx0 + 180.0) / res))
+                ix1 = int(np.floor((rx1 + 180.0) / res))
+                iy0 = int(np.floor((ry0 + 90.0) / res))
+                iy1 = int(np.floor((ry1 + 90.0) / res))
+                for ix in range(ix0, ix1 + 1):
+                    tx0, tx1 = ix * res - 180.0, (ix + 1) * res - 180.0
+                    for iy in range(iy0, iy1 + 1):
+                        ty0, ty1 = iy * res - 90.0, (iy + 1) * res - 90.0
+                        cp = _clip_ring_rect(pts, tx0, tx1, ty0, ty1)
+                        if len(cp) >= 3:
+                            a = _shoelace_local(cp, tx0, ty0)
+                            if a != 0.0:
+                                acc[(ix, iy)] = acc.get((ix, iy), 0.0) + sgn * a
+            for (ix, iy), a in acc.items():
+                out_aid.append(aid)
+                out_ix.append(ix)
+                out_iy.append(iy)
+                out_a.append(a)
+        ix = np.asarray(out_ix, dtype=np.int64)
+        iy = np.asarray(out_iy, dtype=np.int64)
+        box = (((ix + 1) * res - 180.0) - (ix * res - 180.0)) \
+            * (((iy + 1) * res - 90.0) - (iy * res - 90.0))
+        frac = np.round(np.asarray(out_a, dtype=np.float64) / box, 9) \
+            if len(ix) else np.zeros(0)
+        out = pd.DataFrame({"area_id": np.asarray(out_aid, dtype=np.int64),
+                            "ix": ix, "iy": iy, "frac": frac})
+        return out[out["frac"] > 0]
+
+    return bounds.map_batches(cover, batch_format="pandas")

@@ -73,7 +73,7 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "geo_tile_idw", "geo_tile_slope", "rel_retention_cohorts",
             "ann_pq_topk", "geo_street_bearing", "rel_basket_pairs",
             "geo_morton_range", "corpus_gram_novelty", "embedding_fps_sample",
-            "text_trigram_lm"]
+            "text_trigram_lm", "geo_tile_coverage"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
@@ -114,6 +114,7 @@ def test_extended_query_matches_oracle(entry, con, name):
     sqls["geo_street_vertices"] = geo_o.street_vertices_sql(wd)
     sqls["geo_muni_area"] = geo_o.muni_area_sql(wd)
     sqls["geo_street_bearing"] = geo_o.street_bearing_sql(wd)
+    sqls["geo_tile_coverage"] = geo_o.tile_coverage_sql(wd)
     sqls["geo_bbox_pairs"] = geo_o.bbox_pairs_sql(wd)
     sqls["geo_line_simplify"] = geo_o.line_simplify_sql(wd)
     sqls["geo_reverse_geocode"] = geo_o.reverse_geocode_sql(wd)
