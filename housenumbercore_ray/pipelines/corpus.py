@@ -5251,3 +5251,80 @@ def trigram_lm_scores(sf_dir: str, n_shards: int = N_SHARDS) -> rd.Dataset:
         .map_groups(lambda g: fin_shard(g.drop(columns=["_shard"])),
                     batch_format="pandas")
     )
+
+
+def zipf_fit(sf_dir: str, top_k: int = 1000) -> pd.DataFrame:
+    """Zipf's-law fit over the corpus vocabulary — the classic corpus
+    health statistic (a natural-language corpus has ln(count) ≈
+    c − α·ln(rank) with α ≈ 1; template/spam-heavy corpora bend the
+    curve): least-squares slope/intercept of ln(count) vs ln(rank) over
+    the TOP-K token types (the standard head-only fit — the tail is
+    count-quantized noise), rank order (count DESC, token ASC).
+
+    Output: one row (n_tokens, n_types, fit_k, alpha round-6, c round-6).
+
+    Scale shape: token counts reduce in token-complete shards (the
+    _train_unigram_counts shape, unfiltered); the global top-k is exact
+    from per-shard top-k winners (shards own their tokens' complete
+    totals — the top_ngrams trick), ≤ k·shards rows on the driver; totals
+    (n_tokens, n_types) are two scalar aggregates. The fit itself is the
+    closed-form least-squares expression, mirrored literally in SQL."""
+    from ..stages.textops import _norm_ws
+
+    docs = _docs(sf_dir, columns=("doc_id", "text"))
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = _norm_ws(b["text"]).str.strip().str.split()
+        flat = [t for lst in toks.tolist() if isinstance(lst, list) for t in lst]
+        if not flat:
+            return pd.DataFrame({"shard": pd.Series([], dtype=np.int64),
+                                 "w": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64)})
+        vc = pd.Series(flat, dtype=object).value_counts()
+        g = pd.DataFrame({"w": vc.index.to_numpy(object),
+                          "c": vc.to_numpy(np.int64)})
+        g["shard"] = (pd.util.hash_array(g["w"].to_numpy(object))
+                      % N_SHARDS).astype(np.int64)
+        return g[["shard", "w", "c"]]
+
+    def shard_top(g: pd.DataFrame) -> pd.DataFrame:
+        sid = np.int64(g["shard"].iloc[0])
+        s = g.groupby("w", sort=False, as_index=False)["c"].sum()
+        s["c"] = s["c"].astype(np.int64)
+        top = s.sort_values(["c", "w"], ascending=[False, True],
+                            kind="mergesort").head(top_k)
+        top["shard_id"] = sid
+        top["sum_c"] = np.int64(s["c"].sum())
+        top["n_types"] = np.int64(len(s))
+        return top
+
+    winners = (
+        docs.map_batches(count_partial, batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("shard")
+        .map_groups(shard_top, batch_format="pandas")
+        .to_pandas()          # ≤ top_k × N_SHARDS rows
+    )
+    # totals: shards are token-complete and disjoint — one (sum_c,
+    # n_types) contribution per shard id
+    per_shard = winners.drop_duplicates("shard_id")
+    n_tokens = int(per_shard["sum_c"].sum())
+    n_types = int(per_shard["n_types"].sum())
+    top = (winners.sort_values(["c", "w"], ascending=[False, True],
+                               kind="mergesort").head(top_k))
+    rank = np.arange(1, len(top) + 1, dtype=np.float64)
+    x = np.log(rank)
+    y = np.log(top["c"].to_numpy(np.float64))
+    n = float(len(top))
+    sx, sy = x.sum(), y.sum()
+    alpha_num = (x * y).sum() - sx * sy / n
+    alpha_den = (x * x).sum() - sx * sx / n
+    slope = alpha_num / alpha_den
+    c0 = sy / n - slope * (sx / n)
+    return pd.DataFrame({
+        "n_tokens": pd.Series([n_tokens], dtype=np.int64),
+        "n_types": pd.Series([n_types], dtype=np.int64),
+        "fit_k": pd.Series([len(top)], dtype=np.int64),
+        "alpha": [round(-slope, 6)],
+        "c": [round(c0, 6)],
+    })

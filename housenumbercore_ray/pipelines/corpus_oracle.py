@@ -1756,3 +1756,35 @@ s AS (SELECT g.doc_id, g.occ,
 SELECT doc_id, sum(occ)::BIGINT AS n_trigrams, (-sum(slp)) / sum(occ) AS nll
 FROM s GROUP BY doc_id
 """
+
+
+def zipf_fit_sql(top_k: int = 1000) -> str:
+    """corpus_zipf_fit: token counts, global (count DESC, token ASC)
+    ranking limited to top_k, and the closed-form least-squares slope /
+    intercept with the engine's literal expression shapes."""
+    from ..stages.textops import EXOTIC_WS_RE2
+
+    return f"""
+WITH d0 AS (SELECT doc_id,
+                   regexp_replace(text, '{EXOTIC_WS_RE2}', ' ', 'g') AS text
+            FROM documents),
+tl AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       FROM d0 WHERE trim(text) <> ''),
+ug AS (SELECT unnest(l) AS w FROM tl),
+cnt AS (SELECT w, count(*)::BIGINT AS c FROM ug GROUP BY w),
+tot AS (SELECT sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types FROM cnt),
+top AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank
+        FROM cnt ORDER BY c DESC, w LIMIT {top_k}),
+xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM top),
+fit AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM xy)
+SELECT tot.n_tokens, tot.n_types,
+       CAST(fit.n AS BIGINT) AS fit_k,
+       round(-((fit.sxy - fit.sx * fit.sy / fit.n)
+               / (fit.sxx - fit.sx * fit.sx / fit.n)), 6) AS alpha,
+       round(fit.sy / fit.n - ((fit.sxy - fit.sx * fit.sy / fit.n)
+                               / (fit.sxx - fit.sx * fit.sx / fit.n))
+                              * (fit.sx / fit.n), 6) AS c
+FROM fit, tot
+"""
