@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_fps_sample": lambda sf: corpus.fps_sample(sf),
         "text_trigram_lm": lambda sf: corpus.trigram_lm_scores(sf),
         "corpus_zipf_fit": lambda sf: corpus.zipf_fit(sf),
+        "text_char_entropy": lambda sf: corpus.char_entropy(sf),
         # webtext crawl ops (pages table of the world)
         "web_line_dedup": lambda sf: corpus.line_dedup(_world(sf)),
         "web_host_stats": lambda sf: corpus.host_stats(_world(sf)),
@@ -800,6 +801,7 @@ GROUP BY q.quantile
     out["embedding_fps_sample"] = co.fps_sample_sql()
     out["text_trigram_lm"] = co.trigram_lm_sql()
     out["corpus_zipf_fit"] = co.zipf_fit_sql()
+    out["text_char_entropy"] = co.char_entropy_sql()
     out["embedding_label_centroids"] = co.label_centroids_sql()
     out["corpus_dup_rate_by_source"] = co.dup_rate_by_source_sql()
     out["corpus_shuffle_shards"] = co.shuffle_shards_sql()

@@ -5328,3 +5328,46 @@ def zipf_fit(sf_dir: str, top_k: int = 1000) -> pd.DataFrame:
         "alpha": [round(-slope, 6)],
         "c": [round(c0, 6)],
     })
+
+
+def char_entropy(sf_dir: str) -> rd.Dataset:
+    """Per-document character-level Shannon entropy (nats) — the
+    compressibility proxy quality filters cut on at both ends (near-zero
+    = repeated filler/binary junk, abnormally high = encrypted/random
+    gibberish; cf. the Gopher/MassiveText rule family).
+
+    H = −Σ_c p_c ln p_c over the doc's characters, p_c = count/len.
+    Output (doc_id, n_chars, entropy round-6); empty docs emit 0.0.
+
+    Scale shape: stateless zero-shuffle map_batches — per batch one
+    factorize over the concatenated character array + a bincount per
+    (doc, char) key, no Python in the per-char loop."""
+    docs = _docs(sf_dir, columns=("doc_id", "text"))
+
+    def ent(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].fillna("").tolist()
+        n = len(texts)
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+        out_h = np.zeros(n)
+        if lens.sum() > 0:
+            flat = np.frombuffer("".join(texts).encode("utf-32-le"),
+                                 dtype=np.uint32)
+            doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+            codes, _ = pd.factorize(flat, sort=True)
+            key = doc * np.int64(codes.max() + 1) + codes
+            ukey, c = np.unique(key, return_counts=True)
+            p_of = ukey // np.int64(codes.max() + 1)
+            # per-doc −Σ p ln p, grouped by sorted char code (the same
+            # ordering a GROUP BY produces up to summation ulps)
+            p = c / lens[p_of]
+            terms = -p * np.log(p)
+            h = np.zeros(n)
+            np.add.at(h, p_of, terms)
+            out_h = h
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "n_chars": lens,
+            "entropy": np.round(out_h, 6),
+        })
+
+    return docs.map_batches(ent, batch_format="pandas")

@@ -1788,3 +1788,24 @@ SELECT tot.n_tokens, tot.n_types,
                               * (fit.sx / fit.n), 6) AS c
 FROM fit, tot
 """
+
+
+def char_entropy_sql() -> str:
+    """text_char_entropy: per-char counts via positional substr unnest,
+    −Σ p·ln p per doc with the engine's division/log shapes; empty docs
+    emit 0.0 via the left join."""
+    return """
+WITH ch AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
+  FROM (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i
+        FROM documents WHERE text IS NOT NULL)
+),
+cc AS (SELECT doc_id, c, count(*)::BIGINT AS k FROM ch GROUP BY doc_id, c),
+tl AS (SELECT doc_id, coalesce(len(text), 0)::BIGINT AS n FROM documents),
+h AS (SELECT cc.doc_id,
+             sum(-(cc.k::DOUBLE / tl.n) * ln(cc.k::DOUBLE / tl.n)) AS ent
+      FROM cc JOIN tl USING (doc_id) GROUP BY cc.doc_id)
+SELECT tl.doc_id, tl.n AS n_chars,
+       round(coalesce(h.ent, 0.0), 6) AS entropy
+FROM tl LEFT JOIN h USING (doc_id)
+"""
