@@ -147,6 +147,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_idw": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["tile_idw"]
         ).tile_idw(_world(sf)),
+        "geo_tile_aspect": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.tiles", fromlist=["tile_aspect"]
+        ).tile_aspect(_world(sf)),
         "geo_tile_slope": lambda sf: __import__(
             "housenumbercore_ray.pipelines.tiles", fromlist=["tile_slope"]
         ).tile_slope(_world(sf)),

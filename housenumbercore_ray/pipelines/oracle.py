@@ -964,6 +964,33 @@ SELECT (ix << 22) | iy AS cell, ix, iy,
 FROM contrib GROUP BY 1, 2, 3
 HAVING sum(n_own) = 0 AND sum(den) > 0
 """,
+        # aspect: the slope raster's atan2 orientation, flat cells dropped
+        "geo_tile_aspect": f"""
+WITH b AS ({base}),
+raster AS (SELECT ix, iy, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+offs(dx, dy) AS (
+  SELECT dx, dy
+  FROM (SELECT unnest([-1, 0, 1]) AS dx) x
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) y
+),
+contrib AS (
+  SELECT r.ix + o.dx AS ix, r.iy + o.dy AS iy,
+         CASE WHEN o.dx = 0 AND o.dy = 0 THEN r.n ELSE 0 END AS n_own,
+         r.n * (-o.dx * (2 - abs(o.dy))) AS cx,
+         r.n * (-o.dy * (2 - abs(o.dx))) AS cy
+  FROM raster r CROSS JOIN offs o
+),
+g AS (SELECT (ix << 22) | iy AS cell, ix, iy,
+             CAST(sum(n_own) AS BIGINT) AS n_points,
+             CAST(sum(cx) AS BIGINT) AS gx,
+             CAST(sum(cy) AS BIGINT) AS gy
+      FROM contrib GROUP BY 1, 2, 3 HAVING sum(n_own) > 0)
+SELECT cell, ix, iy, n_points, gx, gy,
+       round(fmod(90.0 - degrees(atan2(CAST(gy AS DOUBLE),
+                                       CAST(gx AS DOUBLE))) + 360.0,
+                  360.0), 6) AS aspect
+FROM g WHERE gx * gx + gy * gy > 0
+""",
         # Sobel gradient: 9-offset self-join with the emission weights
         # ex = -dx·(2-|dy|), ey = -dy·(2-|dx|) (kernel weight at (-dx,-dy));
         # integer Gx/Gy/g2, sqrt replayed as the single float op.

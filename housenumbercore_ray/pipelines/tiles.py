@@ -1790,3 +1790,25 @@ def tile_coverage(world_dir: str) -> rd.Dataset:
         return out[out["frac"] > 0]
 
     return bounds.map_batches(cover, batch_format="pandas")
+
+
+def tile_aspect(world_dir: str) -> rd.Dataset:
+    """Gradient ORIENTATION raster — the `gdaldem aspect` sibling of
+    :func:`tile_slope`: compass bearing of steepest ascent of the count
+    DEM from the exact int64 Sobel responses,
+    aspect = (90 − degrees(atan2(gy, gx))) mod 360 (north = 0°,
+    clockwise). Flat cells (g2 = 0, undefined orientation) are dropped.
+    atan2 on exact integer pairs hits the libm special values at the
+    axis cases, so the 0/360 wraparound cannot flip between engines.
+
+    Scale shape: one extra stateless map over the tile_slope raster —
+    inherits its zero-join contribution pattern."""
+
+    def asp(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["g2"] > 0].copy()
+        a = 90.0 - np.degrees(np.arctan2(b["gy"].to_numpy(np.float64),
+                                         b["gx"].to_numpy(np.float64)))
+        b["aspect"] = np.round(np.mod(a, 360.0), 6)
+        return b[["cell", "ix", "iy", "n_points", "gx", "gy", "aspect"]]
+
+    return tile_slope(world_dir).map_batches(asp, batch_format="pandas")
