@@ -133,6 +133,24 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         corpus.substring_dup_spans(sf_dir).count()
         queries["substring_spans"] = round(time.time() - t, 3)
 
+        from housenumbercore_ray.pipelines import relational
+
+        t = time.time()
+        relational.basket_pairs(sf_dir).count()
+        queries["basket_pairs"] = round(time.time() - t, 3)
+
+        t = time.time()
+        corpus.gram_novelty(sf_dir).count()
+        queries["gram_novelty"] = round(time.time() - t, 3)
+
+        t = time.time()
+        tiles.morton_range_query(wd).count()
+        queries["morton_range"] = round(time.time() - t, 3)
+
+        t = time.time()
+        geometry.street_bearing(wd).count()
+        queries["street_bearing"] = round(time.time() - t, 3)
+
     headline = queries["evaluation_full"]
     result = {
         "metric": "housenumber evaluation pipeline wall-clock (pages->extract->spatial join->street kNN->treffertyp merge->aggregate)",
