@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash": lambda sf: corpus.media_phash(_world(sf)),
         "media_phash_pairs": lambda sf: corpus.media_phash_pairs(_world(sf)),
         "media_type_sniff": lambda sf: corpus.media_type_sniff(_world(sf)),
+        "media_cdc_chunks": lambda sf: corpus.media_cdc_chunks(_world(sf)),
         # generic relational operator suite (TPC-H-ish tables)
         "rel_pricing_summary": relational.pricing_summary,
         "rel_brand_revenue": relational.brand_revenue,
@@ -805,6 +806,7 @@ GROUP BY q.quantile
     out["text_trigram_lm"] = co.trigram_lm_sql()
     out["corpus_zipf_fit"] = co.zipf_fit_sql()
     out["text_char_entropy"] = co.char_entropy_sql()
+    out["media_cdc_chunks"] = co.media_cdc_chunks_sql(world_dir)
     out["embedding_label_centroids"] = co.label_centroids_sql()
     out["corpus_dup_rate_by_source"] = co.dup_rate_by_source_sql()
     out["corpus_shuffle_shards"] = co.shuffle_shards_sql()

@@ -5371,3 +5371,66 @@ def char_entropy(sf_dir: str) -> rd.Dataset:
         })
 
     return docs.map_batches(ent, batch_format="pandas")
+
+
+#: CDC anchor hash: 4-byte polynomial, K = 257 mod M = 2^31−1, cut where
+#: h % CDC_DIV == 0 → ~64-byte average chunks on random bytes.
+CDC_W = 4
+CDC_M = 2147483647
+CDC_KJ = (1, 257, 66049, 16974593)  # 257^j mod M
+CDC_DIV = 64
+
+
+def media_cdc_chunks(world_dir: str) -> rd.Dataset:
+    """Content-defined chunking over the binary payload column — the
+    blob-dedup primitive (LBFS/rsync anchor technique; FastCDC's modern
+    form): cut points are POSITION-LOCAL (a window hash at each byte
+    offset), so an insertion early in a blob shifts, not rewrites, the
+    chunk set — unlike fixed-size chunking. Shared chunk_md5 values across
+    pages are the storage-dedup / delta-encoding signal.
+
+    Cut rule (mirrored literally in SQL): at byte offset i ∈ [1, n−4],
+    h(i) = (Σ_j (byte[i+j]·257^j mod M) ) mod M with M = 2³¹−1; cut where
+    h % 64 == 0. Chunks = consecutive [b_k, b_{k+1}) over the sorted cut
+    set plus {0, n}; chunk_md5 = md5 of the UPPERCASE hex of the chunk
+    bytes (the oracle hashes DuckDB's hex() of the same slice).
+
+    Scale shape: stateless zero-shuffle map_batches; per blob the window
+    hash is one vectorized 4-term polynomial over the byte array, one md5
+    per ~64-byte chunk. Output (url, chunk_idx, start, length, chunk_md5)."""
+    import hashlib
+
+    pages = rd.read_parquet(f"{world_dir}/pages", columns=["url", "html"])
+
+    def chunks(b: pd.DataFrame) -> pd.DataFrame:
+        urls, idxs, starts, lens, md5s = [], [], [], [], []
+        for url, blob in zip(b["url"].tolist(), b["html"].tolist()):
+            data = bytes(blob)
+            n = len(data)
+            if n == 0:
+                continue
+            cuts = []
+            if n >= CDC_W:
+                arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                h = np.zeros(n - CDC_W + 1, dtype=np.int64)
+                for j, kj in enumerate(CDC_KJ):
+                    h += (arr[j:n - CDC_W + 1 + j] * kj) % CDC_M
+                h %= CDC_M
+                cuts = np.flatnonzero(h % CDC_DIV == 0)
+                cuts = cuts[cuts >= 1].tolist()
+            bounds = [0] + cuts + [n]
+            hx = data.hex().upper()
+            for k in range(len(bounds) - 1):
+                s, e = bounds[k], bounds[k + 1]
+                urls.append(url)
+                idxs.append(k)
+                starts.append(s)
+                lens.append(e - s)
+                md5s.append(hashlib.md5(hx[2 * s:2 * e].encode()).hexdigest())
+        return pd.DataFrame({"url": pd.Series(urls, dtype=object),
+                             "chunk_idx": pd.Series(idxs, dtype=np.int64),
+                             "start": pd.Series(starts, dtype=np.int64),
+                             "length": pd.Series(lens, dtype=np.int64),
+                             "chunk_md5": pd.Series(md5s, dtype=object)})
+
+    return pages.map_batches(chunks, batch_format="pandas", batch_size=256)

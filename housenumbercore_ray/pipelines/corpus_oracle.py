@@ -1809,3 +1809,43 @@ SELECT tl.doc_id, tl.n AS n_chars,
        round(coalesce(h.ent, 0.0), 6) AS entropy
 FROM tl LEFT JOIN h USING (doc_id)
 """
+
+
+def media_cdc_chunks_sql(world_dir: str) -> str:
+    """media_cdc_chunks: the position-local anchor hash, cut set and chunk
+    md5 replayed on the hex-decoded bytes — byte(i) = ('0x'||substr(hx,
+    2i+1, 2))::BIGINT, the identical polynomial/mod shapes, md5 over the
+    hex substring (DuckDB hex() is uppercase, matching the engine)."""
+    from .corpus import CDC_DIV, CDC_KJ, CDC_M, CDC_W
+
+    def byte(off: str) -> str:
+        return f"(('0x' || substr(hx, 2*({off}) + 1, 2))::BIGINT)"
+
+    terms = " + ".join(f"({byte(f'i + {j}')} * {kj}) % {CDC_M}"
+                       for j, kj in enumerate(CDC_KJ))
+    return f"""
+WITH p AS (SELECT url, hex(html) AS hx, octet_length(html)::BIGINT AS n
+           FROM read_parquet('{world_dir}/pages/*.parquet')
+           WHERE octet_length(html) > 0),
+pos AS (SELECT url, hx, unnest(range(1, n - {CDC_W} + 1)) AS i
+        FROM p WHERE n >= {CDC_W}),
+cuts AS (SELECT url, i FROM pos
+         WHERE (({terms}) % {CDC_M}) % {CDC_DIV} = 0),
+bounds AS (
+  SELECT DISTINCT url, b FROM (
+    SELECT url, 0 AS b FROM p
+    UNION ALL SELECT url, i AS b FROM cuts
+    UNION ALL SELECT url, n AS b FROM p)
+),
+ordered AS (SELECT url, b,
+                   row_number() OVER (PARTITION BY url ORDER BY b) AS k
+            FROM bounds),
+chunks AS (SELECT a.url, a.k - 1 AS chunk_idx, a.b AS start,
+                  nx.b - a.b AS length
+           FROM ordered a
+           JOIN ordered nx ON nx.url = a.url AND nx.k = a.k + 1)
+SELECT c.url, CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(c.start AS BIGINT) AS start, CAST(c.length AS BIGINT) AS length,
+       md5(substr(p.hx, 2*c.start + 1, 2*c.length)) AS chunk_md5
+FROM chunks c JOIN p USING (url)
+"""

@@ -750,3 +750,39 @@ class TestComponentsTwoRegimes:
         fast = run(None)      # takes the union-find path (500 < CC_SMALL_EDGES)
         slow = run(0)         # forced star contraction
         pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_cdc_chunks_shift_invariance():
+    """The content-defined property: inserting bytes near the front of a
+    blob changes only the chunks up to the first post-insertion anchor —
+    the chunk hashes after it are IDENTICAL (fixed-size chunking would
+    rewrite every downstream chunk)."""
+    import hashlib
+
+    import numpy as np
+
+    from housenumbercore_ray.pipelines.corpus import (CDC_DIV, CDC_KJ, CDC_M,
+                                                      CDC_W)
+
+    def chunk_hashes(data: bytes) -> list[str]:
+        n = len(data)
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+        h = np.zeros(n - CDC_W + 1, dtype=np.int64)
+        for j, kj in enumerate(CDC_KJ):
+            h += (arr[j:n - CDC_W + 1 + j] * kj) % CDC_M
+        h %= CDC_M
+        cuts = np.flatnonzero(h % CDC_DIV == 0)
+        bounds = [0] + [int(c) for c in cuts if c >= 1] + [n]
+        hx = data.hex().upper()
+        return [hashlib.md5(hx[2 * s:2 * e].encode()).hexdigest()
+                for s, e in zip(bounds, bounds[1:])]
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 256, size=4096, dtype=np.uint8).tobytes()
+    edited = base[:10] + b"INSERTED" + base[10:]
+    a, b = chunk_hashes(base), chunk_hashes(edited)
+    # the tails realign: a long common suffix of chunk hashes survives
+    suffix = 0
+    while suffix < min(len(a), len(b)) and a[-1 - suffix] == b[-1 - suffix]:
+        suffix += 1
+    assert suffix >= len(a) - 3, (len(a), len(b), suffix)

@@ -74,7 +74,7 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "ann_pq_topk", "geo_street_bearing", "rel_basket_pairs",
             "geo_morton_range", "corpus_gram_novelty", "embedding_fps_sample",
             "text_trigram_lm", "geo_tile_coverage", "corpus_zipf_fit",
-            "text_char_entropy", "geo_tile_aspect"]
+            "text_char_entropy", "geo_tile_aspect", "media_cdc_chunks"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
