@@ -1022,8 +1022,11 @@ def basket_pairs(sf_dir: str, min_support: int = 2) -> rd.Dataset:
     def marg_shard(g: pd.DataFrame) -> pd.DataFrame:
         u = g.drop_duplicates(cols)
         pc = u["l_partkey"].value_counts()
+        # the distinct-order total rides in a 'kind'-tagged row (NOT a
+        # magic part id like -1, which a real partkey could collide with)
         return pd.DataFrame({
-            "part": np.concatenate([pc.index.to_numpy(np.int64), [-1]]),
+            "kind": ["part"] * len(pc) + ["total"],
+            "part": np.concatenate([pc.index.to_numpy(np.int64), [0]]),
             "n": np.concatenate([pc.to_numpy(np.int64),
                                  [u["l_orderkey"].nunique()]]),
         })
@@ -1035,16 +1038,18 @@ def basket_pairs(sf_dir: str, min_support: int = 2) -> rd.Dataset:
         .groupby("_shard")
         .map_groups(lambda g: marg_shard(g.drop(columns=["_shard"])),
                     batch_format="pandas")
-        .map_batches(_shard_on(["part"]), batch_format="pandas")
+        .map_batches(_shard_on(["kind", "part"]), batch_format="pandas")
         .repartition(_shuffle_blocks())
         .groupby("_shard")
         .map_groups(lambda g: g.drop(columns=["_shard"])
-                    .groupby("part", sort=False, as_index=False)["n"].sum(),
+                    .groupby(["kind", "part"], sort=False, as_index=False)["n"].sum(),
                     batch_format="pandas")
         .to_pandas()          # bounded by the part dimension (+1 total row)
     )
+    tot_mask = marg["kind"] == "total"
+    total = int(marg.loc[tot_mask, "n"].sum())
+    marg = marg[~tot_mask]
     counts = dict(zip(marg["part"].astype(np.int64), marg["n"].astype(np.int64)))
-    total = counts.pop(-1)
     cref = ray.put(counts)
 
     def attach(b: pd.DataFrame) -> pd.DataFrame:

@@ -94,16 +94,27 @@ class TheoCount:
         return out.astype({"muni_id": np.int64, "n": np.int64})
 
 
-def theo_muni_summary(world_dir: str) -> rd.Dataset:
+def theo_muni_summary(world_dir: str, *, prev_month: bool = False) -> rd.Dataset:
     ref = get_context_ref(world_dir)
     ctx = get_context(world_dir)
     pop = {meta["muni_id"]: meta["population"] for meta in ctx.boundary_index.payload.values()}
     km2 = {meta["muni_id"]: meta["area_km2"] for meta in ctx.boundary_index.payload.values()}
 
-    partials = rd.read_parquet(
+    cols = ["osm_type", "addr_street", "addr_place", "assoc_rel_id", "lon", "lat"]
+    src = rd.read_parquet(
         f"{world_dir}/osm_addresses.parquet",
-        columns=["osm_type", "addr_street", "addr_place", "assoc_rel_id", "lon", "lat"],
-    ).map_batches(
+        columns=cols + (["osm_id"] if prev_month else []),
+    )
+    if prev_month:
+        # deterministic previous-month snapshot: addresses with
+        # osm_id % 9 == 4 were "mapped since last month" and are absent
+        # from the old snapshot (the oracle re-derives the same rule in
+        # SQL — mirrors the pages-side prev_pages_sql discipline)
+        src = src.map_batches(
+            lambda b: b[b["osm_id"].to_numpy(np.int64) % 9 != 4][cols],
+            batch_format="pandas",
+        )
+    partials = src.map_batches(
         TheoCount, fn_constructor_args=(ref,),
         batch_format="pandas", batch_size=8192, concurrency=(1, 4), num_cpus=1,
     )
@@ -140,3 +151,61 @@ def theo_muni_summary(world_dir: str) -> rd.Dataset:
         return pd.DataFrame([row])
 
     return partials.groupby("muni_id").map_groups(finalize, batch_format="pandas")
+
+
+def theo_mom_diff(world_dir: str) -> rd.Dataset:
+    """Month-over-month diff of the theoretical evaluation — the analog of
+    the reference's ``theoevalYYYYMMdiffYYYYMM`` materialized views
+    (dbstructure_theoeval.sql:1019-1037): per municipality, this month's
+    and last month's OSM address counts, model predictions and coverage,
+    plus the address-count delta. The previous month is the deterministic
+    snapshot rule above (osm_id % 9 == 4 rows absent).
+
+    Scale shape: both sides are full theo summaries (one row per muni —
+    bounded by the muni dimension, ~10k nationally); the combine is ONE
+    muni-keyed groupby over tagged sides, vectorized inside the group.
+    Coverage percentages round to 1 decimal like the reference view."""
+    keep = ["muni_id", "anzahl_osmadressen", "theo_anzahl_adressen",
+            "theo_adressenabdeckung"]
+
+    def tag(side: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return b[keep].assign(_side=side)
+
+        return fn
+
+    cur = theo_muni_summary(world_dir).map_batches(tag("n"), batch_format="pandas")
+    prv = theo_muni_summary(world_dir, prev_month=True).map_batches(
+        tag("a"), batch_format="pandas")
+
+    ctx = get_context(world_dir)
+    pop = {m["muni_id"]: m["population"] for m in ctx.boundary_index.payload.values()}
+    km2 = {m["muni_id"]: m["area_km2"] for m in ctx.boundary_index.payload.values()}
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        muni = int(g["muni_id"].iloc[0])
+        n = g[g["_side"] == "n"]
+        a = g[g["_side"] == "a"]
+        if len(n) != 1 or len(a) != 1:
+            # inner-join semantics of the reference view (te2 × te1 on
+            # gemeinde_id): munis present in only one month drop out
+            return pd.DataFrame()
+        n, a = n.iloc[0], a.iloc[0]
+        return pd.DataFrame([{
+            "muni_id": np.int64(muni),
+            "flaechekm2": float(km2.get(muni, 0.0)),
+            "bevoelkerungszahl": np.int64(pop.get(muni, 0)),
+            "diff_anzahl_osmadressen": np.int64(
+                n["anzahl_osmadressen"] - a["anzahl_osmadressen"]),
+            "neue_anzahl_osmadressen": np.int64(n["anzahl_osmadressen"]),
+            "alte_anzahl_osmadressen": np.int64(a["anzahl_osmadressen"]),
+            "neue_theo_anzahl_adressen": np.int64(n["theo_anzahl_adressen"]),
+            "alte_theo_anzahl_adressen": np.int64(a["theo_anzahl_adressen"]),
+            "neue_theo_adressenabdeckung": np.round(
+                float(n["theo_adressenabdeckung"]), 1),
+            "alte_theo_adressenabdeckung": np.round(
+                float(a["theo_adressenabdeckung"]), 1),
+        }])
+
+    return cur.union(prv).groupby("muni_id").map_groups(
+        combine, batch_format="pandas")

@@ -74,7 +74,8 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "ann_pq_topk", "geo_street_bearing", "rel_basket_pairs",
             "geo_morton_range", "corpus_gram_novelty", "embedding_fps_sample",
             "text_trigram_lm", "geo_tile_coverage", "corpus_zipf_fit",
-            "text_char_entropy", "geo_tile_aspect", "media_cdc_chunks"]
+            "text_char_entropy", "geo_tile_aspect", "media_cdc_chunks",
+            "theo_mom_diff"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
@@ -84,13 +85,14 @@ def test_extended_query_matches_oracle(entry, con, name):
     sqls = {}
     # rebuild oracles against the sf0.001 world for fast tests
     wd = wg.ensure_world(SF)
-    from __ray_entry__ import _corpus_oracles, _theo_oracle
+    from __ray_entry__ import _corpus_oracles, _theo_mom_oracle, _theo_oracle
     from housenumbercore_ray.pipelines.oracle import queries_sql, tiles_sql
 
     sqls.update(queries_sql(wd))
     sqls.update(_corpus_oracles(wd))
     sqls.update(tiles_sql(wd))
     sqls["theo_muni_summary"] = _theo_oracle(wd)
+    sqls["theo_mom_diff"] = _theo_mom_oracle(wd)
     from housenumbercore_ray.pipelines import corpus_oracle as co
     from housenumbercore_ray.pipelines.corpus import _embedding_dim
 
@@ -445,8 +447,9 @@ class TestR3LateOps:
         assert len(hit) / len(exact) >= 0.6
 
     def test_pq_topk_recall_vs_exact(self, ray_session):
-        """PQ-ADC (8×16 codebooks over 64 dims) must recover most of the
-        exact euclidean top-k; ADC is an 8-term approximation, so the
+        """PQ-ADC (16 subspaces × 16 centroids over 64 dims, subdim 4)
+        must recover most of the
+        exact euclidean top-k; ADC is an approximation, so the
         recall bound is deliberately loose. Exact baseline computed in
         pandas (squared L2, ties → lowest vec_id) — independent of the
         engine's brute-force cosine path."""
