@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_crawl_waves": lambda sf: corpus.crawl_waves(_world(sf)),
         "text_spell_variants": lambda sf: corpus.spell_variants(_world(sf)),
         "text_cooccurrence_triangles": lambda sf: corpus.cooccurrence_triangles(_world(sf)),
+        "text_triangles_sampled": lambda sf: corpus.cooccurrence_triangles_sampled(_world(sf)),
         "web_repetition": lambda sf: corpus.repetition_metrics(_world(sf)),
         "web_pii_redact": lambda sf: corpus.pii_redact(_world(sf)),
         "web_url_canonical": lambda sf: corpus.url_canonicalize(_world(sf)),
@@ -533,6 +534,7 @@ FROM t
         "web_crawl_waves": co.crawl_waves_sql(world_dir),
         "text_spell_variants": co.spell_variants_sql(world_dir),
         "text_cooccurrence_triangles": co.cooccurrence_triangles_sql(world_dir),
+        "text_triangles_sampled": co.triangles_sampled_sql(world_dir),
         "web_repetition": co.repetition_sql(world_dir),
         "web_pii_redact": co.pii_redact_sql(world_dir),
         "web_url_canonical": co.url_canonical_sql(world_dir),

@@ -4619,7 +4619,7 @@ def spell_variants(world_dir: str, min_len: int = 4,
 # Triangle counting over the bigram co-occurrence graph
 # ---------------------------------------------------------------------------
 
-def cooccurrence_triangles(world_dir: str) -> rd.Dataset:
+def cooccurrence_triangles(world_dir: str, n_colors: int | None = None) -> rd.Dataset:
     """Triangles of the word co-occurrence graph — the clustering-
     coefficient / community primitive (Suri & Vassilvitskii, WWW'11
     MapReduce triangle counting; Cohen 2009). Vertices = tokens (same
@@ -4641,9 +4641,20 @@ def cooccurrence_triangles(world_dir: str) -> rd.Dataset:
       5. wedge closure = ONE bucketed hash semi-join against the oriented
          edge set on the composite (lo-endpoint, hi-endpoint) key.
     The oracle recomputes INDEPENDENTLY with the id-ordered 3-way SQL
-    self-join (a<b<c) — a different orientation, same triangle set."""
+    self-join (a<b<c) — a different orientation, same triangle set.
+
+    ``n_colors`` switches on COLORFUL SAMPLING (Pagh & Tsourakakis,
+    IPL'12): each vertex gets a deterministic color = md5-hash64(token) %
+    n_colors and only monochromatic edges survive, so every downstream
+    stage (distinct shuffle, degree joins, wedge expansion, closure join)
+    shrinks ~1/n_colors and the closure VOLUME ~1/n_colors² — the bounded
+    scale path exact triangle counting lacks. A triangle survives iff all
+    three vertices share a color (probability 1/n_colors²), so each output
+    row carries ``est_factor = n_colors²`` — its unbiased weight toward
+    the global triangle-count estimate."""
     import pyarrow as pa
 
+    from ..stages.dedup import _md5_hash64
     from ..stages.join import bucketed_hash_join
     from ..stages.shuffle import shuffle_blocks
 
@@ -4679,15 +4690,31 @@ def cooccurrence_triangles(world_dir: str) -> rd.Dataset:
     nb = shuffle_blocks()
     n_shards = 64
 
+    def mono_filter(b: pd.DataFrame) -> pd.DataFrame:
+        # colorful sampling: keep edges whose endpoints hash to the same
+        # color; md5 computed once per UNIQUE token in the batch (token
+        # vocab per batch is small next to the edge count)
+        both = np.concatenate([b["lo"].to_numpy(object), b["hi"].to_numpy(object)])
+        uniq, inv = np.unique(both.astype(str), return_inverse=True)
+        colors = np.fromiter((_md5_hash64(t) % n_colors for t in uniq),
+                             dtype=np.int64, count=len(uniq))[inv]
+        clo, chi = colors[: len(b)], colors[len(b):]
+        return b[clo == chi]
+
     def edge_shard_key(b: pd.DataFrame) -> pd.DataFrame:
         key = (b["lo"].astype(str) + "|" + b["hi"].astype(str)).to_numpy(object)
         h = pd.util.hash_array(key)
         return b.assign(_shard=(h % n_shards).astype(np.int64))
 
+    partials = pages.map_batches(edge_partial, batch_format="pandas")
+    if n_colors is not None:
+        # filter BEFORE the distinct shuffle — the whole exchange shrinks
+        partials = partials.map_batches(mono_filter, batch_format="pandas")
+
     # distinct via hash shard + in-shard vectorized dedup (string-keyed
     # Ray sort groupby measured ~10x slower on the sf0.1 edge volume)
     edges = (
-        pages.map_batches(edge_partial, batch_format="pandas")
+        partials
         .map_batches(edge_shard_key, batch_format="pandas")
         .repartition(nb)
         .groupby("_shard")
@@ -4702,10 +4729,20 @@ def cooccurrence_triangles(world_dir: str) -> rd.Dataset:
                          return_counts=True)
         return pd.DataFrame({"v": v.astype(object), "d": c.astype(np.int64)})
 
-    from ray.data.aggregate import Sum
+    # sharded reduce, NOT groupby("v").aggregate: a string-keyed Ray sort
+    # aggregate over the token vocabulary was the dominant stage (fine-key
+    # sort groupby pathology); int-shard + in-shard vectorized sum is exact
+    def degree_shard_key(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(b["v"].to_numpy(object))
+        return b.assign(_shard=(h % n_shards).astype(np.int64))
 
     degrees = (edges.map_batches(degree_partial, batch_format="pandas")
-               .groupby("v").aggregate(Sum("d", alias_name="deg")))
+               .map_batches(degree_shard_key, batch_format="pandas")
+               .repartition(nb)
+               .groupby("_shard")
+               .map_groups(lambda g: g.groupby("v", sort=False, as_index=False)
+                           ["d"].sum().rename(columns={"d": "deg"}),
+                           batch_format="pandas"))
 
     str_schema = {"lo": pa.string(), "hi": pa.string()}
     deg_schema = {"v": pa.string(), "deg": pa.int64()}
@@ -4785,19 +4822,31 @@ def cooccurrence_triangles(world_dir: str) -> rd.Dataset:
 
     def to_triangle(b: pd.DataFrame) -> pd.DataFrame:
         if not len(b):
-            return pd.DataFrame({"a": pd.Series([], dtype=object),
-                                 "b": pd.Series([], dtype=object),
-                                 "c": pd.Series([], dtype=object)})
-        parts = b["wkey"].str.split("|", n=1, expand=True)
-        tri = np.sort(np.stack([b["apex"].to_numpy(object).astype(str),
-                                parts[0].to_numpy(object).astype(str),
-                                parts[1].to_numpy(object).astype(str)],
-                               axis=1), axis=1)
-        return pd.DataFrame({"a": tri[:, 0].astype(object),
-                             "b": tri[:, 1].astype(object),
-                             "c": tri[:, 2].astype(object)})
+            out = pd.DataFrame({"a": pd.Series([], dtype=object),
+                                "b": pd.Series([], dtype=object),
+                                "c": pd.Series([], dtype=object)})
+        else:
+            parts = b["wkey"].str.split("|", n=1, expand=True)
+            tri = np.sort(np.stack([b["apex"].to_numpy(object).astype(str),
+                                    parts[0].to_numpy(object).astype(str),
+                                    parts[1].to_numpy(object).astype(str)],
+                                   axis=1), axis=1)
+            out = pd.DataFrame({"a": tri[:, 0].astype(object),
+                                "b": tri[:, 1].astype(object),
+                                "c": tri[:, 2].astype(object)})
+        if n_colors is not None:
+            out["est_factor"] = np.full(len(out), n_colors * n_colors,
+                                        dtype=np.int64)
+        return out
 
     return closed.map_batches(to_triangle, batch_format="pandas")
+
+
+def cooccurrence_triangles_sampled(world_dir: str, n_colors: int = 4) -> rd.Dataset:
+    """Colorful-sampled triangle enumeration — the documented bounded
+    variant of :func:`cooccurrence_triangles` for corpus scale, where the
+    exact closure-join volume is inherent and dominates the suite."""
+    return cooccurrence_triangles(world_dir, n_colors=n_colors)
 
 
 def _pq_codebooks(sf_dir: str, m: int = 16, kc: int = 16,

@@ -1582,6 +1582,31 @@ JOIN bi e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
 """
 
 
+def triangles_sampled_sql(world_dir: str, n_colors: int = 4) -> str:
+    """text_triangles_sampled: same independent 3-way self-join, restricted
+    to monochromatic edges under the engine's md5-hash64 vertex coloring
+    (colorful sampling — the color rule is the shared spec, the triangle
+    enumeration is recomputed independently)."""
+    color = "(" + _HASH64.format(s="{v}") + f" % {n_colors})"
+    return f"""
+WITH toks AS (
+  SELECT string_split_regex(lower(text), '[^a-zäöüß0-9]+') AS ts
+  FROM read_parquet('{world_dir}/pages/*.parquet')),
+bi0 AS (
+  SELECT DISTINCT least(ts[i], ts[i+1]) AS lo, greatest(ts[i], ts[i+1]) AS hi
+  FROM toks, LATERAL unnest(range(1, len(ts))) AS u(i)
+  WHERE ts[i] <> '' AND ts[i+1] <> '' AND ts[i] <> ts[i+1]),
+bi AS (
+  SELECT lo, hi FROM bi0
+  WHERE {color.format(v='lo')} = {color.format(v='hi')})
+SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c,
+       CAST({n_colors * n_colors} AS BIGINT) AS est_factor
+FROM bi e1
+JOIN bi e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+JOIN bi e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+"""
+
+
 def pq_topk_sql(query_ids=(0, 1, 2, 3), k: int = 5, m: int = 16,
                 kc: int = 16, iters: int = 4, dim: int = 64) -> str:
     """ann_pq_topk: the per-subspace Lloyd training, code assignment and
