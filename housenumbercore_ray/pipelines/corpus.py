@@ -571,7 +571,8 @@ def _split_flat(texts):
 
 
 def line_dedup(world_dir: str, min_pages: int = 100,
-               batch_size: int = 16384) -> rd.Dataset:
+               batch_size: int = 16384,
+               max_broadcast: int = 4_000_000) -> rd.Dataset:
     """CCNet-style line-level boilerplate removal over the crawl pages:
     drop every line that occurs in more than ``min_pages`` distinct pages
     (nav bars, footers, cookie banners), emit per-page
@@ -583,10 +584,17 @@ def line_dedup(world_dir: str, min_pages: int = 100,
     once), then one sharded groupby sums them — shuffle volume is
     O(distinct lines per batch), never O(line instances). The boilerplate
     set is bounded by total_lines / min_pages by construction (a line must
-    repeat to qualify), so it is broadcast (``ray.put`` once); at crawl
-    scale raise ``min_pages`` with corpus size, or swap pass 2's membership
-    test for a bucketed anti-join on line_hash if a deployment's set
-    outgrows worker heap. Pass 2 is a stateless zero-shuffle stream."""
+    repeat to qualify). Pass 2 picks its shape by the set's size:
+
+    - ``n_bp <= max_broadcast``: the set is ``ray.put`` once and pass 2 is
+      a stateless zero-shuffle stream with one vectorized membership test
+      per batch (the fast path — 4M uint64 hashes = 32 MB broadcast);
+    - larger: BUCKETED ANTI-JOIN fallback — page line instances explode
+      to (url, line_hash) rows (hashes only, the text never shuffles),
+      semi-join against the boilerplate Dataset on line_hash buckets,
+      collapse to per-url bad-hash lists, and ONE url-bucketed left join
+      back onto the pages stream rebuilds the clean text. Three bounded
+      hash exchanges; no driver materialization of the set at all."""
     import hashlib
 
     from ..stages.dedup import _HashCache
@@ -616,15 +624,18 @@ def line_dedup(world_dir: str, min_pages: int = 100,
         s = s[s["n"] > min_pages]
         return s.astype({"line_hash": np.int64, "n": np.int64})
 
-    bp_rows = (
+    bp_ds = (
         pages.map_batches(line_counter, batch_format="pandas",
                           batch_size=batch_size)
         .map_batches(_shard_on(["line_hash"]), batch_format="pandas")
         .repartition(_shuffle_blocks())
         .groupby("_shard")
         .map_groups(sum_shard, batch_format="pandas")
-        .take_all()
+        .materialize()   # bounded by total_lines/min_pages; reused below
     )
+    if bp_ds.count() > max_broadcast:
+        return _line_dedup_antijoin(pages, bp_ds, batch_size)
+    bp_rows = bp_ds.take_all()
     boilerplate = np.sort(np.array([r["line_hash"] for r in bp_rows],
                                    dtype=np.int64).view(np.uint64))
     bp_ref = ray.put(boilerplate)
@@ -670,6 +681,113 @@ def line_dedup(world_dir: str, min_pages: int = 100,
     # a few tens of MB)
     return pages.map_batches(clean_pages, batch_format="pandas",
                              batch_size=batch_size)
+
+
+def _line_dedup_antijoin(pages: rd.Dataset, bp_ds: rd.Dataset,
+                         batch_size: int) -> rd.Dataset:
+    """line_dedup pass 2 when the boilerplate set outgrows broadcast: the
+    set stays distributed. (url, line_hash) instance rows (hashes only)
+    semi-join the set on line_hash buckets; the surviving BAD instances are
+    co-located with their pages by ONE url-keyed shuffle (the only exchange
+    that carries page text) and the clean text is rebuilt in-shard.
+    Produces byte-identical output to the broadcast path."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from ..stages.dedup import _HashCache
+    from ..stages.join import bucketed_hash_join
+
+    def instances(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].fillna("").tolist()
+        flat, counts = _split_flat(texts)
+        if not flat:
+            return pd.DataFrame({"url": pd.Series([], dtype=object),
+                                 "line_hash": pd.Series([], dtype=np.int64)})
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+        hv = _HashCache().hash_unique(uniques).view(np.int64)
+        page_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        # distinct (page, line) membership — join volume is O(distinct),
+        # never O(instances)
+        key = np.unique(page_idx * np.int64(len(uniques)) + codes)
+        return pd.DataFrame({
+            "url": b["url"].to_numpy()[(key // len(uniques)).astype(np.int64)],
+            "line_hash": hv[(key % len(uniques)).astype(np.int64)],
+        })
+
+    inst = pages.map_batches(instances, batch_format="pandas",
+                             batch_size=batch_size)
+    bp_keys = bp_ds.map_batches(lambda b: b[["line_hash"]],
+                                batch_format="pandas")
+    bad = bucketed_hash_join(
+        inst, bp_keys, "line_hash", "line_hash",
+        left_schema={"url": pa.string(), "line_hash": pa.int64()},
+        right_schema={"line_hash": pa.int64()})
+
+    # tag-and-union instead of a second bucketed join: page rows carry
+    # text, bad-instance rows carry the hash; one url-keyed shuffle
+    # co-locates a page with exactly its bad hashes
+    def page_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"url": b["url"], "text": b["text"],
+                             "line_hash": np.zeros(len(b), dtype=np.int64),
+                             "_side": "P"})
+
+    def bad_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"url": b["url"],
+                             "text": pd.Series([""] * len(b), dtype=object),
+                             "line_hash": b["line_hash"].to_numpy(np.int64),
+                             "_side": "B"})
+
+    both = pages.map_batches(page_side, batch_format="pandas").union(
+        bad.map_batches(bad_side, batch_format="pandas"))
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["_side"] == "P"]
+        bd = g[g["_side"] == "B"]
+        bad_map = {
+            u: np.sort(v.to_numpy(np.int64).view(np.uint64))
+            for u, v in bd.groupby("url", sort=False)["line_hash"]
+        }
+        texts = p["text"].fillna("").tolist()
+        urls = p["url"].to_numpy()
+        flat, counts = _split_flat(texts)
+        empty_md5 = hashlib.md5(b"").hexdigest()
+        if not flat:
+            return pd.DataFrame({
+                "url": urls,
+                "n_lines": pd.Series(np.zeros(len(urls)), dtype=np.int64),
+                "n_boilerplate": pd.Series(np.zeros(len(urls)), dtype=np.int64),
+                "clean_md5": [empty_md5] * len(urls),
+            })
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+        hv = _HashCache().hash_unique(uniques)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        nothing = np.array([], dtype=np.uint64)
+        n_bp = np.zeros(len(urls), dtype=np.int64)
+        md5s = []
+        for i, u in enumerate(urls):
+            lo, hi = offsets[i], offsets[i + 1]
+            bset = bad_map.get(u, nothing)
+            if len(bset) == 0:
+                md5s.append(hashlib.md5(
+                    "\n".join(flat[lo:hi]).encode("utf-8")).hexdigest())
+                continue
+            badm = np.isin(hv[codes[lo:hi]], bset)
+            n_bp[i] = int(badm.sum())
+            kept = [ln for ln, k in zip(flat[lo:hi], ~badm) if k]
+            md5s.append(hashlib.md5("\n".join(kept).encode("utf-8")).hexdigest())
+        return pd.DataFrame({
+            "url": urls,
+            "n_lines": pd.Series(counts, dtype=np.int64),
+            "n_boilerplate": n_bp,
+            "clean_md5": md5s,
+        })
+
+    return (both.map_batches(_shard_on(["url"]), batch_format="pandas")
+            .repartition(_shuffle_blocks())
+            .groupby("_shard")
+            .map_groups(lambda g: rebuild(g.drop(columns=["_shard"])),
+                        batch_format="pandas"))
 
 
 def host_stats(world_dir: str) -> rd.Dataset:

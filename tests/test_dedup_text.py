@@ -786,3 +786,40 @@ def test_cdc_chunks_shift_invariance():
     while suffix < min(len(a), len(b)) and a[-1 - suffix] == b[-1 - suffix]:
         suffix += 1
     assert suffix >= len(a) - 3, (len(a), len(b), suffix)
+
+
+def test_line_dedup_antijoin_fallback_matches_broadcast(ray_session, tmp_path):
+    """max_broadcast=0 forces the bucketed anti-join path; output must be
+    byte-identical to the broadcast membership path on the same pages."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from housenumbercore_ray.pipelines.corpus import line_dedup
+
+    boiler = "copyright 2026 example corp"
+    nav = "home | products | contact"
+    texts, urls = [], []
+    for i in range(12):
+        body = f"unique body line {i}\nsecond unique {i * 7}"
+        parts = [boiler, body] if i % 2 == 0 else [boiler, nav, body, boiler]
+        texts.append("\n".join(parts))
+        urls.append(f"https://ex.test/seite/{i}")
+    texts.append("")                      # empty page
+    urls.append("https://ex.test/leer")
+    os.makedirs(tmp_path / "pages", exist_ok=True)
+    pq.write_table(pa.table({"url": urls, "text": texts}),
+                   tmp_path / "pages" / "p0.parquet")
+
+    def run(max_broadcast):
+        return (line_dedup(str(tmp_path), min_pages=3,
+                           max_broadcast=max_broadcast)
+                .to_pandas().sort_values("url").reset_index(drop=True))
+
+    broadcast = run(4_000_000)
+    fallback = run(0)
+    assert (broadcast["n_boilerplate"] > 0).any()     # the rule actually fired
+    assert (broadcast["n_boilerplate"] == 0).any()    # and left clean pages
+    pd.testing.assert_frame_equal(broadcast, fallback)
