@@ -21,7 +21,7 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from ..stages.context import get_context, get_context_ref
-from ..stages.evaluate import ExplodeCombine, classify_muni, explode_housenumbers, list_side_partials
+from ..stages.evaluate import ExplodeCombine, ListSidePartials, classify_muni, explode_housenumbers
 from ..stages.extract import CandidateExtractor, TextExtractor
 from ..stages.spatial import SpatialStreetJoin
 
@@ -89,8 +89,7 @@ def join_rows(world_dir: str) -> rd.Dataset:
             import ray
 
             ctx = ray.get(ref)
-            self.list_keys = ctx.list_df[["muni_id", "street_key", "hnr_norm"]].drop_duplicates()
-            self.list_keys = self.list_keys.assign(_in_list=True)
+            self.list_keys = ctx.list_keys.assign(_in_list=True)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             from ..functions.housenumber import normalized_series, sortable_series
@@ -146,6 +145,19 @@ def _osm_eval_partials(world_dir: str, ref, pages_path: str | None = None) -> rd
     )
 
 
+def _list_partials(world_dir: str, ref) -> rd.Dataset:
+    """Official-list side STREAMED from parquet (pruned columns) through the
+    normalizing partial stage — never driver-built; at continental scale
+    the list is just another table."""
+    return rd.read_parquet(
+        f"{world_dir}/list_addresses.parquet",
+        columns=["muni_ref", "street", "housenumber", "subarea", "postcode"],
+    ).map_batches(
+        ListSidePartials, fn_constructor_args=(ref,),
+        batch_format="pandas", batch_size=ROW_BATCH, concurrency=(1, 2), num_cpus=1,
+    )
+
+
 def evaluation(world_dir: str) -> rd.Dataset:
     """The auswertung_hausnummern analog: one row per
     (muni_id, street_key, hnr_norm) with treffertyp ∈ {i,l,o}.
@@ -154,9 +166,8 @@ def evaluation(world_dir: str) -> rd.Dataset:
     (ExplodeCombine) bounds rows per key per batch; phase B classifies per
     salted shard (all rows of a key share a shard by construction)."""
     ref = get_context_ref(world_dir)
-    ctx = get_context(world_dir)
     osm_partials = _osm_eval_partials(world_dir, ref)
-    lst = rd.from_pandas(list_side_partials(ctx))
+    lst = _list_partials(world_dir, ref)
     both = osm_partials.union(lst).map_batches(_add_shard, batch_format="pandas")
 
     def classify_shard(g: pd.DataFrame) -> pd.DataFrame:
@@ -558,7 +569,6 @@ def evaluation_delta(world_dir: str):
 
     prev_path = ensure_pages_prev(world_dir)
     ref = get_context_ref(world_dir)
-    ctx = get_context(world_dir)
     KEY = ["muni_id", "street_key", "hnr_norm"]
 
     def tag(side: str):
@@ -576,7 +586,7 @@ def evaluation_delta(world_dir: str):
     # streams end-to-end into the one keyed shuffle.
     prv = _osm_eval_partials(world_dir, ref, pages_path=prev_path).map_batches(
         tag("p"), batch_format="pandas").materialize()
-    lst = rd.from_pandas(list_side_partials(ctx).assign(_snap="b"))
+    lst = _list_partials(world_dir, ref).map_batches(tag("b"), batch_format="pandas")
     both = cur.union(prv).union(lst).map_batches(_add_shard, batch_format="pandas")
 
     def classify_side(g: pd.DataFrame, sides: list[str]) -> pd.DataFrame:

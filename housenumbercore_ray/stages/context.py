@@ -160,10 +160,11 @@ class WorldContext:
         exact = la["muni_id"].map(self.muni_exactly)
         la["hnr_sortable"] = sortable_series(la["housenumber"])
         la["hnr_norm"] = normalized_series(la["housenumber"], exact)
-        self.list_keys = set(
-            zip(la["muni_id"].tolist(), la["street_key"].tolist(), la["hnr_norm"].tolist())
-        )
-        self.list_df = la
+        # only the deduped key frame is broadcast (join_rows' membership
+        # probe); the full list STREAMS from parquet in the evaluation
+        # pipelines (stages.evaluate.ListSidePartials) — the context no
+        # longer carries per-address columns
+        self.list_keys = la[["muni_id", "street_key", "hnr_norm"]].drop_duplicates()
 
 
 _CONTEXT_CACHE: dict[str, "WorldContext"] = {}
