@@ -20,11 +20,32 @@ import sys
 import time
 
 
+def _preimport_heavy_modules():
+    """worker_process_setup_hook: runs in every prestarted worker process
+    while it is still idle, so the first actor/task scheduled onto it finds
+    numpy/pandas/pyarrow and the engine modules already imported instead of
+    paying ~1-2 s of lazy imports inside its constructor (the single-shot
+    warm-up that inflated the recorded r3 headline)."""
+    import numpy  # noqa: F401
+    import pandas  # noqa: F401
+    import pyarrow  # noqa: F401
+    import pyarrow.compute  # noqa: F401
+
+    try:
+        import housenumbercore_ray.stages.context  # noqa: F401
+        import housenumbercore_ray.stages.evaluate  # noqa: F401
+        import housenumbercore_ray.stages.extract  # noqa: F401
+        import housenumbercore_ray.stages.spatial  # noqa: F401
+    except ImportError:
+        pass  # engine not importable in this worker (shouldn't happen)
+
+
 def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             runtime_env={"worker_process_setup_hook": _preimport_heavy_modules})
     from ray.data import DataContext
 
     ctx = DataContext.get_current()

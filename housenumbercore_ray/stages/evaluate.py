@@ -143,10 +143,11 @@ def _empty_partial() -> pd.DataFrame:
     })
 
 
-class ListSidePartials:
-    """Streaming official-list side: raw ``list_addresses`` batches →
-    per-batch partial rows (side='list'), exact-deduped on the key per
-    batch (HousenumberList.java:117-158 dedup on
+def list_partials_batch(la: pd.DataFrame, muni_ref_to_id: dict,
+                        muni_exactly: dict) -> pd.DataFrame:
+    """Streaming official-list side: one raw ``list_addresses`` batch →
+    partial rows (side='list'), exact-deduped on the key per batch
+    (HousenumberList.java:117-158 dedup on
     street+subarea+postcode+housenumber → here the normalized key; first
     row by (hnr_sortable, housenumber, subarea, postcode) wins).
     Cross-BATCH duplicates are combined by :func:`classify_muni` with the
@@ -155,43 +156,35 @@ class ListSidePartials:
     cannot change which values win. Replaces the former driver-built
     ``rd.from_pandas(list_side_partials(ctx))`` single block (judge r3
     wrong#2): at continental scale the list streams from parquet like
-    every other side."""
+    every other side. Runs as a PLAIN task stage (no actor spawn — the
+    only side state is two small dicts in their own broadcast object)."""
+    la = la.copy()
+    la["muni_id"] = la["muni_ref"].map(muni_ref_to_id)
+    la = la.dropna(subset=["muni_id"])
+    if len(la) == 0:
+        return _empty_partial()
+    from .context import street_key_series
 
-    def __init__(self, ctx_ref) -> None:
-        import ray
-
-        ctx = ray.get(ctx_ref)
-        self.muni_ref_to_id = ctx.muni_ref_to_id
-        self.muni_exactly = ctx.muni_exactly
-
-    def __call__(self, la: pd.DataFrame) -> pd.DataFrame:
-        from .context import street_key_series
-
-        la = la.copy()
-        la["muni_id"] = la["muni_ref"].map(self.muni_ref_to_id)
-        la = la.dropna(subset=["muni_id"])
-        if len(la) == 0:
-            return _empty_partial()
-        la["muni_id"] = la["muni_id"].astype(int)
-        la["street_key"] = street_key_series(la["street"])
-        exact = la["muni_id"].map(self.muni_exactly)
-        la["hnr_sortable"] = sortable_series(la["housenumber"])
-        la["hnr_norm"] = normalized_series(la["housenumber"], exact)
-        la = la.sort_values(["muni_id", "street_key", "hnr_norm", "hnr_sortable",
-                             "housenumber", "subarea", "postcode"], kind="mergesort")
-        agg = la.groupby(KEY, sort=False, as_index=False).agg(
-            hnr_sortable=("hnr_sortable", "first"),
-            hnr_display=("housenumber", "first"),
-            n_obs=("housenumber", "size"),
-        )
-        agg["osm_tag"] = ""
-        agg["tag_prio"] = np.int64(9999)
-        agg["ord_url"] = ""
-        agg["ord_seq"] = np.int64(0)
-        agg["lon"] = np.float64(np.nan)
-        agg["lat"] = np.float64(np.nan)
-        agg["side"] = "list"
-        return agg[_empty_partial().columns.tolist()].astype({"muni_id": np.int64})
+    la["muni_id"] = la["muni_id"].astype(int)
+    la["street_key"] = street_key_series(la["street"])
+    exact = la["muni_id"].map(muni_exactly)
+    la["hnr_sortable"] = sortable_series(la["housenumber"])
+    la["hnr_norm"] = normalized_series(la["housenumber"], exact)
+    la = la.sort_values(["muni_id", "street_key", "hnr_norm", "hnr_sortable",
+                         "housenumber", "subarea", "postcode"], kind="mergesort")
+    agg = la.groupby(KEY, sort=False, as_index=False).agg(
+        hnr_sortable=("hnr_sortable", "first"),
+        hnr_display=("housenumber", "first"),
+        n_obs=("housenumber", "size"),
+    )
+    agg["osm_tag"] = ""
+    agg["tag_prio"] = np.int64(9999)
+    agg["ord_url"] = ""
+    agg["ord_seq"] = np.int64(0)
+    agg["lon"] = np.float64(np.nan)
+    agg["lat"] = np.float64(np.nan)
+    agg["side"] = "list"
+    return agg[_empty_partial().columns.tolist()].astype({"muni_id": np.int64})
 
 
 def classify_muni(group: pd.DataFrame) -> pd.DataFrame:
