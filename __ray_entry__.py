@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "housenumbercore_ray.pipelines.phonetik_match", fromlist=["street_phonetik"]
         ).street_phonetik(_world(sf)),
         "hnr_streets_missing_in_osm": lambda sf: ev.streets_missing_in_osm(_world(sf)),
+        "hnr_street_memberships": lambda sf: ev.street_memberships(_world(sf)),
         "hnr_subarea_rows": lambda sf: ev.subarea_rows(_world(sf)),
         "hnr_subarea_street_summary": lambda sf: ev.subarea_street_summary(_world(sf)),
         "hnr_csv_import": lambda sf: __import__(
@@ -316,6 +317,7 @@ _R4_WINDOW_PRIORITY = [
     # --- new in round 4 ---
     "theo_mom_diff",
     "text_triangles_sampled",
+    "hnr_street_memberships",
     # --- never driver-checked, self-sweep only ---
     "dedup_ngram_jaccard",
     "corpus_mix_weights",

@@ -87,6 +87,53 @@ class BoundaryIndex:
                 unresolved[hit] = False
         return out
 
+    def locate_polyline_multi(self, linestring_wkbs, max_step: float | None = None):
+        """Contains-or-crosses membership (J2): each polyline joins EVERY
+        area that any of its sampled points falls in — the reference admits
+        a street into a municipality's job when ``ST_Contains(muni, way) OR
+        ST_Crosses(muni, way)`` (MunicipalityJobs.java:284-304), i.e. a
+        boundary-crossing street belongs to *all* municipalities it crosses,
+        and the planet_line extraction uses the same covers-or-crosses rule
+        (TheoreticalHousenumbers.java:1056-1071).
+
+        Sampling, not exact intersection: vertices plus per-segment
+        subdivision to steps ≤ ``max_step`` (default: the index cell size),
+        so any excursion longer than one cell into a polygon is detected;
+        slivers narrower than the step are the documented resolution limit
+        of this engine (the reference has exact PostGIS predicates).
+
+        Returns ``(row_idx, area_id)`` int64 arrays — unique (polyline,
+        area) memberships, area −1 rows dropped.  Cost: one vectorized
+        ``locate`` over all sampled points; intended for the bounded street
+        metadata side (runs once at context build), not per page batch.
+        """
+        step = max_step if max_step is not None else self.res_deg
+        pts, owner = [], []
+        for i, wkb in enumerate(linestring_wkbs):
+            kind, coords = parse_wkb(wkb)
+            if kind != "linestring":
+                raise ValueError(f"expected linestring WKB, got {kind}")
+            seg = coords[1:] - coords[:-1]
+            # per-segment subdivision counts; each segment contributes its
+            # start point + interior samples, final vertex appended once
+            nsub = np.maximum(1, np.ceil(
+                np.abs(seg).max(axis=1) / step).astype(np.int64))
+            parts = [coords[-1:]]
+            for s0 in range(len(seg)):
+                t = np.arange(nsub[s0], dtype=np.float64)[:, None] / nsub[s0]
+                parts.append(coords[s0] + t * seg[s0])
+            sampled = np.vstack(parts)
+            pts.append(sampled)
+            owner.append(np.full(len(sampled), i, dtype=np.int64))
+        if not pts:
+            return (np.empty(0, dtype=np.int64),) * 2
+        allpts = np.vstack(pts)
+        own = np.concatenate(owner)
+        areas = self.locate(allpts[:, 0], allpts[:, 1])
+        keep = areas >= 0
+        pairs = np.unique(np.stack([own[keep], areas[keep]], axis=1), axis=0)
+        return pairs[:, 0], pairs[:, 1]
+
 
 class StreetIndex:
     """area_id → street polylines for name-match + kNN assignment.

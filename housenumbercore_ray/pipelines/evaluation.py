@@ -304,12 +304,57 @@ def _street_geometry(world_dir: str) -> dict:
     ctx = get_context(world_dir)
     s = pq.read_table(f"{world_dir}/osm_streets.parquet").to_pandas()
     s = s[s["highway"].isin(VALID_HIGHWAYS) & ~s["blacklisted"] & (s["name"] != "")]
-    area = ctx.boundary_index.locate(s["mid_lon"].to_numpy(), s["mid_lat"].to_numpy())
-    s = s.assign(muni_id=pd.Series(area, index=s.index).map(ctx.area_to_muni),
-                 street_key=street_key_series(s["name"]))
+    # contains-or-crosses membership (MunicipalityJobs.java:284-304): a
+    # boundary-crossing street provides geometry to EVERY muni it crosses
+    s = s.reset_index(drop=True)
+    ridx, area = ctx.boundary_index.locate_polyline_multi(
+        s["linestring_wkb"].to_numpy())
+    s = s.iloc[ridx].assign(
+        muni_id=pd.Series(area).map(ctx.area_to_muni).to_numpy())
+    s["street_key"] = street_key_series(s["name"])
     s = s.dropna(subset=["muni_id"]).sort_values("osm_id")
     first = s.drop_duplicates(["muni_id", "street_key"], keep="first")
     return {(int(r.muni_id), r.street_key): r.linestring_wkb.hex() for r in first.itertuples()}
+
+
+def street_memberships(world_dir: str) -> rd.Dataset:
+    """(muni_id, osm_id, street_key) for every valid-street × municipality
+    membership under the reference's contains-OR-crosses rule
+    (MunicipalityJobs.java:284-304, ``ST_Contains(muni, way) OR
+    ST_Crosses(muni, way)``): a boundary-crossing street appears under
+    EVERY municipality it reaches into, not just the one holding its
+    midpoint.
+
+    Scale shape: the street table streams in blocks; each batch locates its
+    polylines against the broadcast boundary index (one ``ray.put`` per
+    world, read in actor ``__init__``) — no shuffle, output is one row per
+    (street, muni) membership."""
+    ref = get_context_ref(world_dir)
+
+    class Member:
+        def __init__(self) -> None:
+            import ray
+
+            self.ctx = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            from ..stages.context import VALID_HIGHWAYS, street_key_series
+
+            b = b[b["highway"].isin(VALID_HIGHWAYS)
+                  & ~b["blacklisted"] & (b["name"] != "")].reset_index(drop=True)
+            ridx, areas = self.ctx.boundary_index.locate_polyline_multi(
+                b["linestring_wkb"].to_numpy())
+            hit = b.iloc[ridx]
+            return pd.DataFrame({
+                "muni_id": pd.Series(areas).map(self.ctx.area_to_muni).to_numpy(np.int64),
+                "osm_id": hit["osm_id"].to_numpy(np.int64),
+                "street_key": street_key_series(hit["name"]).to_numpy(object),
+            })
+
+    return rd.read_parquet(
+        f"{world_dir}/osm_streets.parquet",
+        columns=["osm_id", "name", "highway", "blacklisted", "linestring_wkb"],
+    ).map_batches(Member, batch_format="pandas", concurrency=_small_pool(), num_cpus=1)
 
 
 def street_gaps(world_dir: str) -> rd.Dataset:

@@ -104,12 +104,17 @@ candidates AS (
   FROM cand_lists
 ),
 valid_streets AS (
+  -- contains-OR-crosses membership (MunicipalityJobs.java:284-304): a
+  -- street joins EVERY municipality its geometry reaches into, so one
+  -- street row may appear under several muni_ids. Worldgen streets are
+  -- horizontal, so the predicate is the exact 1-D interval × rect overlap
+  -- of the polyline extent (lon0..lon1 at street_lat) with the muni rect.
   SELECT s.osm_id, s.name, s.street_lat, s.linestring_wkb,
          {_fold('s.name')} AS skey, b.muni_id
   FROM streets_raw s
   JOIN bounds b
-    ON s.mid_lon >= b.minlon AND s.mid_lon <= b.maxlon
-   AND s.mid_lat >= b.minlat AND s.mid_lat <= b.maxlat
+    ON s.lon1 >= b.minlon AND s.lon0 <= b.maxlon
+   AND s.street_lat >= b.minlat AND s.street_lat <= b.maxlat
   WHERE s.highway IN {VALID_HIGHWAYS_SQL} AND NOT s.blacklisted AND s.name <> ''
 ),
 located AS (
@@ -316,6 +321,9 @@ SELECT muni_id, CAST(count(*) AS BIGINT) AS n_candidates,
        CAST(sum(CASE WHEN matched_by_name THEN 0 ELSE 1 END) AS BIGINT) AS n_knn_assigned,
        CAST(count(DISTINCT street_key) AS BIGINT) AS n_streets
 FROM assigned GROUP BY muni_id
+""",
+        "hnr_street_memberships": pre + """
+SELECT muni_id, osm_id, skey AS street_key FROM valid_streets
 """,
         "hnr_streets_missing_in_osm": pre + f"""
 SELECT DISTINCT b.muni_id, {_fold('l.street')} AS street_key

@@ -59,7 +59,7 @@ import pyarrow.parquet as pq
 
 from ..geo.wkb import linestring_wkb, multipolygon_wkb, polygon_wkb
 
-WORLD_VERSION = "v11"
+WORLD_VERSION = "v12"
 WORLD_ROOT = "/tmp/hnr_world"
 
 LON0, LAT0 = 10.0, 50.0
@@ -253,9 +253,12 @@ def generate_world(scale: str, out_dir: str) -> dict:
     boundaries = pa.table({k: v for k, v in b_rows.items()})
 
     # ---- streets ----------------------------------------------------------
+    # lon0/lon1 = polyline x-extent: worldgen streets are horizontal, so the
+    # oracle's contains-or-crosses membership reduces to a 1-D interval ×
+    # rect overlap join (the engine samples the real geometry instead)
     s_rows = {k: [] for k in [
         "osm_id", "muni_id", "name", "highway", "linestring_wkb",
-        "mid_lon", "mid_lat", "street_lat", "blacklisted",
+        "mid_lon", "mid_lat", "street_lat", "lon0", "lon1", "blacklisted",
     ]}
     osm_id = 10_000
     # per-muni street name list: deterministic rotation of the pool
@@ -287,6 +290,8 @@ def generate_world(scale: str, out_dir: str) -> dict:
             s_rows["mid_lon"].append((x0 + x1) / 2)
             s_rows["mid_lat"].append(lat)
             s_rows["street_lat"].append(lat)
+            s_rows["lon0"].append(x0)
+            s_rows["lon1"].append(x1)
             s_rows["blacklisted"].append(False)
             entries.append((nm, lat))
             osm_id += 1
@@ -301,9 +306,37 @@ def generate_world(scale: str, out_dir: str) -> dict:
             s_rows["mid_lon"].append((minlon + maxlon) / 2)
             s_rows["mid_lat"].append(lat)
             s_rows["street_lat"].append(lat)
+            s_rows["lon0"].append(minlon + 0.01)
+            s_rows["lon1"].append(maxlon - 0.01)
             s_rows["blacklisted"].append(bl)
             osm_id += 1
         muni_streets.append(entries)
+    # boundary-CROSSING streets (J2 semantics, MunicipalityJobs.java:284-304
+    # ST_Contains OR ST_Crosses): 'Grenzweg' starts mid-muni i and overshoots
+    # into the right neighbour i+1, so contains-or-crosses membership puts it
+    # in BOTH municipalities while midpoint-locate would see only muni i.
+    # Its lat sits between street bands (≥0.19 of a band gap from every band
+    # centre) so it never wins a kNN assignment on either side; the name is
+    # outside STREET_POOL so it never name-matches a page candidate.
+    crossing_munis = [i for i in range(M)
+                      if i % 6 == 4 and i % NCOLS < NCOLS - 1 and i + 1 < M]
+    for i in crossing_munis:
+        minlon, minlat, maxlon, maxlat = muni_rect(i)
+        lat = float(f"{(minlat + min(1.19 / S, 0.93) * (maxlat - minlat)):.6f}")
+        x0 = minlon + 0.5 * MUNI_W
+        x1 = maxlon + 0.3 * MUNI_W
+        s_rows["osm_id"].append(osm_id)
+        s_rows["muni_id"].append(i)
+        s_rows["name"].append("Grenzweg")
+        s_rows["highway"].append("residential")
+        s_rows["linestring_wkb"].append(linestring_wkb([(x0, lat), ((x0 + x1) / 2, lat), (x1, lat)]))
+        s_rows["mid_lon"].append((x0 + x1) / 2)
+        s_rows["mid_lat"].append(lat)
+        s_rows["street_lat"].append(lat)
+        s_rows["lon0"].append(x0)
+        s_rows["lon1"].append(x1)
+        s_rows["blacklisted"].append(False)
+        osm_id += 1
     osm_streets = pa.table(s_rows)
 
     # ---- list addresses + osm addresses -----------------------------------
@@ -436,6 +469,26 @@ def generate_world(scale: str, out_dir: str) -> dict:
                 oa["assoc_rel_id"].append(None)
                 oa["muni_id"].append(i)
                 oid += 1
+    # the crossing street is a real OFFICIAL street of the neighbour muni:
+    # one list-only address on 'Grenzweg' in muni i+1.  Under midpoint
+    # membership the neighbour has no such OSM street (→ it would show in
+    # streets_missing_in_osm with no geometry); under contains-or-crosses it
+    # matches the overshooting way from muni i — the oracle rows that prove
+    # the ST_Contains-OR-ST_Crosses semantics.
+    for i in crossing_munis:
+        la["addr_id"].append(next_addr_id)
+        next_addr_id += 1
+        la["muni_ref"].append(f"{3150000 + (i + 1) * 4:08d}")
+        la["subarea"].append("-1")
+        la["street"].append("Grenzweg")
+        la["housenumber"].append("1")
+        la["postcode"].append(f"{10000 + ((i + 1) * 37) % 89999:05d}")
+        nminlon, nminlat, nmaxlon, nmaxlat = muni_rect(i + 1)
+        la["lon"].append(float(f"{(nminlon + 0.2 * MUNI_W):.6f}"))
+        la["lat"].append(float(f"{(nminlat + min(1.19 / S, 0.93) * (nmaxlat - nminlat)):.6f}"))
+        la["note"].append(None)
+        la["extra_tags"].append(None)
+
     # a few mentions with coordinates OUTSIDE the world → must be dropped
     for e in range(5):
         line = _mention("Nirgendwo Allee", str(e + 1), "99999", "Phantomstadt", 0.5 + e, -120.0 + e, "")

@@ -136,11 +136,15 @@ class WorldContext:
         s = pq.read_table(f"{world_dir}/osm_streets.parquet").to_pandas()
         # M13 valid-highway + named; M14 blacklist
         s = s[s["highway"].isin(VALID_HIGHWAYS) & ~s["blacklisted"] & (s["name"] != "")]
-        # spatial assignment of streets to areas (J2): midpoint locate via the
-        # boundary index — the reference's ST_Contains/ST_Crosses street query
-        mid_area = self.boundary_index.locate(s["mid_lon"].to_numpy(), s["mid_lat"].to_numpy())
-        s = s.assign(area_id=mid_area)
-        s = s[s["area_id"] >= 0]
+        # spatial assignment of streets to areas (J2), contains-OR-crosses:
+        # the reference admits a street into every municipality it crosses
+        # (MunicipalityJobs.java:284-304 ST_Contains(muni, way) OR
+        # ST_Crosses(muni, way)), so one street row may fan out to several
+        # areas; sampled-geometry locate via the boundary index
+        s = s.reset_index(drop=True)
+        ridx, areas = self.boundary_index.locate_polyline_multi(
+            s["linestring_wkb"].to_numpy())
+        s = s.iloc[ridx].assign(area_id=areas)
         keys = street_key_series(s["name"])
         self.street_index = StreetIndex(
             s["area_id"].tolist(), keys.tolist(), s["linestring_wkb"].tolist(), s["osm_id"].tolist()

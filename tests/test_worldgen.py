@@ -79,3 +79,53 @@ class TestWorldgen:
         d2 = ensure_world("/root/testdata/sf0.001")
         assert d1 == d2
         assert os.path.getmtime(f"{d2}/pages/part-00000.parquet") == mtime
+
+
+class TestCrossingStreets:
+    """Contains-OR-crosses street membership (MunicipalityJobs.java:284-304):
+    the planted 'Grenzweg' overshoots from muni i into muni i+1 and must be
+    a member of BOTH, while every in-rect street keeps exactly one muni."""
+
+    def test_grenzweg_planted_and_listed(self, world):
+        s = pq.read_table(f"{world}/osm_streets.parquet").to_pandas()
+        g = s[s["name"] == "Grenzweg"]
+        assert len(g) == 1  # sf0.001: M=6 → only i=4 qualifies
+        assert (g["lon1"] > g["lon0"]).all()
+        la = pq.read_table(f"{world}/list_addresses.parquet").to_pandas()
+        gl = la[la["street"] == "Grenzweg"]
+        # official address planted in the NEIGHBOUR muni (i+1 = 5)
+        assert list(gl["muni_ref"]) == [f"{3150000 + 5 * 4:08d}"]
+
+    def test_polyline_multi_membership(self, world):
+        from housenumbercore_ray.stages.context import WorldContext
+
+        ctx = WorldContext(world)
+        s = pq.read_table(f"{world}/osm_streets.parquet").to_pandas()
+        ridx, areas = ctx.boundary_index.locate_polyline_multi(
+            s["linestring_wkb"].to_numpy())
+        import pandas as pd
+
+        memb = pd.DataFrame({"row": ridx, "area": areas})
+        per_row = memb.groupby("row").size()
+        cross_rows = s.index[s["name"] == "Grenzweg"]
+        for r in cross_rows:
+            munis = sorted(ctx.area_to_muni[a]
+                           for a in memb.loc[memb["row"] == r, "area"])
+            home = int(s.loc[r, "muni_id"])
+            assert munis == [home, home + 1]
+        # all non-crossing streets stay single-membership
+        normal = per_row.drop(index=[r for r in cross_rows if r in per_row.index])
+        assert (normal == 1).all()
+
+    def test_street_index_carries_both_areas(self, world):
+        from housenumbercore_ray.stages.context import WorldContext, street_key_series
+
+        ctx = WorldContext(world)
+        import pandas as pd
+
+        key = street_key_series(pd.Series(["Grenzweg"]))[0]
+        areas_with_grenzweg = [
+            a for a, entry in ctx.street_index.by_area.items()
+            if key in entry["by_name"]
+        ]
+        assert len(areas_with_grenzweg) == 2
