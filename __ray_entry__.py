@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).street_phonetik(_world(sf)),
         "hnr_streets_missing_in_osm": lambda sf: ev.streets_missing_in_osm(_world(sf)),
         "hnr_street_memberships": lambda sf: ev.street_memberships(_world(sf)),
+        "hnr_knn_streets": lambda sf: ev.knn_streets(_world(sf)),
         "hnr_subarea_rows": lambda sf: ev.subarea_rows(_world(sf)),
         "hnr_subarea_street_summary": lambda sf: ev.subarea_street_summary(_world(sf)),
         "hnr_csv_import": lambda sf: __import__(
@@ -295,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_suppliers_per_nation": relational.top_suppliers_per_nation,
         "rel_price_quantiles": relational.price_quantiles,
         "rel_order_gaps": relational.order_gaps,
+        "rel_events_sessionize": relational.events_sessionize,
         "rel_events_funnel": relational.events_funnel,
         "rel_retention_cohorts": relational.retention_cohorts,
         "rel_basket_pairs": relational.basket_pairs,
@@ -318,6 +320,8 @@ _R4_WINDOW_PRIORITY = [
     "theo_mom_diff",
     "text_triangles_sampled",
     "hnr_street_memberships",
+    "hnr_knn_streets",
+    "rel_events_sessionize",
     # --- never driver-checked, self-sweep only ---
     "dedup_ngram_jaccard",
     "corpus_mix_weights",
@@ -799,6 +803,27 @@ ex AS (
 SELECT TIMESTAMP '1970-01-01' + w * INTERVAL 1 DAY AS window_start,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM ex GROUP BY w
+""",
+        "rel_events_sessionize": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id, session_seq
 """,
         "rel_order_gaps": """
 SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,

@@ -190,6 +190,15 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     return result
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from the aggregate /proc/stat cpu line."""
+    with open("/proc/stat") as f:
+        fields = f.readline().split()[1:]
+    vals = [int(x) for x in fields]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def _scaling(sf_dir: str) -> dict:
     def run(ncpu: int) -> dict:
         # scaling evidence runs on the large 'bench4' world (3.2M pages) so
@@ -197,21 +206,47 @@ def _scaling(sf_dir: str) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
                    GRAFT_BENCH_HEADLINE_ONLY="1",
                    GRAFT_WORLD_SCALE=os.environ.get("GRAFT_WORLD_SCALE", "bench4"))
+        s0, t0 = _cpu_jiffies()
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        s1, t1 = _cpu_jiffies()
+        r = json.loads(out.strip().splitlines()[-1])
+        # host-steal fraction over the WHOLE subprocess (incl. ray startup):
+        # the validity gate for this rep — steal episodes inflate wall time
+        # in ways min-of-reps can only partially reject
+        r["steal_frac"] = round((s1 - s0) / max(1, t1 - t0), 4)
+        return r
 
     # the sandbox VM suffers intermittent host CPU steal (large steal-time
-    # counters in /proc/stat), so single runs are noisy: interleave REPS
-    # runs per level and take the minimum (least-interference) sample
+    # counters in /proc/stat), so single runs are noisy. Protocol: interleave
+    # REPS runs per level; a rep is VALID when its whole-run steal fraction
+    # is below GRAFT_STEAL_MAX_FRAC (default 1.5% of all jiffies); the
+    # headline is min over valid reps, with up to 2×REPS total attempts per
+    # level to collect at least one valid sample. Sub-threshold exclusion is
+    # recorded in the per-rep arrays, so noisy reps are excluded by DATA,
+    # not narrative.
     lo, hi = 8, 32
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    max_frac = float(os.environ.get("GRAFT_STEAL_MAX_FRAC", "0.015"))
     lo_runs, hi_runs = [], []
     for _ in range(reps):
         lo_runs.append(run(lo))
         hi_runs.append(run(hi))
-    r_lo = min(lo_runs, key=lambda r: r["value"])
-    r_hi = min(hi_runs, key=lambda r: r["value"])
+    for extra in range(reps):  # top-up: only if a level has no valid rep yet
+        if any(r["steal_frac"] <= max_frac for r in lo_runs) and \
+           any(r["steal_frac"] <= max_frac for r in hi_runs):
+            break
+        lo_runs.append(run(lo))
+        hi_runs.append(run(hi))
+
+    def pick(runs: list[dict]) -> tuple[dict, bool]:
+        valid = [r for r in runs if r["steal_frac"] <= max_frac]
+        if valid:
+            return min(valid, key=lambda r: r["value"]), True
+        return min(runs, key=lambda r: r["value"]), False
+
+    r_lo, lo_clean = pick(lo_runs)
+    r_hi, hi_clean = pick(hi_runs)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
         "metric": "scaling efficiency (N=8 vs 4N=32 cpus, fresh processes, same input)",
@@ -219,6 +254,10 @@ def _scaling(sf_dir: str) -> dict:
         "sec_32": r_hi["value"],
         "sec_8_all": [r["value"] for r in lo_runs],
         "sec_32_all": [r["value"] for r in hi_runs],
+        "steal_frac_8": [r["steal_frac"] for r in lo_runs],
+        "steal_frac_32": [r["steal_frac"] for r in hi_runs],
+        "steal_max_frac": max_frac,
+        "steal_gate_clean": lo_clean and hi_clean,
         "docs_per_sec_8": r_lo["docs_per_sec"],
         "docs_per_sec_32": r_hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),

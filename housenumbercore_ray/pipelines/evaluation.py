@@ -117,6 +117,64 @@ def join_rows(world_dir: str) -> rd.Dataset:
     )
 
 
+def knn_streets(world_dir: str, k: int = 3) -> rd.Dataset:
+    """k-nearest-streets join (J8 generalized beyond top-1): for every
+    located candidate, the k nearest valid streets of its municipality by
+    the reference's equirect point-to-segment distance (dbfunctions.sql:27-50
+    — Δlon scaled by cos(lat)), rank 1..k, ties broken by osm_id.
+
+    Scale shape: streets are per-area broadcast state (the same StreetIndex
+    the assignment uses); each batch computes a vectorized n×streets
+    distance block for its areas and emits per-candidate top-k — no
+    shuffle, output is k rows per candidate. Distances are deliberately
+    NOT emitted (rank + osm_id only): ordering is engine/oracle-exact,
+    float magnitudes are not hash-comparable across engines."""
+    ref = get_context_ref(world_dir)
+
+    class KnnK:
+        def __init__(self) -> None:
+            import ray
+
+            self.index = ray.get(ref).street_index
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            from ..geo.pip import point_segment_distance_m
+
+            outs = []
+            for area, g in b.groupby("area_id", sort=False):
+                entry = self.index.by_area.get(int(area))
+                if entry is None:
+                    continue
+                lon = g["lon"].to_numpy(np.float64)
+                lat = g["lat"].to_numpy(np.float64)
+                # streets are stored in ascending-osm_id order, so a STABLE
+                # argsort on distance is exactly the (dist, osm_id) rank
+                d = np.stack([
+                    point_segment_distance_m(lon, lat, coords)
+                    for coords in entry["coords"]
+                ], axis=1)
+                kk = min(k, d.shape[1])
+                order = np.argsort(d, axis=1, kind="stable")[:, :kk]
+                osm = np.asarray(entry["osm_ids"], dtype=np.int64)[order]
+                outs.append(pd.DataFrame({
+                    "url": np.repeat(g["url"].to_numpy(object), kk),
+                    "cand_seq": np.repeat(g["cand_seq"].to_numpy(np.int64), kk),
+                    "osm_id": osm.ravel(),
+                    "knn_rank": np.tile(np.arange(1, kk + 1, dtype=np.int64), len(g)),
+                }))
+            if not outs:
+                return pd.DataFrame({"url": pd.Series([], dtype=object),
+                                     "cand_seq": pd.Series([], dtype=np.int64),
+                                     "osm_id": pd.Series([], dtype=np.int64),
+                                     "knn_rank": pd.Series([], dtype=np.int64)})
+            return pd.concat(outs, ignore_index=True)
+
+    return located(world_dir).map_batches(
+        KnnK, batch_format="pandas", batch_size=ROW_BATCH,
+        concurrency=_small_pool(), num_cpus=1,
+    )
+
+
 EVAL_SALT = 8
 
 

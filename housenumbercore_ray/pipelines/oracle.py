@@ -109,7 +109,7 @@ valid_streets AS (
   -- street row may appear under several muni_ids. Worldgen streets are
   -- horizontal, so the predicate is the exact 1-D interval × rect overlap
   -- of the polyline extent (lon0..lon1 at street_lat) with the muni rect.
-  SELECT s.osm_id, s.name, s.street_lat, s.linestring_wkb,
+  SELECT s.osm_id, s.name, s.street_lat, s.lon0, s.lon1, s.linestring_wkb,
          {_fold('s.name')} AS skey, b.muni_id
   FROM streets_raw s
   JOIN bounds b
@@ -324,6 +324,25 @@ FROM assigned GROUP BY muni_id
 """,
         "hnr_street_memberships": pre + """
 SELECT muni_id, osm_id, skey AS street_key FROM valid_streets
+""",
+        # kNN k=3: worldgen streets are horizontal collinear polylines, so
+        # the equirect point-to-segment distance reduces EXACTLY to the
+        # clamped-extent form below (cos(lat)-scaled Δlon beyond [lon0,lon1],
+        # plus Δlat); squared distance preserves the ordering, osm_id breaks
+        # mathematical ties on both sides
+        "hnr_knn_streets": pre + """
+, knn3 AS (
+  SELECT l.url, l.cand_seq, s.osm_id,
+         row_number() OVER (
+           PARTITION BY l.url, l.cand_seq
+           ORDER BY power(greatest(s.lon0 - l.lon, l.lon - s.lon1, 0)
+                          * cos(radians(l.lat)), 2)
+                    + power(l.lat - s.street_lat, 2),
+                    s.osm_id) AS rnk
+  FROM located l JOIN valid_streets s ON s.muni_id = l.muni_id
+)
+SELECT url, cand_seq, osm_id, CAST(rnk AS BIGINT) AS knn_rank
+FROM knn3 WHERE rnk <= 3
 """,
         "hnr_streets_missing_in_osm": pre + f"""
 SELECT DISTINCT b.muni_id, {_fold('l.street')} AS street_key

@@ -1064,3 +1064,51 @@ def basket_pairs(sf_dir: str, min_support: int = 2) -> rd.Dataset:
         return b
 
     return support.map_batches(attach, batch_format="pandas")
+
+
+def events_sessionize(sf_dir: str, gap_sec: int = 1800) -> rd.Dataset:
+    """Sessionization of the event log (the per-user window op every
+    clickstream / training-log pipeline needs): a user's events, ordered by
+    (ts, event_id), split into sessions wherever the gap from the previous
+    event exceeds ``gap_sec``; one output row per session with its 1-based
+    per-user sequence number, start/end timestamps and event count.
+
+    Scale shape: ONE shuffle on hash(user) shards (user-complete, so the
+    per-shard kernel is exact); inside a shard everything is vectorized —
+    a single mergesort, one diff, one cumsum for the session ids, one
+    groupby for the rollup. No window state crosses a shard and the output
+    is bounded by session count, never event count. Ref analog: the per-job
+    chronological evaluation batches (Evaluation.java processes each
+    municipality's rows in time order the same way)."""
+    from ..pipelines.corpus import _shard_on, _shuffle_blocks
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+
+    def sessions_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        user = g["user_id"].to_numpy(np.int64)
+        new_user = np.r_[True, user[1:] != user[:-1]]
+        gap = np.r_[np.timedelta64(0, "s"),
+                    ts[1:] - ts[:-1]] > np.timedelta64(gap_sec, "s")
+        new_sess = new_user | gap
+        sid = np.cumsum(new_sess)          # global session id within shard
+        f = pd.DataFrame({"user_id": user, "sid": sid, "ts": ts})
+        # per-user 1-based sequence: global sid minus the user's first sid
+        first_sid = f.groupby("user_id", sort=False)["sid"].transform("min").to_numpy()
+        f["session_seq"] = (sid - first_sid + 1).astype(np.int64)
+        out = (f.groupby(["user_id", "session_seq"], sort=False)
+               .agg(session_start=("ts", "min"), session_end=("ts", "max"),
+                    n_events=("ts", "size"))
+               .reset_index())
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(_shard_on(["user_id"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(lambda g: sessions_shard(g.drop(columns=["_shard"])),
+                    batch_format="pandas")
+    )

@@ -75,7 +75,9 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "geo_morton_range", "corpus_gram_novelty", "embedding_fps_sample",
             "text_trigram_lm", "geo_tile_coverage", "corpus_zipf_fit",
             "text_char_entropy", "geo_tile_aspect", "media_cdc_chunks",
-            "theo_mom_diff", "text_triangles_sampled"]
+            "theo_mom_diff", "text_triangles_sampled",
+            "hnr_street_memberships", "hnr_knn_streets",
+            "rel_events_sessionize"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
