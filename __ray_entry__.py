@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_price_quantiles": relational.price_quantiles,
         "rel_order_gaps": relational.order_gaps,
         "rel_events_sessionize": relational.events_sessionize,
+        "rel_value_quantiles_sketch": relational.value_quantiles_sketch,
         "rel_events_funnel": relational.events_funnel,
         "rel_retention_cohorts": relational.retention_cohorts,
         "rel_basket_pairs": relational.basket_pairs,
@@ -322,6 +323,7 @@ _R4_WINDOW_PRIORITY = [
     "hnr_street_memberships",
     "hnr_knn_streets",
     "rel_events_sessionize",
+    "rel_value_quantiles_sketch",
     # --- never driver-checked, self-sweep only ---
     "dedup_ngram_jaccard",
     "corpus_mix_weights",
@@ -803,6 +805,29 @@ ex AS (
 SELECT TIMESTAMP '1970-01-01' + w * INTERVAL 1 DAY AS window_start,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM ex GROUP BY w
+""",
+        "rel_value_quantiles_sketch": """
+WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+binned AS (
+  SELECT least(CAST(floor((e.value - mm.lo) / ((mm.hi - mm.lo) / 8192)) AS BIGINT),
+               8191) AS bin
+  FROM events e, mm
+),
+hist AS (SELECT bin, count(*) AS k FROM binned GROUP BY bin),
+cum AS (
+  SELECT bin, sum(k) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ck
+  FROM hist
+),
+total AS (SELECT count(*) AS n FROM events),
+qs AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) t(q))
+SELECT q AS quantile,
+       round(mm.lo + (min_bin + 1) * ((mm.hi - mm.lo) / 8192), 6) AS value_upper
+FROM (
+  SELECT q, min(bin) AS min_bin
+  FROM qs, cum, total
+  WHERE ck >= ceil(q * n)
+  GROUP BY q
+), mm
 """,
         "rel_events_sessionize": """
 WITH flagged AS (

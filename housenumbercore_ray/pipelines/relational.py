@@ -1112,3 +1112,52 @@ def events_sessionize(sf_dir: str, gap_sec: int = 1800) -> rd.Dataset:
         .map_groups(lambda g: sessions_shard(g.drop(columns=["_shard"])),
                     batch_format="pandas")
     )
+
+
+def value_quantiles_sketch(sf_dir: str,
+                           qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                           bins: int = 8192) -> pd.DataFrame:
+    """APPROXIMATE quantiles over a continuous (unbounded-domain) column —
+    the sketch path that rel_price_quantiles (exact, bounded integer cents)
+    cannot take. Two streaming passes: (1) global min/max aggregate,
+    (2) fixed-width histogram partials per batch → one O(bins) combine.
+    The reported value is the UPPER edge of the bin where the cumulative
+    count first reaches ceil(q·N), so the error is bounded by one bin width
+    ((max−min)/bins) at ANY data size — the same state-bounded shape as the
+    HLL/CMS/Bloom sketches on the counting side. Deterministic (no
+    sampling), so the SQL oracle states the identical bin arithmetic.
+
+    Scale shape: pass 1 is an O(1)-state aggregate; pass 2 moves only
+    per-batch bin partials (≤ bins rows each); the driver finish is O(bins)
+    regardless of row count."""
+    col = "value"
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=[col])
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(mm[f"min({col})"]), float(mm[f"max({col})"])
+    w = (hi - lo) / bins
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(np.float64)
+        bi = np.minimum(np.floor((v - lo) / w).astype(np.int64), bins - 1)
+        u, c = np.unique(bi, return_counts=True)
+        return pd.DataFrame({"bin": u, "k": c.astype(np.int64)})
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pandas")
+        .groupby("bin")
+        .aggregate(Sum("k", alias_name="k"))
+        .to_pandas()  # O(bins) — sketch state, never row data
+        .sort_values("bin")
+    )
+    total = int(hist["k"].sum())
+    cum = hist["k"].cumsum().to_numpy(np.int64)
+    edges = hist["bin"].to_numpy(np.int64)
+    rows = []
+    for q in qs:
+        need = int(np.ceil(q * total))
+        b = int(edges[np.searchsorted(cum, need, side="left")])
+        rows.append({"quantile": float(q),
+                     "value_upper": round(lo + (b + 1) * w, 6)})
+    return pd.DataFrame(rows)

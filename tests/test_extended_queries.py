@@ -77,7 +77,8 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "text_char_entropy", "geo_tile_aspect", "media_cdc_chunks",
             "theo_mom_diff", "text_triangles_sampled",
             "hnr_street_memberships", "hnr_knn_streets",
-            "rel_events_sessionize"]
+            "rel_events_sessionize",
+            "rel_value_quantiles_sketch"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)

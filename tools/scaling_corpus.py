@@ -52,18 +52,43 @@ ray.shutdown()
     raise RuntimeError(out[-2000:])
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    with open("/proc/stat") as f:
+        fields = f.readline().split()[1:]
+    vals = [int(x) for x in fields]
+    return (vals[7] if len(vals) > 7 else 0), sum(vals)
+
+
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    max_frac = float(os.environ.get("GRAFT_STEAL_MAX_FRAC", "0.015"))
     lo_runs, hi_runs = [], []
+
+    def timed(ncpu: int) -> tuple[float, float]:
+        s0, t0 = _cpu_jiffies()
+        sec = _one(ncpu)
+        s1, t1 = _cpu_jiffies()
+        return sec, round((s1 - s0) / max(1, t1 - t0), 4)
+
     for _ in range(reps):
-        lo_runs.append(_one(8))
-        hi_runs.append(_one(32))
-    lo, hi = min(lo_runs), min(hi_runs)
+        lo_runs.append(timed(8))
+        hi_runs.append(timed(32))
+
+    def pick(runs):
+        valid = [r for r in runs if r[1] <= max_frac]
+        return min(valid or runs, key=lambda r: r[0])[0], bool(valid)
+
+    lo, lo_clean = pick(lo_runs)
+    hi, hi_clean = pick(hi_runs)
     print(json.dumps({
         "metric": "corpus-op scaling (web_line_dedup, bench4 world 3.2M pages)",
         "sec_8": round(lo, 2), "sec_32": round(hi, 2),
-        "sec_8_all": [round(x, 2) for x in lo_runs],
-        "sec_32_all": [round(x, 2) for x in hi_runs],
+        "sec_8_all": [round(x, 2) for x, _ in lo_runs],
+        "sec_32_all": [round(x, 2) for x, _ in hi_runs],
+        "steal_frac_8": [s for _, s in lo_runs],
+        "steal_frac_32": [s for _, s in hi_runs],
+        "steal_max_frac": max_frac,
+        "steal_gate_clean": lo_clean and hi_clean,
         "scaling_efficiency": round((lo / hi) / 4.0, 3),
     }))
 
