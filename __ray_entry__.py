@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_bloom_seen": lambda sf: corpus.bloom_seen(_world(sf)),
         "web_distinct_urls_hll": lambda sf: corpus.distinct_urls_hll(_world(sf)),
         "dedup_components": lambda sf: corpus.dedup_components(sf),
+        "corpus_dedup_keep_best": lambda sf: corpus.dedup_keep_best(sf),
         "corpus_cms_counts": lambda sf: corpus.cms_token_counts(sf),
         "web_snapshot_diff": lambda sf: corpus.snapshot_diff(_world(sf)),
         "web_incremental_new": lambda sf: corpus.incremental_new_content(_world(sf)),
@@ -324,6 +325,7 @@ _R4_WINDOW_PRIORITY = [
     "hnr_knn_streets",
     "rel_events_sessionize",
     "rel_value_quantiles_sketch",
+    "corpus_dedup_keep_best",
     # --- never driver-checked, self-sweep only ---
     "dedup_ngram_jaccard",
     "corpus_mix_weights",
@@ -557,6 +559,7 @@ FROM t
         "web_bloom_seen": co.bloom_seen_sql(world_dir),
         "web_distinct_urls_hll": co.distinct_hll_sql(world_dir),
         "dedup_components": co.dedup_components_sql(),
+        "corpus_dedup_keep_best": co.dedup_keep_best_sql(),
         "dedup_ngram_jaccard": co.ngram_jaccard_pairs_sql(),
         "corpus_cms_counts": co.cms_counts_sql(),
         "web_jsonl_import": f"""

@@ -5601,3 +5601,71 @@ def media_cdc_chunks(world_dir: str) -> rd.Dataset:
                              "chunk_md5": pd.Series(md5s, dtype=object)})
 
     return pages.map_batches(chunks, batch_format="pandas", batch_size=256)
+
+
+def dedup_keep_best(sf_dir: str) -> rd.Dataset:
+    """The curation DECISION on top of near-dup clustering: for every
+    MinHash connected component (dedup_components), keep its LONGEST member
+    (most whitespace tokens; doc_id breaks exact ties) — the standard
+    keep-longest rule corpus dedup pipelines apply after clustering. One
+    row per cluster: keep_doc_id, kept_n_tokens, n_members.
+
+    Integer-exact ranking (token counts, never float scores), so the SQL
+    oracle states the identical rule with zero FP-ordering risk.
+
+    Scale shape: components labels and per-doc token counts join inside
+    doc_id-hash shards (both sides stream; no broadcast of per-doc state),
+    then one cluster-hash sharded reduce does the vectorized
+    argmax+count — two bounded shuffles, output is one row per cluster."""
+    comp = dedup_components(sf_dir)
+
+    def toks(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "n_tokens": t.str.split().str.len().fillna(0).to_numpy(np.int64),
+        })
+
+    tok = _docs(sf_dir).map_batches(toks, batch_format="pandas")
+
+    def tag(side: str):
+        def add(b: pd.DataFrame) -> pd.DataFrame:
+            return b.assign(_side=side)
+        return add
+
+    def join_shard(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["_side"] == "c"][["doc_id", "cluster"]]
+        q = g[g["_side"] == "q"][["doc_id", "n_tokens"]]
+        m = c.merge(q, on="doc_id")
+        return m.astype({"doc_id": np.int64, "cluster": np.int64,
+                         "n_tokens": np.int64})
+
+    joined = (
+        comp.map_batches(tag("c"), batch_format="pandas")
+        .union(tok.map_batches(tag("q"), batch_format="pandas"))
+        .map_batches(_shard_on(["doc_id"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(lambda g: join_shard(g.drop(columns=["_shard"])),
+                    batch_format="pandas")
+    )
+
+    def keep_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cluster", "n_tokens", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        sizes = g.groupby("cluster", sort=False).size()
+        first = g.drop_duplicates("cluster", keep="first")
+        return pd.DataFrame({
+            "cluster": first["cluster"].to_numpy(np.int64),
+            "keep_doc_id": first["doc_id"].to_numpy(np.int64),
+            "kept_n_tokens": first["n_tokens"].to_numpy(np.int64),
+            "n_members": sizes.loc[first["cluster"]].to_numpy(np.int64),
+        })
+
+    return (
+        joined.map_batches(_shard_on(["cluster"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(lambda g: keep_shard(g.drop(columns=["_shard"])),
+                    batch_format="pandas")
+    )

@@ -1874,3 +1874,31 @@ SELECT c.url, CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
        md5(substr(p.hx, 2*c.start + 1, 2*c.length)) AS chunk_md5
 FROM chunks c JOIN p USING (url)
 """
+
+
+def dedup_keep_best_sql(src: str = "documents") -> str:
+    """corpus_dedup_keep_best: components recomputed via the recursive
+    closure, token counts via the shared whitespace-token expression, then
+    the keep-longest rule as a plain window rank (n_tokens DESC, doc_id) —
+    integer-only ordering, so no FP-argmax ambiguity exists between the
+    engines."""
+    comp = dedup_components_sql(src)
+    ntok = ("CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE length(string_split_regex(trim(text), '\\s+')) END")
+    return f"""
+WITH comp AS (SELECT * FROM ({comp})),
+tok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST({ntok} AS BIGINT) AS n_tokens FROM {src}),
+j AS (SELECT c.cluster, c.doc_id, t.n_tokens
+      FROM comp c JOIN tok t USING (doc_id)),
+r AS (SELECT cluster, doc_id, n_tokens,
+             count(*) OVER (PARTITION BY cluster) AS n_members,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM j)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(doc_id AS BIGINT) AS keep_doc_id,
+       CAST(n_tokens AS BIGINT) AS kept_n_tokens,
+       CAST(n_members AS BIGINT) AS n_members
+FROM r WHERE rn = 1
+"""

@@ -78,7 +78,8 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "theo_mom_diff", "text_triangles_sampled",
             "hnr_street_memberships", "hnr_knn_streets",
             "rel_events_sessionize",
-            "rel_value_quantiles_sketch"]
+            "rel_value_quantiles_sketch",
+            "corpus_dedup_keep_best"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
