@@ -5669,3 +5669,89 @@ def dedup_keep_best(sf_dir: str) -> rd.Dataset:
         .map_groups(lambda g: keep_shard(g.drop(columns=["_shard"])),
                     batch_format="pandas")
     )
+
+
+def source_js_divergence(sf_dir: str) -> pd.DataFrame:
+    """Distribution-shift audit: per ``source`` the Jensen-Shannon
+    divergence (in bits) between that slice's token unigram distribution
+    and the WHOLE corpus's — the standard "how far does this domain drift
+    from the mix" signal used when rebalancing pre-training mixtures.
+
+    JSD(P_s‖Q) = ½ Σ_t p·log2(p/m) + ½ Σ_t q·log2(q/m), m = (p+q)/2.
+    Tokens absent from the slice (p = 0) contribute ½·q per token, so the
+    whole absent tail folds into one closed-form residual ½·(1 − cov_s)
+    where cov_s = Σ_{t ∈ slice} q(t) — no pass over the complement needed.
+
+    Scale shape: one streaming pass emits per-batch (token, source, k)
+    partials (per-batch pre-aggregation, so shuffle volume is bounded by
+    batches × per-batch vocab, not token occurrences); the fine per-token
+    reduce runs VECTORIZED inside ~N_SHARDS token-complete shards (the
+    two-level groupby pattern); per-source totals are an O(sources)
+    broadcast; the final combine is O(sources × shards) on the driver.
+    Output: (source, n_tokens, js_bits) — js_bits rounded to 6 so the
+    independent SQL summation order cannot flake the value hash.
+
+    Tokenization is the text_token_stats contract (exotic-ws normalize →
+    strip → split), bit-identical to the oracle's trim + '\\s+' split."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.textops import _norm_ws
+
+    docs = _docs(sf_dir, columns=("source", "text"))
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = _norm_ws(b["text"]).str.strip().str.split()
+        out = (pd.DataFrame({"source": b["source"], "tok": toks})
+               .explode("tok").dropna(subset=["tok"])
+               .groupby(["source", "tok"], sort=False).size()
+               .rename("k").reset_index())
+        out["k"] = out["k"].astype(np.int64)
+        return out
+
+    partials = docs.map_batches(count_partial, batch_format="pandas")
+
+    # per-source occurrence totals: tiny second streaming pass (O(sources)
+    # state), broadcast into the shard reduce below
+    totals = (
+        docs.map_batches(
+            lambda b: (pd.DataFrame({
+                "source": b["source"],
+                "n": _norm_ws(b["text"]).str.strip().str.split()
+                     .str.len().fillna(0).astype(np.int64)})
+                .groupby("source", sort=False)["n"].sum().reset_index()),
+            batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # O(sources) — audit-sized by definition
+    )
+    n_s = dict(zip(totals["source"], totals["n"].astype(np.int64)))
+    n_all = float(sum(n_s.values()))
+    ns_ref = ray.put(n_s)
+
+    def jsd_shard(g: pd.DataFrame) -> pd.DataFrame:
+        ns = ray.get(ns_ref)
+        c = (g.groupby(["tok", "source"], sort=False)["k"].sum()
+             .reset_index())
+        kg = c.groupby("tok", sort=False)["k"].transform("sum").to_numpy(np.float64)
+        q = kg / n_all
+        p = (c["k"].to_numpy(np.float64)
+             / c["source"].map(ns).to_numpy(np.float64))
+        m = 0.5 * (p + q)
+        part = 0.5 * p * np.log2(p / m) + 0.5 * q * np.log2(q / m)
+        agg = (pd.DataFrame({"source": c["source"], "part": part, "cov": q})
+               .groupby("source", sort=False).sum().reset_index())
+        return agg
+
+    per_shard = (
+        partials.map_batches(_shard_on(["tok"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(lambda g: jsd_shard(g.drop(columns=["_shard"])),
+                    batch_format="pandas")
+        .to_pandas()  # O(sources × shards)
+    )
+    fin = per_shard.groupby("source", sort=False).sum().reset_index()
+    fin["js_bits"] = (fin["part"] + 0.5 * (1.0 - fin["cov"])).round(6)
+    fin["n_tokens"] = fin["source"].map(n_s).astype(np.int64)
+    return (fin[["source", "n_tokens", "js_bits"]]
+            .sort_values("source").reset_index(drop=True))

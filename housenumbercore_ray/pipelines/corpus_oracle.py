@@ -1902,3 +1902,36 @@ SELECT CAST(cluster AS BIGINT) AS cluster,
        CAST(n_members AS BIGINT) AS n_members
 FROM r WHERE rn = 1
 """
+
+
+def source_js_divergence_sql() -> str:
+    """corpus_js_divergence: per-source JSD (bits) vs the whole-corpus
+    unigram distribution; absent-token tail folded into ½·(1 − cov)."""
+    return """
+WITH tok AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS ts
+  FROM documents
+),
+tl AS (SELECT source, unnest(ts) AS t FROM tok),
+c AS (SELECT source, t, CAST(count(*) AS DOUBLE) AS k FROM tl GROUP BY 1, 2),
+ns AS (SELECT source, sum(k) AS n FROM c GROUP BY 1),
+g AS (SELECT t, sum(k) AS kg FROM c GROUP BY 1),
+tot AS (SELECT sum(k) AS nn FROM c),
+terms AS (
+  SELECT c.source, c.k / ns.n AS p, g.kg / tot.nn AS q
+  FROM c JOIN ns USING (source) JOIN g USING (t) CROSS JOIN tot
+),
+agg AS (
+  SELECT source,
+         sum(0.5 * p * log2(p / ((p + q) / 2))
+             + 0.5 * q * log2(q / ((p + q) / 2))) AS part,
+         sum(q) AS cov
+  FROM terms GROUP BY 1
+)
+SELECT agg.source, CAST(ns.n AS BIGINT) AS n_tokens,
+       round(agg.part + 0.5 * (1 - agg.cov), 6) AS js_bits
+FROM agg JOIN ns USING (source)
+ORDER BY agg.source
+"""

@@ -1161,3 +1161,54 @@ def value_quantiles_sketch(sf_dir: str,
         rows.append({"quantile": float(q),
                      "value_upper": round(lo + (b + 1) * w, 6)})
     return pd.DataFrame(rows)
+
+
+def _skyline_mask(size: np.ndarray, price: np.ndarray) -> np.ndarray:
+    """Vectorized 2-d skyline (maximize size, minimize price): keep row i
+    iff no row has size ≥ AND price ≤ with at least one strict.  Sort by
+    (size desc, price asc); within a size group only the group-min price
+    survives, and only when it beats the prefix-min price over strictly
+    larger sizes (ties on BOTH dims are mutually non-dominating → all
+    kept)."""
+    order = np.lexsort((price, -size))
+    s, p = size[order], price[order]
+    new_grp = np.r_[True, s[1:] != s[:-1]]
+    gid = np.cumsum(new_grp) - 1
+    grp_min = p[new_grp]  # price asc within group → first row is group min
+    before = np.concatenate(([np.inf], np.minimum.accumulate(grp_min)[:-1]))
+    keep_sorted = (p == grp_min[gid]) & (p < before[gid])
+    keep = np.zeros(len(size), dtype=bool)
+    keep[order[keep_sorted]] = True
+    return keep
+
+
+def skyline_parts(sf_dir: str) -> rd.Dataset:
+    """Pareto frontier (skyline) over ``part``: the parts for which no
+    other part is simultaneously at-least-as-large (p_size) and
+    at-most-as-expensive (p_retailprice), strict in one dimension — the
+    classic multi-criteria shortlist operator.
+
+    Distributed shape: the skyline of any SUBSET contains every global
+    skyline member present in it, so the local-prune / global-merge
+    decomposition is exact — each block shrinks to its own frontier
+    (vectorized sort + prefix-min, E[frontier] ≈ ln n rows for random
+    2-d data), and only those survivors (tiny) gather into one final
+    exact pass.  Shuffle volume is O(Σ local frontiers), never O(rows).
+    Output: (p_partkey, p_size, p_retailprice)."""
+    cols = ["p_partkey", "p_size", "p_retailprice"]
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        m = _skyline_mask(b["p_size"].to_numpy(np.int64),
+                          b["p_retailprice"].to_numpy(np.float64))
+        return b.loc[m, cols]
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        out = local(b).sort_values("p_partkey", kind="mergesort")
+        return out.astype({"p_partkey": np.int64, "p_size": np.int64})
+
+    return (
+        rd.read_parquet(f"{sf_dir}/part.parquet", columns=cols)
+        .map_batches(local, batch_format="pandas")
+        .repartition(1)  # survivors only — frontier-sized, not table-sized
+        .map_batches(final, batch_format="pandas")
+    )

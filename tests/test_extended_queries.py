@@ -79,7 +79,8 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "hnr_street_memberships", "hnr_knn_streets",
             "rel_events_sessionize",
             "rel_value_quantiles_sketch",
-            "corpus_dedup_keep_best"]
+            "corpus_dedup_keep_best",
+            "rel_skyline", "corpus_js_divergence"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)

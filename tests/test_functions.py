@@ -209,3 +209,22 @@ class TestExtractMalformedBytes:
         out = CandidateExtractor(prefilter=False)(batch)
         # the one well-formed mention (valid utf-8 case) is still found
         assert "u4" in set(out["url"].to_pylist())
+
+
+def test_skyline_mask_matches_bruteforce():
+    """_skyline_mask == O(n²) dominance definition, incl. duplicate points
+    (mutually non-dominating) and equal-size / equal-price ties."""
+    import numpy as np
+
+    from housenumbercore_ray.pipelines.relational import _skyline_mask
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(1, 60))
+        size = rng.integers(1, 8, n)
+        price = rng.integers(1, 8, n).astype(np.float64)
+        got = _skyline_mask(size, price)
+        dom = ((size[:, None] >= size[None, :]) & (price[:, None] <= price[None, :])
+               & ((size[:, None] > size[None, :]) | (price[:, None] < price[None, :])))
+        want = ~dom.any(axis=0)
+        assert (got == want).all(), (trial, size.tolist(), price.tolist())
