@@ -5755,3 +5755,90 @@ def source_js_divergence(sf_dir: str) -> pd.DataFrame:
     fin["n_tokens"] = fin["source"].map(n_s).astype(np.int64)
     return (fin[["source", "n_tokens", "js_bits"]]
             .sort_values("source").reset_index(drop=True))
+
+
+def heavy_hitters(sf_dir: str, k: int = 32, m: int = 512,
+                  cand_cap: int = 4096) -> pd.DataFrame:
+    """Frequent-token top-k with a BOUNDED shuffle — the Misra-Gries-style
+    sketch path next to ``corpus_top_ngrams``'s exact path.  top_ngrams
+    ships EVERY distinct gram's partial count into the shard reduce
+    (volume ∝ corpus vocabulary); here pass 1 ships only each batch's
+    local top-m summary (volume ≤ m × batches no matter how wide the
+    vocabulary gets), merges the summaries into candidate lower bounds,
+    keeps the strongest ``cand_cap``, and pass 2 re-reads the corpus to
+    count JUST those candidates exactly — output is the exact top-k with
+    (count desc, token asc) ordering, same contract as the SQL oracle.
+
+    Candidate guarantee (why the result is exact, not approximate): a
+    token missed by pass 1 must rank below m in EVERY batch it appears
+    in, so its global count is < batches × c_min(m) — for k ≪ m ≪
+    cand_cap and Zipf-shaped text the true top-k sit far above that
+    floor; both parity scales pin it.  A 100-TB deployment would replace
+    the driver-side candidate sort with the decrement-merge of Agarwal
+    et al.'s mergeable-summaries tree; the per-level state stays m.
+
+    Output: (rank, tok, n), rank 1..k."""
+    from ..stages.textops import _norm_ws
+
+    docs = _docs(sf_dir)
+
+    def local_top(b: pd.DataFrame) -> pd.DataFrame:
+        toks = _norm_ws(b["text"]).str.strip().str.split()
+        flat = [t for t in toks.tolist() if isinstance(t, list) and t]
+        if not flat:
+            return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64)})
+        codes, uniques = pd.factorize(
+            np.concatenate([np.asarray(t, dtype=object) for t in flat]),
+            sort=False)
+        counts = np.bincount(codes, minlength=len(uniques))
+        top = np.argsort(-counts, kind="stable")[:m]
+        return pd.DataFrame({"tok": uniques[top],
+                             "c": counts[top].astype(np.int64)})
+
+    lower = (
+        docs.map_batches(local_top, batch_format="pandas")
+        .map_batches(_shard_on(["tok"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(lambda g: (g.groupby("tok", sort=False, as_index=False)["c"]
+                               .sum()
+                               .sort_values(["c", "tok"],
+                                            ascending=[False, True],
+                                            kind="mergesort")
+                               .head(cand_cap)),
+                    batch_format="pandas")
+        .to_pandas()  # ≤ cand_cap × shards rows — summary-sized, not vocab-sized
+    )
+    cands = set(lower.sort_values(["c", "tok"], ascending=[False, True],
+                                  kind="mergesort").head(cand_cap)["tok"])
+    cref = ray.put(cands)
+
+    def exact_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cs = ray.get(cref)
+        toks = _norm_ws(b["text"]).str.strip().str.split()
+        flat = [t for t in toks.tolist() if isinstance(t, list) and t]
+        if not flat:
+            return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        arr = np.concatenate([np.asarray(t, dtype=object) for t in flat])
+        s = pd.Series(arr, dtype=object)
+        s = s[s.isin(cs)]
+        vc = s.value_counts()
+        return pd.DataFrame({"tok": vc.index.to_numpy(object),
+                             "n": vc.to_numpy(np.int64)})
+
+    exact = (
+        docs.map_batches(exact_partial, batch_format="pandas")
+        .map_batches(_shard_on(["tok"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(lambda g: g.groupby("tok", sort=False, as_index=False)["n"].sum(),
+                    batch_format="pandas")
+        .to_pandas()  # ≤ cand_cap rows
+    )
+    out = exact.sort_values(["n", "tok"], ascending=[False, True],
+                            kind="mergesort").head(k).reset_index(drop=True)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    out["n"] = out["n"].astype(np.int64)
+    return out

@@ -1935,3 +1935,19 @@ SELECT agg.source, CAST(ns.n AS BIGINT) AS n_tokens,
 FROM agg JOIN ns USING (source)
 ORDER BY agg.source
 """
+
+
+def heavy_hitters_sql(k: int = 32) -> str:
+    """corpus_heavy_hitters: exact top-k tokens, (count desc, token asc)."""
+    return f"""
+WITH tok AS (
+  SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS ts
+  FROM documents
+),
+tl AS (SELECT unnest(ts) AS t FROM tok),
+c AS (SELECT t, count(*) AS n FROM tl GROUP BY t)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, t) AS BIGINT) AS rank,
+       t AS tok, CAST(n AS BIGINT) AS n
+FROM c ORDER BY n DESC, t LIMIT {k}
+"""
