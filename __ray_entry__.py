@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_skyline": relational.skyline_parts,
         "corpus_js_divergence": corpus.source_js_divergence,
         "corpus_heavy_hitters": lambda sf: corpus.heavy_hitters(sf),
+        "text_perplexity_buckets": corpus.perplexity_buckets,
     }
     # Driver correctness windows are the FIRST 50 registry entries per
     # round (observed r03). Rounds 1-3 verified 94 distinct queries; the
@@ -325,6 +326,7 @@ _R4_WINDOW_PRIORITY = [
     "rel_skyline",
     "corpus_js_divergence",
     "corpus_heavy_hitters",
+    "text_perplexity_buckets",
     "theo_mom_diff",
     "text_triangles_sampled",
     "hnr_street_memberships",
@@ -957,6 +959,7 @@ GROUP BY q.quantile
     out["corpus_quality_filter"] = co.quality_filter_sql(out["text_quality_classifier"])
     out["corpus_js_divergence"] = co.source_js_divergence_sql()
     out["corpus_heavy_hitters"] = co.heavy_hitters_sql()
+    out["text_perplexity_buckets"] = co.perplexity_buckets_sql()
     out["rel_skyline"] = """
 SELECT CAST(a.p_partkey AS BIGINT) AS p_partkey,
        CAST(a.p_size AS BIGINT) AS p_size, a.p_retailprice

@@ -5842,3 +5842,82 @@ def heavy_hitters(sf_dir: str, k: int = 32, m: int = 512,
     out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
     out["n"] = out["n"].astype(np.int64)
     return out
+
+
+def perplexity_buckets(sf_dir: str) -> rd.Dataset:
+    """CCNet-style head/middle/tail curation (Wenzek et al. 2020): every
+    scored document lands in a per-language perplexity tertile of the
+    trigram stupid-backoff nll (``text_trigram_lm``'s score) — 'head' is
+    the cleanest third, the bucket CCNet trains on first.
+
+    Tertile rule (tie-stable, no per-row rank): the cuts are the
+    ceil(n/3)-th and ceil(2n/3)-th order statistics of the ROUND-6 nll
+    per language; rows at a cut score go to the lower bucket. Both sides
+    state the same rule, so ties can't flake the comparison.
+
+    Scale shape: the score table (doc_id, nll — O(docs) rows of numbers,
+    not text) joins ``lang`` via the bucketed hash join; the cut search
+    runs on a (lang, nll·1e6) count table whose size is bounded by the
+    6-decimal GRID of the nll range (log-probs live in a few units), the
+    same value-domain-histogram trick as quality_percentile_filter; the
+    assignment pass is a stateless vectorized broadcast filter. No global
+    sort anywhere. Output: (doc_id, lang, nll_r, bucket)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import bucketed_hash_join
+
+    scores = trigram_lm_scores(sf_dir)
+    langs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+    j = bucketed_hash_join(
+        scores, langs, "doc_id", "doc_id",
+        left_schema={"doc_id": pa.int64(), "n_trigrams": pa.int64(),
+                     "nll": pa.float64()},
+        right_schema={"doc_id": pa.int64(), "lang": pa.string()},
+    ).materialize()  # scored-rows table (numbers only) — reused by 2 passes
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        s6 = np.rint(np.round(b["nll"].to_numpy(np.float64), 6) * 1e6).astype(np.int64)
+        key = b["lang"].astype(str) + "|" + pd.Series(s6, index=b.index).astype(str)
+        cnt = key.value_counts()
+        return pd.DataFrame({"key": cnt.index.to_numpy(object),
+                             "cnt": cnt.to_numpy(np.int64)})
+
+    hist_rows = (j.map_batches(hist_partial, batch_format="pandas")
+                 .groupby("key").aggregate(Sum("cnt")).take_all())
+    per_lang: dict[str, list[tuple[int, int]]] = {}
+    for r in hist_rows:
+        lang, s6s = r["key"].rsplit("|", 1)
+        per_lang.setdefault(lang, []).append((int(s6s), int(r["sum(cnt)"])))
+    cuts: dict[str, tuple[int, int]] = {}
+    for lang, bins in per_lang.items():
+        n = sum(c for _, c in bins)
+        need1 = -(-n // 3)            # ceil(n/3)
+        need2 = -(-2 * n // 3)        # ceil(2n/3)
+        c1 = c2 = None
+        cum = 0
+        for s6, c in sorted(bins):
+            cum += c
+            if c1 is None and cum >= need1:
+                c1 = s6
+            if c2 is None and cum >= need2:
+                c2 = s6
+                break
+        cuts[lang] = (c1, c2)
+    cref = ray.put(cuts)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        cs = ray.get(cref)
+        nll_r = np.round(b["nll"].to_numpy(np.float64), 6)
+        s6 = np.rint(nll_r * 1e6).astype(np.int64)
+        lang = b["lang"].astype(str)
+        c1 = lang.map(lambda x: cs[x][0]).to_numpy(np.int64)
+        c2 = lang.map(lambda x: cs[x][1]).to_numpy(np.int64)
+        bucket = np.where(s6 <= c1, "head",
+                          np.where(s6 <= c2, "middle", "tail"))
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
+                             "lang": lang.to_numpy(object),
+                             "nll_r": nll_r, "bucket": bucket})
+
+    return j.map_batches(assign, batch_format="pandas")

@@ -1951,3 +1951,29 @@ SELECT CAST(row_number() OVER (ORDER BY n DESC, t) AS BIGINT) AS rank,
        t AS tok, CAST(n AS BIGINT) AS n
 FROM c ORDER BY n DESC, t LIMIT {k}
 """
+
+
+def perplexity_buckets_sql() -> str:
+    """text_perplexity_buckets: per-lang tertiles of the round-6 trigram
+    nll; cuts at the ceil(n/3)/ceil(2n/3) order statistics, ties to the
+    lower bucket — the same rule the engine states."""
+    return f"""
+WITH s AS ({trigram_lm_sql()}),
+j AS (SELECT s.doc_id, d.lang,
+             round(s.nll, 6) AS nll_r,
+             CAST(round(round(s.nll, 6) * 1e6) AS BIGINT) AS s6
+      FROM s JOIN documents d USING (doc_id)),
+n AS (SELECT lang, count(*) AS n FROM j GROUP BY 1),
+h AS (SELECT lang, s6, count(*) AS c FROM j GROUP BY 1, 2),
+cum AS (SELECT lang, s6, sum(c) OVER (PARTITION BY lang ORDER BY s6) AS ck
+        FROM h),
+cuts AS (SELECT cum.lang,
+                min(s6) FILTER (WHERE ck >= ceil(n.n / 3.0)) AS c1,
+                min(s6) FILTER (WHERE ck >= ceil(2.0 * n.n / 3.0)) AS c2
+         FROM cum JOIN n USING (lang) GROUP BY 1)
+SELECT j.doc_id, j.lang, j.nll_r,
+       CASE WHEN j.s6 <= c.c1 THEN 'head'
+            WHEN j.s6 <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM j JOIN cuts c USING (lang)
+"""
