@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_js_divergence": corpus.source_js_divergence,
         "corpus_heavy_hitters": lambda sf: corpus.heavy_hitters(sf),
         "text_perplexity_buckets": corpus.perplexity_buckets,
+        "rel_bloom_join": relational.bloom_pruned_revenue,
     }
     # Driver correctness windows are the FIRST 50 registry entries per
     # round (observed r03). Rounds 1-3 verified 94 distinct queries; the
@@ -327,6 +328,7 @@ _R4_WINDOW_PRIORITY = [
     "corpus_js_divergence",
     "corpus_heavy_hitters",
     "text_perplexity_buckets",
+    "rel_bloom_join",
     "theo_mom_diff",
     "text_triangles_sampled",
     "hnr_street_memberships",
@@ -960,6 +962,16 @@ GROUP BY q.quantile
     out["corpus_js_divergence"] = co.source_js_divergence_sql()
     out["corpus_heavy_hitters"] = co.heavy_hitters_sql()
     out["text_perplexity_buckets"] = co.perplexity_buckets_sql()
+    out["rel_bloom_join"] = """
+SELECT n.n_name, round(sum(o.o_totalprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
     out["rel_skyline"] = """
 SELECT CAST(a.p_partkey AS BIGINT) AS p_partkey,
        CAST(a.p_size AS BIGINT) AS p_size, a.p_retailprice

@@ -1212,3 +1212,122 @@ def skyline_parts(sf_dir: str) -> rd.Dataset:
         .repartition(1)  # survivors only — frontier-sized, not table-sized
         .map_batches(final, batch_format="pandas")
     )
+
+
+def _splitmix_bits(v: np.ndarray, seed: int, m_bits: int) -> np.ndarray:
+    """Vectorized splitmix64 finalizer → bloom bit positions. Numeric keys
+    get a numeric hash (no md5 round-trip): the bloom here is an internal
+    pruning structure, so the hash only needs speed + determinism, not
+    SQL replayability (web_bloom_seen pins the replayable-bloom path)."""
+    with np.errstate(over="ignore"):
+        x = v.astype(np.uint64) + np.uint64(seed)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return (x % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_pruned_revenue(sf_dir: str, region: str = "ASIA",
+                         m_bits: int = 1 << 20, k_hashes: int = 4) -> rd.Dataset:
+    """Bloom-semi-join pushdown (the pre-shuffle pruning classic): revenue
+    per nation over orders whose customer sits in ``region``, where the
+    fact side is pruned by a BLOOM of the qualifying customer keys before
+    it ever reaches the exact join.
+
+    Why this exists next to the plain joins: at 100 TB the qualifying key
+    SET can outgrow a broadcast (10⁹ keys × 8 B), but a bloom is a fixed
+    m-bit bitmap (128 KiB here, a few GiB for 10⁹ keys at 1% fp) — ship
+    the bitmap, drop the ~1−sel of fact rows that cannot match, and let
+    the surviving sliver pay the exact bucketed hash join, which also
+    removes the bloom's false positives. The bloom therefore never
+    affects RESULTS, only shuffle volume — the oracle is the plain join,
+    and `log()`-style pruning stats stay out of the output contract.
+
+    Output: (n_name, revenue, n_orders)."""
+    import pyarrow as pa
+
+    from ..pipelines.corpus import _shard_on, _shuffle_blocks
+    from ..stages.join import bucketed_hash_join
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0]
+    dim = nation[nation["n_regionkey"] == rkey]
+    nat_names = dict(zip(dim["n_nationkey"].astype(int), dim["n_name"]))
+    dim_ref = ray.put(nat_names)
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+
+    def in_region(b: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(dim_ref)
+        return b.loc[b["c_nationkey"].isin(keys)]
+
+    cust_r = cust.map_batches(in_region, batch_format="pandas")
+
+    # --- build: per-batch distinct bit positions → sharded distinct →
+    # bounded driver bitmap (m/8 bytes) → ray.put once
+    def bit_rows(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["c_custkey"].to_numpy(np.int64)
+        bits = np.concatenate([_splitmix_bits(v, s, m_bits)
+                               for s in range(k_hashes)])
+        return pd.DataFrame({"bit": np.unique(bits)})
+
+    bits = (
+        cust_r.map_batches(bit_rows, batch_format="pandas")
+        .map_batches(_shard_on(["bit"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(lambda g: pd.DataFrame(
+            {"bit": np.unique(g["bit"].to_numpy(np.int64))}),
+            batch_format="pandas")
+        .to_pandas()["bit"].to_numpy(np.int64)  # ≤ m_bits rows — bitmap-bounded
+    )
+    bitmap = np.zeros(m_bits, dtype=bool)
+    bitmap[bits] = True
+    bm_ref = ray.put(np.packbits(bitmap))
+
+    # --- probe: stateless vectorized prune of the fact stream
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        bm = np.unpackbits(ray.get(bm_ref)).view(bool)
+        v = b["o_custkey"].to_numpy(np.int64)
+        ok = np.ones(len(v), dtype=bool)
+        for s in range(k_hashes):
+            ok &= bm[_splitmix_bits(v, s, m_bits)]
+        return b.loc[ok]
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(probe, batch_format="pandas")
+
+    # --- exact join on the survivors removes bloom false positives
+    oc = bucketed_hash_join(
+        orders, cust_r, "o_custkey", "c_custkey",
+        left_schema={"o_custkey": pa.int64(), "o_totalprice": pa.float64()},
+        right_schema={"c_custkey": pa.int64(), "c_nationkey": pa.int64()},
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        names = ray.get(dim_ref)
+        g = (b.assign(n_name=b["c_nationkey"].astype(int).map(names))
+             .groupby("n_name", sort=False)
+             .agg(revenue=("o_totalprice", "sum"),
+                  n_orders=("o_totalprice", "size"))
+             .reset_index())
+        return g
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["revenue"] = b["revenue"].round(2)
+        b["n_orders"] = b["n_orders"].astype(np.int64)
+        return b
+
+    return (
+        oc.map_batches(partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"),
+                   Sum("n_orders", alias_name="n_orders"))
+        .map_batches(finish, batch_format="pandas")
+    )
