@@ -69,6 +69,14 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     # warm the OS page cache so we measure compute+shuffle, not first disk read
     ev.read_pages(wd).count()
+    if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") != "1":
+        # same policy for the driver tables the secondary queries read —
+        # without this the first sf_dir query (dedup_exact) pays the whole
+        # first-disk-read cost (measured 4.3 s cold vs 1.0 s steady)
+        for _tbl in ("documents", "orders", "lineitem", "events", "embeddings"):
+            with open(f"{sf_dir}/{_tbl}.parquet", "rb") as _f:
+                while _f.read(1 << 24):
+                    pass
 
     queries: dict[str, float] = {}
 
