@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": corpus.minhash_near_dup_pairs,
         "dedup_minhash_pages": lambda sf: corpus.minhash_page_pairs(_world(sf)),
         "dedup_ngram_jaccard": corpus.ngram_jaccard_pairs,
+        "dedup_ngram_containment": corpus.ngram_containment_pairs,
         "dedup_simhash": corpus.doc_simhash,
         "dedup_simhash_pairs": corpus.simhash_near_dup_pairs,
         "dedup_winnow_pairs": corpus.winnow_dup_pairs,
@@ -573,6 +574,7 @@ FROM t
         "dedup_components": co.dedup_components_sql(),
         "corpus_dedup_keep_best": co.dedup_keep_best_sql(),
         "dedup_ngram_jaccard": co.ngram_jaccard_pairs_sql(),
+        "dedup_ngram_containment": co.ngram_containment_pairs_sql(),
         "corpus_cms_counts": co.cms_counts_sql(),
         "web_jsonl_import": f"""
 SELECT url, CAST(ts_us AS BIGINT) AS ts_us, lang,

@@ -2209,9 +2209,15 @@ def _sig_estimate_filter(pairs: rd.Dataset, docs: rd.Dataset,
 
 
 def _verify_pairs_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
-                          threshold: float) -> rd.Dataset:
-    """Exact n-gram-Jaccard verification of candidate pairs with ZERO
-    driver-side text materialization — the 100-TB shape:
+                          threshold: float, metric: str = "jaccard") -> rd.Dataset:
+    """Exact n-gram set-similarity verification of candidate pairs with ZERO
+    driver-side text materialization — the 100-TB shape.
+
+    ``metric`` picks the set measure computed from the same shingle sets:
+    ``"jaccard"`` (|A∩B|/|A∪B|) or ``"containment"`` (|A∩B|/min(|A|,|B|),
+    the max-containment used to catch document INCLUSION — a short page
+    fully embedded in a longer one scores ~1.0 containment but low
+    Jaccard). The output similarity column is named after the metric.
 
       1. materialize the candidate pairs ONCE into the object store (they
          are O(~0.2% of corpus) rows of two int64s; spillable) — they feed
@@ -2256,7 +2262,7 @@ def _verify_pairs_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
         if len(m) == 0:
             return pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
                                  "doc_id_b": pd.Series([], dtype=np.int64),
-                                 "jaccard": pd.Series([], dtype=np.float64)})
+                                 metric: pd.Series([], dtype=np.float64)})
         # shingle sets computed once per unique text within the shard
         from ..stages.dedup import shingles as _sh
 
@@ -2272,14 +2278,19 @@ def _verify_pairs_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
         jac = np.empty(len(m), dtype=np.float64)
         for i, (ta, tb) in enumerate(zip(m["text_a"], m["text_b"])):
             sa, sb = sset(ta), sset(tb)
-            if not sa and not sb:
+            if metric == "containment":
+                denom = min(len(sa), len(sb))
+                # candidates always share a shingle, so denom==0 can only
+                # mean both sets empty (identical empty docs) -> 1.0
+                jac[i] = len(sa & sb) / denom if denom else 1.0
+            elif not sa and not sb:
                 jac[i] = 1.0
             else:
                 u = len(sa | sb)
                 jac[i] = len(sa & sb) / u if u else 0.0
-        m = m.assign(jaccard=jac)
-        m = m[m["jaccard"] >= threshold]
-        return m[["doc_id_a", "doc_id_b", "jaccard"]].astype(
+        m = m.assign(**{metric: jac})
+        m = m[m[metric] >= threshold]
+        return m[["doc_id_a", "doc_id_b", metric]].astype(
             {"doc_id_a": np.int64, "doc_id_b": np.int64})
 
     return (
@@ -2327,34 +2338,63 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     NOT suffer the random band-collision growth — the trade is one
     membership row per (doc, distinct shingle) instead of per (doc, band).
     """
-    from ..stages.dedup import _HashCache
-    from ..stages.dedup import shingles as _sh
-
-    class ShingleRows:
-        def __init__(self):
-            self._cache = _HashCache()
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            ids, shs = [], []
-            for doc_id, text in zip(b["doc_id"], b["text"]):
-                for s in _sh(text if isinstance(text, str) else ""):
-                    ids.append(doc_id)
-                    shs.append(s)
-            if not ids:
-                return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
-                                     "sh": pd.Series([], dtype=np.int64)})
-            codes, uniques = pd.factorize(np.asarray(shs, dtype=object), sort=False)
-            hv = self._cache.hash_unique(uniques)
-            return pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
-                                 "sh": pd.Series(hv[codes].view(np.int64))})
-
     docs = _docs(sf_dir)
-    rows = docs.map_batches(ShingleRows, batch_format="pandas", batch_size=1024,
+    rows = docs.map_batches(_ShingleRows, batch_format="pandas", batch_size=1024,
                             concurrency=_heavy_pool(), num_cpus=1)
     pairs = _pairs_from_buckets(rows, ["sh"], "doc_id", ["sh"],
                                 max_bucket=max_sh_docs,
                                 cap_metric="ngram_jaccard_capped_shingles")
     return _verify_pairs_jaccard(pairs, docs, threshold)
+
+
+class _ShingleRows:
+    """(doc_id, shingle-hash64) membership rows — the inverted-index feed
+    shared by the exact n-gram Jaccard and containment pair pipelines."""
+
+    def __init__(self):
+        from ..stages.dedup import _HashCache
+
+        self._cache = _HashCache()
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.dedup import shingles as _sh
+
+        ids, shs = [], []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            for s in _sh(text if isinstance(text, str) else ""):
+                ids.append(doc_id)
+                shs.append(s)
+        if not ids:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "sh": pd.Series([], dtype=np.int64)})
+        codes, uniques = pd.factorize(np.asarray(shs, dtype=object), sort=False)
+        hv = self._cache.hash_unique(uniques)
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
+                             "sh": pd.Series(hv[codes].view(np.int64))})
+
+
+def ngram_containment_pairs(sf_dir: str, threshold: float = 0.7,
+                            max_sh_docs: int = 64) -> rd.Dataset:
+    """Exact n-gram (word 3-shingle) max-CONTAINMENT near-dup pairs:
+    |A∩B| / min(|A|,|B|) ≥ threshold. The asymmetric-inclusion sibling of
+    :func:`ngram_jaccard_pairs` — a short page fully embedded in a longer
+    one (quote farms, syndicated excerpts, boilerplate-wrapped reposts)
+    scores ~1.0 containment while its Jaccard can be arbitrarily low, so
+    Jaccard-threshold dedup never surfaces it (Broder's resemblance vs
+    containment distinction; standard in crawl dedup).
+
+    Same 100-TB shape as the Jaccard path: shared inverted shingle index
+    (:class:`_ShingleRows`), hash-sharded boilerplate cap, bounded pair
+    expansion, semi-join text fetch, vectorized per-shard verify — only
+    the final set measure differs (``metric="containment"``).
+    """
+    docs = _docs(sf_dir)
+    rows = docs.map_batches(_ShingleRows, batch_format="pandas", batch_size=1024,
+                            concurrency=_heavy_pool(), num_cpus=1)
+    pairs = _pairs_from_buckets(rows, ["sh"], "doc_id", ["sh"],
+                                max_bucket=max_sh_docs,
+                                cap_metric="ngram_containment_capped_shingles")
+    return _verify_pairs_jaccard(pairs, docs, threshold, metric="containment")
 
 
 def _pages_with_ids(world_dir: str) -> rd.Dataset:

@@ -895,6 +895,41 @@ FROM j WHERE jac >= {threshold}
 """
 
 
+# ss lists are already distinct (see _shingles_cte), so plain len() is the
+# set cardinality
+_CONTAINMENT = ("CASE WHEN least(len({a}), len({b})) = 0 THEN 1.0 "
+                "ELSE CAST(len(list_intersect({a}, {b})) AS DOUBLE) "
+                "/ least(len({a}), len({b})) END")
+
+
+def ngram_containment_pairs_sql(src: str = "documents", threshold: float = 0.7,
+                                max_sh_docs: int = 64) -> str:
+    """dedup_ngram_containment: same candidate generation as the Jaccard
+    oracle (shared shingle under the boilerplate doc-frequency cap), then
+    exact max-containment |A∩B| / min(|A|,|B|) over the distinct
+    word-3-shingle sets, kept at >= threshold."""
+    return f"""
+WITH {_tokens_cte(src, "doc_id", "text")},
+{_shingles_cte()},
+inv AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+ok AS (SELECT s FROM inv GROUP BY s HAVING count(DISTINCT doc_id) <= {max_sh_docs}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN ok ON ok.s = a.s
+),
+j AS (
+  SELECT cand.da, cand.db, {_CONTAINMENT.format(a="sa.ss", b="sb.ss")} AS con
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.da
+  JOIN sh sb ON sb.doc_id = cand.db
+)
+SELECT CAST(da AS BIGINT) AS doc_id_a, CAST(db AS BIGINT) AS doc_id_b,
+       con AS containment
+FROM j WHERE con >= {threshold}
+"""
+
+
 def _plane_literals(dim: int, bits: int = 16, seed: int = 7) -> list[str]:
     """The SignedProjectionLSH planes as SQL double-list literals."""
     rng = np.random.RandomState(seed)

@@ -823,3 +823,65 @@ def test_line_dedup_antijoin_fallback_matches_broadcast(ray_session, tmp_path):
     assert (broadcast["n_boilerplate"] > 0).any()     # the rule actually fired
     assert (broadcast["n_boilerplate"] == 0).any()    # and left clean pages
     pd.testing.assert_frame_equal(broadcast, fallback)
+
+
+class TestNgramContainmentPairs:
+    """Containment vs Jaccard inclusion semantics: a short excerpt embedded
+    verbatim in a much longer page has containment 1.0 but low Jaccard, so
+    only the containment pipeline surfaces the pair."""
+
+    def test_inclusion_pair_found_only_by_containment(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from housenumbercore_ray.pipelines.corpus import (
+            ngram_containment_pairs, ngram_jaccard_pairs)
+
+        long_words = [f"wort{i}" for i in range(120)]
+        long_doc = " ".join(long_words)
+        excerpt = " ".join(long_words[40:52])     # 12 words => 10 shingles, all shared
+        other = " ".join(f"anders{i}" for i in range(40))
+        pq.write_table(
+            pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": [long_doc, excerpt, other]}),
+            tmp_path / "documents.parquet")
+
+        con = ngram_containment_pairs(str(tmp_path), threshold=0.9).to_pandas()
+        assert len(con) == 1
+        assert (int(con.iloc[0]["doc_id_a"]), int(con.iloc[0]["doc_id_b"])) == (1, 2)
+        assert con.iloc[0]["containment"] == 1.0
+
+        # Jaccard on the same pair is 10/118 — far below any usable threshold
+        jac = ngram_jaccard_pairs(str(tmp_path), threshold=0.5).to_pandas()
+        assert len(jac) == 0
+
+    def test_oracle_parity_small(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from housenumbercore_ray.pipelines.corpus import ngram_containment_pairs
+        from housenumbercore_ray.pipelines.corpus_oracle import (
+            ngram_containment_pairs_sql)
+
+        texts = []
+        base = [f"t{i}" for i in range(30)]
+        texts.append(" ".join(base))                       # 0
+        texts.append(" ".join(base[5:15]))                 # 1: contained in 0
+        texts.append(" ".join(base[:20] + ["extra", "x"])) # 2: high overlap w/ 0
+        texts.append("kurz")                               # 3: <3 tokens edge case
+        texts.append("")                                   # 4: empty
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": texts}),
+            tmp_path / "documents.parquet")
+
+        eng = (ngram_containment_pairs(str(tmp_path), threshold=0.6)
+               .to_pandas().sort_values(["doc_id_a", "doc_id_b"])
+               .reset_index(drop=True))
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+        ora = (con.sql(ngram_containment_pairs_sql(threshold=0.6)).df()
+               .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(eng[ora.columns], ora, check_dtype=False)
+        assert len(eng) >= 2      # the planted inclusion + high-overlap pairs

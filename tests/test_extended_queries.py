@@ -82,7 +82,7 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "corpus_dedup_keep_best",
             "rel_skyline", "corpus_js_divergence", "corpus_heavy_hitters",
             "text_perplexity_buckets", "rel_bloom_join",
-            "corpus_global_order"]
+            "corpus_global_order", "dedup_ngram_containment"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
