@@ -87,8 +87,15 @@ class MockTransport:
 
     ``script`` maps url → list of outcomes consumed in order; each outcome
     is either ``("ok", body_bytes, headers_dict)`` or ``("err", message)``.
-    The last outcome repeats once the list is exhausted.  Data-only, so the
-    factory ``lambda: MockTransport(script)`` pickles into Ray actors.
+    The last outcome repeats once the list is exhausted.  Data-only.
+
+    To ship a scripted factory into Ray actors use
+    ``functools.partial(MockTransport, script)`` — the class resolves by
+    importable reference and the script dict pickles by value.  A def or
+    lambda from a driver-only module (e.g. a test file) is serialized BY
+    REFERENCE to that module, which workers cannot import — the actor
+    constructor then fails on deserialization and the pool restarts
+    forever (a silent hang, not an error).
     """
 
     def __init__(self, script: dict[str, list[tuple]]):

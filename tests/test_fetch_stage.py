@@ -7,6 +7,7 @@ osm_base extraction) and HousenumberListDownload.java:38-301 (arbitrary
 content, validation off).
 """
 
+import functools
 import gzip
 
 import pyarrow as pa
@@ -144,9 +145,15 @@ SCRIPT = {
 }
 SCRIPT["https://ex/3"] = [("err", "always down")]
 
-
-def _factory():
-    return MockTransport(SCRIPT)
+# NOTE: the factory shipped into Ray actors must NOT be a def/lambda from
+# this module — cloudpickle serializes module-level functions of an
+# importable module BY REFERENCE, and Ray workers cannot import
+# `test_fetch_stage` (it is only on the driver's sys.path), which makes the
+# actor constructor fail on deserialization and the actor pool restart
+# forever (observed as a suite hang). functools.partial of the LIBRARY
+# class pickles the class by importable reference and the script dict by
+# value, so it deserializes anywhere.
+_factory = functools.partial(MockTransport, SCRIPT)
 
 
 class TestRayIntegration:
