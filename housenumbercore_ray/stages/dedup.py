@@ -353,3 +353,17 @@ def ngram_jaccard(a: str, b: str, width: int = 3) -> float:
     inter = len(sa & sb)
     union = len(sa | sb)
     return inter / union if union else 0.0
+
+
+def ngram_containment(a: str, b: str, width: int = 3) -> float:
+    """Max-containment |A∩B| / min(|A|,|B|) over ``width``-word shingle
+    sets — the pure sibling of the pipeline verify in
+    ``pipelines.corpus.ngram_containment_pairs`` (same denominator-zero
+    convention: both sets empty → 1.0). Always ≥ :func:`ngram_jaccard`
+    on the same pair; equals 1.0 whenever one text appears as a
+    contiguous word-substring (≥ ``width`` words) of the other."""
+    sa, sb = shingles(a, width), shingles(b, width)
+    denom = min(len(sa), len(sb))
+    if denom == 0:
+        return 1.0 if not sa and not sb else 0.0
+    return len(sa & sb) / denom

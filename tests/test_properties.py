@@ -316,3 +316,37 @@ class TestSupercoverProperties:
                 for c in cells:
                     assert any(abs(c[0] - d[0]) + abs(c[1] - d[1]) == 1
                                for d in cells if d != c)
+
+
+class TestContainmentProperties:
+    WORDS = st.lists(st.sampled_from([f"w{i}" for i in range(30)]),
+                     min_size=0, max_size=40)
+
+    @given(WORDS, WORDS)
+    def test_containment_dominates_jaccard(self, wa, wb):
+        from housenumbercore_ray.stages.dedup import ngram_containment, ngram_jaccard
+
+        a, b = " ".join(wa), " ".join(wb)
+        c, j = ngram_containment(a, b), ngram_jaccard(a, b)
+        assert 0.0 <= j <= c <= 1.0
+
+    @given(WORDS, st.data())
+    def test_contiguous_excerpt_has_containment_one(self, wa, data):
+        from housenumbercore_ray.stages.dedup import ngram_containment
+
+        if len(wa) < 3:
+            return
+        lo = data.draw(st.integers(0, len(wa) - 3))
+        hi = data.draw(st.integers(lo + 3, len(wa)))
+        a = " ".join(wa)
+        excerpt = " ".join(wa[lo:hi])
+        # every 3-shingle of a contiguous word-substring is a 3-shingle of
+        # the full text, so the excerpt side's set is a subset
+        assert ngram_containment(a, excerpt) == 1.0
+
+    @given(WORDS, WORDS)
+    def test_symmetric(self, wa, wb):
+        from housenumbercore_ray.stages.dedup import ngram_containment
+
+        a, b = " ".join(wa), " ".join(wb)
+        assert ngram_containment(a, b) == ngram_containment(b, a)
