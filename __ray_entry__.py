@@ -174,6 +174,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_dbscan": lambda sf: __import__(
             "housenumbercore_ray.pipelines.geometry", fromlist=["dbscan_clusters"]
         ).dbscan_clusters(_world(sf)),
+        "geo_nearest_address": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.geometry", fromlist=["nearest_list_address"]
+        ).nearest_list_address(_world(sf)),
         "geo_bbox_pairs": lambda sf: __import__(
             "housenumbercore_ray.pipelines.geometry", fromlist=["muni_bbox_pairs"]
         ).muni_bbox_pairs(_world(sf)),
@@ -1119,6 +1122,7 @@ def oracle_sql() -> dict[str, str]:
     out["geo_radius_pairs"] = geo_o.radius_pairs_sql(wd)
     out["geo_tile_linetrace"] = geo_o.line_cells_sql(wd)
     out["geo_dbscan"] = geo_o.dbscan_sql(wd)
+    out["geo_nearest_address"] = geo_o.nearest_address_sql(wd)
     out["geo_line_simplify"] = geo_o.line_simplify_sql(wd)
     out["geo_reverse_geocode"] = geo_o.reverse_geocode_sql(wd)
     out["hnr_assoc_street_fix"] = assoc_street_fix_sql(wd)

@@ -563,6 +563,101 @@ def address_radius_pairs(world_dir: str, radius_m: float = RADIUS_PAIR_M,
             .groupby("cell").map_groups(pairs, batch_format="pandas"))
 
 
+NN_JOIN_M = 100.0
+NN_JOIN_RES = 0.002
+
+
+def nearest_list_address(world_dir: str, radius_m: float = NN_JOIN_M,
+                         res_deg: float = NN_JOIN_RES) -> rd.Dataset:
+    """Capped-radius nearest-neighbor JOIN between two point datasets —
+    for each OSM address the nearest official list address within
+    ``radius_m`` meters (the nearest-POI primitive; ties → lower
+    addr_id). Output: (osm_id, addr_id, dist_m round-2), one row per OSM
+    address that has a qualifying neighbor.
+
+    Scale shape (bipartite PBSM): the PROBE side (osm) lands in exactly
+    its own cell; the BUILD side (list) is replicated to the full 3×3
+    neighborhood, so every probe's R-ball candidates co-locate in the
+    probe's cell (grid width ≥ radius_m at the defaults for |lat| ≤ 63).
+    ONE shuffle on the cell id, then a vectorized n_o×n_l distance matrix
+    + tie-broken argmin per probe inside each cell. Each probe appears in
+    exactly one cell, so no dedup pass exists. Replication cost is 9× the
+    SMALL side only — at crawl scale the build side is the bounded
+    official list, the probe side streams.
+
+    Distance is the equirectangular formula of :func:`address_radius_pairs`,
+    mirrored operation-for-operation in the SQL oracle; the argmin is over
+    the EXACT float distance (round-2 is applied to the reported column
+    only), with addr_id as the deterministic tie-break in both engines."""
+
+    osm = rd.read_parquet(f"{world_dir}/osm_addresses.parquet",
+                          columns=["osm_id", "lon", "lat"])
+    lst = rd.read_parquet(f"{world_dir}/list_addresses.parquet",
+                          columns=["addr_id", "lon", "lat"])
+
+    def cell_of(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        ix = np.floor((lon + 180.0) / res_deg).astype(np.int64)
+        iy = np.floor((lat + 90.0) / res_deg).astype(np.int64)
+        return ix, iy
+
+    def probe_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ix, iy = cell_of(b["lon"].to_numpy(np.float64), b["lat"].to_numpy(np.float64))
+        return pd.DataFrame({
+            "cell": (ix << 22) | iy,
+            "pid": b["osm_id"].to_numpy(np.int64),
+            "lon": b["lon"].to_numpy(np.float64),
+            "lat": b["lat"].to_numpy(np.float64),
+            "side": np.full(len(b), 0, dtype=np.int8),
+        })
+
+    def build_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ix, iy = cell_of(b["lon"].to_numpy(np.float64), b["lat"].to_numpy(np.float64))
+        frames = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                frames.append(pd.DataFrame({
+                    "cell": ((ix + dx) << 22) | (iy + dy),
+                    "pid": b["addr_id"].to_numpy(np.int64),
+                    "lon": b["lon"].to_numpy(np.float64),
+                    "lat": b["lat"].to_numpy(np.float64),
+                    "side": np.full(len(b), 1, dtype=np.int8),
+                }))
+        return pd.concat(frames, ignore_index=True)
+
+    def nearest(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"osm_id": pd.Series([], dtype=np.int64),
+                              "addr_id": pd.Series([], dtype=np.int64),
+                              "dist_m": pd.Series([], dtype=np.float64)})
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        if len(o) == 0 or len(l) == 0:
+            return empty
+        olat = o["lat"].to_numpy(np.float64)[:, None]
+        olon = o["lon"].to_numpy(np.float64)[:, None]
+        llat = l["lat"].to_numpy(np.float64)[None, :]
+        llon = l["lon"].to_numpy(np.float64)[None, :]
+        dlat = (llat - olat) * np.pi / 180
+        dlon = (llon - olon) * np.pi / 180 * np.cos((olat + llat) / 2 * np.pi / 180)
+        d = 6371000.0 * np.sqrt(dlat ** 2 + dlon ** 2)
+        dmin = d.min(axis=1)
+        hit = dmin < radius_m
+        if not hit.any():
+            return empty
+        aid = l["pid"].to_numpy(np.int64)
+        # tie-break on EXACT distance equality: min addr_id among argmins
+        tie = d[hit] == dmin[hit][:, None]
+        best = np.where(tie, aid[None, :], np.iinfo(np.int64).max).min(axis=1)
+        return pd.DataFrame({
+            "osm_id": o["pid"].to_numpy(np.int64)[hit],
+            "addr_id": best,
+            "dist_m": np.round(dmin[hit], 2),
+        })
+
+    union = (osm.map_batches(probe_rows, batch_format="pandas")
+             .union(lst.map_batches(build_rows, batch_format="pandas")))
+    return union.groupby("cell").map_groups(nearest, batch_format="pandas")
+
+
 DBSCAN_EPS_M = 400.0
 DBSCAN_RES_DEG = 0.008
 DBSCAN_MIN_PTS = 4

@@ -379,6 +379,45 @@ WHERE 6371000.0 * sqrt(
 """
 
 
+def nearest_address_sql(world_dir: str) -> str:
+    """geo_nearest_address: neighbor-predicate bipartite join (the 3×3 cell
+    window is implied by dist < R at the default grid, so it prunes
+    without changing the result), then rank-1 per probe ordered by the
+    EXACT distance with addr_id tie-break — independently validates the
+    engine's one-sided 9× replication cover and its per-cell argmin."""
+    from .geometry import NN_JOIN_M, NN_JOIN_RES
+
+    dist = ("6371000.0 * sqrt("
+            "pow((l.lat - o.lat) * pi() / 180, 2)"
+            " + pow((l.lon - o.lon) * pi() / 180"
+            " * cos((o.lat + l.lat) / 2 * pi() / 180), 2))")
+    return f"""
+WITH o AS (
+  SELECT osm_id, lon, lat,
+         CAST(floor((lon + 180.0) / {NN_JOIN_RES}) AS BIGINT) AS ix,
+         CAST(floor((lat + 90.0) / {NN_JOIN_RES}) AS BIGINT) AS iy
+  FROM read_parquet('{world_dir}/osm_addresses.parquet')),
+l AS (
+  SELECT addr_id, lon, lat,
+         CAST(floor((lon + 180.0) / {NN_JOIN_RES}) AS BIGINT) AS ix,
+         CAST(floor((lat + 90.0) / {NN_JOIN_RES}) AS BIGINT) AS iy
+  FROM read_parquet('{world_dir}/list_addresses.parquet')),
+cand AS (
+  SELECT o.osm_id, l.addr_id, {dist} AS d
+  FROM o JOIN l
+    ON l.ix BETWEEN o.ix - 1 AND o.ix + 1
+   AND l.iy BETWEEN o.iy - 1 AND o.iy + 1
+  WHERE {dist} < {NN_JOIN_M}),
+ranked AS (
+  SELECT osm_id, addr_id, d,
+         row_number() OVER (PARTITION BY osm_id ORDER BY d, addr_id) AS rn
+  FROM cand)
+SELECT CAST(osm_id AS BIGINT) AS osm_id, CAST(addr_id AS BIGINT) AS addr_id,
+       round(d, 2) AS dist_m
+FROM ranked WHERE rn = 1
+"""
+
+
 def line_cells_sql(world_dir: str) -> str:
     """geo_tile_linetrace: the supercover column-sweep replayed in SQL over
     the same WKB-decoded vertices — identical float64 expression tree

@@ -82,7 +82,8 @@ EXTENDED = ["theo_muni_summary", "dedup_exact", "dedup_list_pairs", "text_token_
             "corpus_dedup_keep_best",
             "rel_skyline", "corpus_js_divergence", "corpus_heavy_hitters",
             "text_perplexity_buckets", "rel_bloom_join",
-            "corpus_global_order", "dedup_ngram_containment"]
+            "corpus_global_order", "dedup_ngram_containment",
+            "geo_nearest_address"]
 
 
 @pytest.mark.parametrize("name", EXTENDED)
@@ -131,6 +132,7 @@ def test_extended_query_matches_oracle(entry, con, name):
     sqls["geo_radius_pairs"] = geo_o.radius_pairs_sql(wd)
     sqls["geo_tile_linetrace"] = geo_o.line_cells_sql(wd)
     sqls["geo_dbscan"] = geo_o.dbscan_sql(wd)
+    sqls["geo_nearest_address"] = geo_o.nearest_address_sql(wd)
     sqls["corpus_source_jaccard"] = co.source_jaccard_sql()
     sqls["text_bigram_lm"] = co.bigram_lm_sql()
     sqls["dedup_substring_spans"] = co.substring_spans_sql()
