@@ -74,9 +74,12 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         # without this the first sf_dir query (dedup_exact) pays the whole
         # first-disk-read cost (measured 4.3 s cold vs 1.0 s steady)
         for _tbl in ("documents", "orders", "lineitem", "events", "embeddings"):
-            with open(f"{sf_dir}/{_tbl}.parquet", "rb") as _f:
-                while _f.read(1 << 24):
-                    pass
+            try:
+                with open(f"{sf_dir}/{_tbl}.parquet", "rb") as _f:
+                    while _f.read(1 << 24):
+                        pass
+            except FileNotFoundError:
+                pass  # minimal fixture dirs may lack secondary tables
 
     queries: dict[str, float] = {}
 
@@ -108,9 +111,19 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") != "1":
         from housenumbercore_ray.pipelines import corpus, theoretical
 
+        # min-of-2, same discipline as the headline: the FIRST execution that
+        # touches documents.parquet in a session pays ~1.2 s of one-time Ray
+        # task-pool / parquet-metadata warm-up on top of the ~1.0 s kernel
+        # (r5 profile: 2.1 s first run, 0.97-1.4 s steady in the same session
+        # — the r4-recorded 2.96 s was first-run + steal, not a kernel
+        # regression; see BASELINE.md r5 note).
         t = time.time()
         corpus.exact_dedup(sf_dir).count()
-        queries["dedup_exact"] = round(time.time() - t, 3)
+        first = round(time.time() - t, 3)
+        t = time.time()
+        corpus.exact_dedup(sf_dir).count()
+        queries["dedup_exact"] = min(first, round(time.time() - t, 3))
+        queries["dedup_exact_rep1"] = first
 
         t = time.time()
         corpus.ann_topk(sf_dir).count()
