@@ -59,7 +59,7 @@ import pyarrow.parquet as pq
 
 from ..geo.wkb import linestring_wkb, multipolygon_wkb, polygon_wkb
 
-WORLD_VERSION = "v12"
+WORLD_VERSION = "v13"  # v13 = v12 + osm_address_ways.parquet (all other files byte-identical; v12 worlds are backfilled in place)
 WORLD_ROOT = "/tmp/hnr_world"
 
 LON0, LAT0 = 10.0, 50.0
@@ -141,6 +141,13 @@ class WorldParams:
     n_streets: int
     n_hnr: int       # base housenumbers per street
     n_pages: int
+    # extra-mention weight of municipality 0 ("Grossmetropole") relative to
+    # every other municipality. 5 (default) reproduces the historical worlds
+    # byte-identically (~9% metro share of extra mentions); 33 gives the
+    # metropolis ≈ 33/(33+49) ≈ 40% of all page mentions — the reference's
+    # hot-job regime (MunicipalityJobs.java:314-318 processes the largest
+    # jobs first precisely because one metro dominates the queue).
+    metro_weight: int = 5
 
     @staticmethod
     def for_scale(scale: str) -> "WorldParams":
@@ -153,6 +160,16 @@ class WorldParams:
             # as it would on any real multi-node run
             "bench": WorldParams(50, 14, 16, 800_000),
             "bench4": WorldParams(50, 14, 16, 3_200_000),
+            # skewed variants: identical page/row counts, metropolis holds
+            # ~40% of page mentions — the measured hot-key regime for the
+            # salted evaluation merge (VERDICT r4 next-round #3)
+            # metro_weight solves for ~40% OVERALL metro share: total
+            # mentions = n_obs (uniform coverage pass, metro ≈ 1/M) +
+            # n_extra = 4·n_obs weighted; w=48 → extra share 48/97 ≈ 0.49
+            # → overall ≈ 0.40 at M=50 (measured 0.40 at sf0.1skew)
+            "sf0.001skew": WorldParams(6, 6, 8, 2_000, metro_weight=4),
+            "sf0.1skew": WorldParams(50, 14, 16, 200_000, metro_weight=48),
+            "bench4skew": WorldParams(50, 14, 16, 3_200_000, metro_weight=48),
         }
         if scale not in table:
             raise ValueError(f"unknown world scale {scale!r}")
@@ -178,6 +195,67 @@ def _q6(v: np.ndarray) -> np.ndarray:
     """Quantize coordinates to the 6-decimal text form used on pages so the
     parquet ground truth and the text-parsed values are identical doubles."""
     return np.asarray([float(f"{x:.6f}") for x in np.atleast_1d(v)])
+
+
+def _address_ways_table(p: "WorldParams") -> pa.Table:
+    """planet_line analog: ways CARRYING ``addr:housenumber`` whose geometry
+    (not centroid) decides municipality membership under the reference's
+    covers-OR-crosses rule (TheoreticalHousenumbers.java:1056-1071,
+    ``ST_Covers(muni, way) OR ST_Crosses(muni, way)``). A deterministic pure
+    function of the scale params ONLY, so v12 worlds can be backfilled with
+    exactly the table a fresh v13 generation would write.
+
+    Per municipality: three fully-contained horizontal address ways
+    (street/street/place resolutions); every crossing-street municipality
+    (same rule as the 'Grenzweg' street) additionally gets one address way
+    that overshoots into the right neighbour — the planted row that
+    distinguishes covers-or-crosses from centroid-locate: it must appear
+    under BOTH municipalities."""
+    M = p.n_munis
+    rows = {k: [] for k in ["osm_id", "addr_street", "addr_place", "addr_housenumber",
+                            "tags_text", "lon", "lat", "way_lat", "lon0", "lon1",
+                            "linestring_wkb"]}
+
+    def emit(osm_id, street, place, hnr, lat, x0, x1):
+        rows["osm_id"].append(osm_id)
+        rows["addr_street"].append(street)
+        rows["addr_place"].append(place)
+        rows["addr_housenumber"].append(hnr)
+        rows["tags_text"].append('"building"=>"yes"')
+        rows["lon"].append(float(f"{(x0 + x1) / 2:.6f}"))
+        rows["lat"].append(lat)
+        rows["way_lat"].append(lat)
+        rows["lon0"].append(x0)
+        rows["lon1"].append(x1)
+        rows["linestring_wkb"].append(
+            linestring_wkb([(x0, lat), ((x0 + x1) / 2, lat), (x1, lat)]))
+
+    for i in range(M):
+        minlon, minlat, maxlon, maxlat = muni_rect(i)
+        for k in range(3):
+            lat = float(f"{(minlat + (0.21 + 0.17 * k) * (maxlat - minlat)):.6f}")
+            x0 = float(f"{(minlon + 0.15 * MUNI_W):.6f}")
+            x1 = float(f"{(minlon + (0.35 + 0.1 * k) * MUNI_W):.6f}")
+            street = STREET_POOL[(i * 5 + k) % len(STREET_POOL)] if k < 2 else None
+            place = None if k < 2 else _muni_name(i)
+            emit(700_000 + i * 8 + k, street, place, str(10 + k + int(hi(33, i, k) % 5)),
+                 lat, x0, x1)
+    crossing_munis = [i for i in range(M)
+                      if i % 6 == 4 and i % NCOLS < NCOLS - 1 and i + 1 < M]
+    for i in crossing_munis:
+        minlon, minlat, maxlon, maxlat = muni_rect(i)
+        lat = float(f"{(minlat + 0.47 * (maxlat - minlat)):.6f}")
+        x0 = float(f"{(minlon + 0.6 * MUNI_W):.6f}")
+        x1 = float(f"{(maxlon + 0.25 * MUNI_W):.6f}")  # overshoots into muni i+1
+        emit(700_000 + i * 8 + 7, "Grenzweg", None, "99", lat, x0, x1)
+
+    schema = pa.schema([
+        ("osm_id", pa.int64()), ("addr_street", pa.string()), ("addr_place", pa.string()),
+        ("addr_housenumber", pa.string()), ("tags_text", pa.string()),
+        ("lon", pa.float64()), ("lat", pa.float64()), ("way_lat", pa.float64()),
+        ("lon0", pa.float64()), ("lon1", pa.float64()), ("linestring_wkb", pa.binary()),
+    ])
+    return pa.Table.from_pydict(rows, schema=schema)
 
 
 def generate_world(scale: str, out_dir: str) -> dict:
@@ -509,8 +587,9 @@ def generate_world(scale: str, out_dir: str) -> dict:
     n_obs = len(obs_lines)
     n_pages = p.n_pages
     # mention → page assignment: coverage pass (obs o on page o % n_pages),
-    # plus extra skewed mentions (metropolis obs 5× weight)
-    weights = np.asarray([5 if m == 0 else 1 for m, _ in obs_lines], dtype=np.int64)
+    # plus extra skewed mentions (metropolis obs get metro_weight× weight;
+    # default 5, skew worlds 33 → metro ≈ 40% of extra mentions)
+    weights = np.asarray([p.metro_weight if m == 0 else 1 for m, _ in obs_lines], dtype=np.int64)
     weighted_idx = np.repeat(np.arange(n_obs), weights)
     page_lines: list[list[str]] = [[] for _ in range(n_pages)]
     for o in range(n_obs):
@@ -582,7 +661,8 @@ def generate_world(scale: str, out_dir: str) -> dict:
     os.makedirs(tmp, exist_ok=True)
     for name, tbl in [("boundaries", boundaries), ("osm_streets", osm_streets),
                       ("list_addresses", list_addresses), ("osm_addresses", osm_addresses),
-                      ("osm_relations", osm_relations)]:
+                      ("osm_relations", osm_relations),
+                      ("osm_address_ways", _address_ways_table(p))]:
         pq.write_table(tbl, os.path.join(tmp, f"{name}.parquet"), row_group_size=100_000)
 
     # pages written chunk-by-chunk as a SHARDED directory of parquet files —
