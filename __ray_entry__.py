@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).street_phonetik(_world(sf)),
         "hnr_streets_missing_in_osm": lambda sf: ev.streets_missing_in_osm(_world(sf)),
         "hnr_street_memberships": lambda sf: ev.street_memberships(_world(sf)),
+        "hnr_way_memberships": lambda sf: ev.way_memberships(_world(sf)),
         "hnr_knn_streets": lambda sf: ev.knn_streets(_world(sf)),
         "hnr_subarea_rows": lambda sf: ev.subarea_rows(_world(sf)),
         "hnr_subarea_street_summary": lambda sf: ev.subarea_street_summary(_world(sf)),
@@ -328,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # queries as they land. See VERDICT.md r4 "Next round" item 1.
 _R5_WINDOW_PRIORITY = [
     # --- new in round 5 (inserted as implemented) ---
+    "hnr_way_memberships",
     # --- the 21 registry entries never in any driver window (VERDICT r4) ---
     "ann_pq_topk",
     "corpus_gram_novelty",

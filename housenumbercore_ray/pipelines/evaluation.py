@@ -415,6 +415,49 @@ def street_memberships(world_dir: str) -> rd.Dataset:
     ).map_batches(Member, batch_format="pandas", concurrency=_small_pool(), num_cpus=1)
 
 
+def way_memberships(world_dir: str) -> rd.Dataset:
+    """(muni_id, osm_id, street_key, housenumber) for every ADDRESS WAY ×
+    municipality membership — the planet_line extraction of the reference
+    (TheoreticalHousenumbers.java:1056-1071, ``ST_Covers(muni, way) OR
+    ST_Crosses(muni, way)``): a way carrying ``addr:housenumber`` whose
+    LINE geometry crosses a municipality boundary contributes to EVERY
+    municipality it crosses — centroid-locate (M19 point semantics) would
+    silently assign it to just one. street_key applies the street←place
+    fallback (M12) before the collation fold (M8).
+
+    Scale shape: identical to :func:`street_memberships` — streamed blocks
+    against the broadcast boundary index, no shuffle, output one row per
+    (way, muni) membership."""
+    ref = get_context_ref(world_dir)
+
+    class Member:
+        def __init__(self) -> None:
+            import ray
+
+            self.ctx = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            from ..stages.context import street_key_series
+
+            b = b.reset_index(drop=True)
+            ridx, areas = self.ctx.boundary_index.locate_polyline_multi(
+                b["linestring_wkb"].to_numpy())
+            hit = b.iloc[ridx]
+            return pd.DataFrame({
+                "muni_id": pd.Series(areas).map(self.ctx.area_to_muni).to_numpy(np.int64),
+                "osm_id": hit["osm_id"].to_numpy(np.int64),
+                "street_key": street_key_series(
+                    hit["addr_street"].fillna(hit["addr_place"])).to_numpy(object),
+                "housenumber": hit["addr_housenumber"].to_numpy(object),
+            })
+
+    return rd.read_parquet(
+        f"{world_dir}/osm_address_ways.parquet",
+        columns=["osm_id", "addr_street", "addr_place", "addr_housenumber",
+                 "linestring_wkb"],
+    ).map_batches(Member, batch_format="pandas", concurrency=_small_pool(), num_cpus=1)
+
+
 def street_gaps(world_dir: str) -> rd.Dataset:
     """Per-street housenumber GAP analysis over the official list (the
     completeness-audit view a list maintainer reads: "Hauptstraße is missing

@@ -325,6 +325,20 @@ FROM assigned GROUP BY muni_id
         "hnr_street_memberships": pre + """
 SELECT muni_id, osm_id, skey AS street_key FROM valid_streets
 """,
+        # planet_line address ways (TheoreticalHousenumbers.java:1056-1071,
+        # ST_Covers OR ST_Crosses): worldgen address ways are horizontal, so
+        # membership is the exact 1-D interval × rect overlap — same
+        # reduction as valid_streets. street←place fallback (M12) before
+        # the fold (M8) matches street_key_series(addr_street.fillna(place)).
+        "hnr_way_memberships": pre + f"""
+SELECT b.muni_id, aw.osm_id,
+       {_fold("coalesce(aw.addr_street, aw.addr_place, '')")} AS street_key,
+       aw.addr_housenumber AS housenumber
+FROM read_parquet('{world_dir}/osm_address_ways.parquet') aw
+JOIN bounds b
+  ON aw.lon1 >= b.minlon AND aw.lon0 <= b.maxlon
+ AND aw.way_lat >= b.minlat AND aw.way_lat <= b.maxlat
+""",
         # kNN k=3: worldgen streets are horizontal collinear polylines, so
         # the equirect point-to-segment distance reduces EXACTLY to the
         # clamped-extent form below (cos(lat)-scaled Δlon beyond [lon0,lon1],

@@ -918,13 +918,34 @@ def world_dir_for(sf_dir: str) -> str:
 
 
 def ensure_world_scale(scale: str) -> str:
-    """Generate (once, cached on disk) the world for a named scale."""
+    """Generate (once, cached on disk) the world for a named scale.
+
+    v12→v13 upgrade path: v13 only ADDS ``osm_address_ways.parquet`` (a pure
+    function of the scale params); every other file is byte-identical. A
+    cached v12 world is therefore backfilled in place — write the one
+    missing table, move the directory under the v13 root, update the marker
+    — instead of regenerating multi-GB page shards."""
     out = os.path.join(WORLD_ROOT, WORLD_VERSION, scale)
     marker = os.path.join(out, ".done")
     if os.path.exists(marker):
         with open(marker) as fh:
             if fh.read().strip() == WORLD_VERSION:
                 return out
+    old = os.path.join(WORLD_ROOT, "v12", scale)
+    old_marker = os.path.join(old, ".done")
+    if os.path.exists(old_marker):
+        with open(old_marker) as fh:
+            ok = fh.read().strip() == "v12"
+        if ok:
+            pq.write_table(
+                _address_ways_table(WorldParams.for_scale(scale)),
+                os.path.join(old, "osm_address_ways.parquet"),
+                row_group_size=100_000)
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            os.replace(old, out)
+            with open(marker, "w") as fh:
+                fh.write(WORLD_VERSION)
+            return out
     generate_world(scale, out)
     return out
 

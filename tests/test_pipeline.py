@@ -30,7 +30,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize("name", [
     "hnr_extract_candidates", "hnr_join_rows", "hnr_evaluation",
     "hnr_muni_summary", "hnr_muni_coverage", "hnr_street_summary", "hnr_streets_missing_in_osm",
-    "hnr_subarea_rows", "hnr_csv_import", "hnr_evaluation_delta",
+    "hnr_subarea_rows", "hnr_csv_import", "hnr_evaluation_delta", "hnr_way_memberships",
     "hnr_shape_import", "hnr_osm_import", "hnr_gml_import",
 ])
 def test_query_matches_oracle(world, name):
@@ -48,6 +48,7 @@ def test_query_matches_oracle(world, name):
         "hnr_street_summary": ev.street_summary,
         "hnr_streets_missing_in_osm": ev.streets_missing_in_osm,
         "hnr_subarea_rows": ev.subarea_rows,
+        "hnr_way_memberships": ev.way_memberships,
         "hnr_csv_import": import_list.csv_import,
         "hnr_evaluation_delta": ev.evaluation_delta,
         "hnr_shape_import": import_list.shape_import,
@@ -95,3 +96,31 @@ def test_out_of_world_candidates_dropped(world):
     assert (cand["muni_raw"] == "Phantomstadt").any()  # present in extraction
     jr = ev.join_rows(world).to_pandas()
     assert (jr["area_id"] >= 0).all()  # but dropped by the spatial join
+
+
+def test_crossing_address_way_in_both_munis(world):
+    """planet_line covers-or-crosses (TheoreticalHousenumbers.java:1056-1071):
+    the planted 'Grenzweg' address way overshoots its home municipality, so
+    its LINE membership spans two munis while its centroid sits in one."""
+    import pyarrow.parquet as pq
+
+    from housenumbercore_ray.pipelines import evaluation as ev
+    from housenumbercore_ray.stages.context import get_context
+
+    m = ev.way_memberships(world).to_pandas()
+    aw = pq.read_table(f"{world}/osm_address_ways.parquet").to_pandas()
+    crossing = aw[aw["addr_street"] == "Grenzweg"]
+    assert len(crossing) > 0, "worldgen planted no crossing address way"
+    for _, w in crossing.iterrows():
+        munis = sorted(m.loc[m["osm_id"] == w["osm_id"], "muni_id"])
+        assert len(munis) == 2, f"crossing way {w['osm_id']} in munis {munis}"
+        # centroid-locate sees only ONE of them — the divergence this
+        # operator exists to fix
+        ctx = get_context(world)
+        area = ctx.boundary_index.locate(
+            np.asarray([w["lon"]]), np.asarray([w["lat"]]))[0]
+        assert ctx.area_to_muni[area] in munis
+    # non-crossing ways: exactly one membership each
+    inside = aw[aw["addr_street"] != "Grenzweg"]
+    counts = m[m["osm_id"].isin(inside["osm_id"])].groupby("osm_id").size()
+    assert (counts == 1).all()
