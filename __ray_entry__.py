@@ -280,6 +280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash": lambda sf: corpus.media_phash(_world(sf)),
         "media_phash_pairs": lambda sf: corpus.media_phash_pairs(_world(sf)),
         "media_type_sniff": lambda sf: corpus.media_type_sniff(_world(sf)),
+        "media_decode": lambda sf: corpus.media_decode(_world(sf)),
+        "media_resize_real": lambda sf: corpus.media_resize_real(_world(sf)),
         "media_cdc_chunks": lambda sf: corpus.media_cdc_chunks(_world(sf)),
         # generic relational operator suite (TPC-H-ish tables)
         "rel_pricing_summary": relational.pricing_summary,
@@ -330,6 +332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _R5_WINDOW_PRIORITY = [
     # --- new in round 5 (inserted as implemented) ---
     "hnr_way_memberships",
+    "media_decode",
+    "media_resize_real",
     # --- the 21 registry entries never in any driver window (VERDICT r4) ---
     "ann_pq_topk",
     "corpus_gram_novelty",
@@ -582,6 +586,25 @@ QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) <= 5
 SELECT url, CAST(octet_length(html) AS BIGINT) AS n_bytes,
        md5(decode(html)) AS content_md5
 FROM read_parquet('{world_dir}/pages/*.parquet')
+""",
+        # r5 real decode: the engine recomputes every feature from payload
+        # BYTES via the pure-numpy BMP/PPM/WAV decoders; the oracle reads
+        # the generator's ground-truth columns — a value match proves
+        # decode inverts encode exactly (mean_value covers all pixels /
+        # samples, not just headers).
+        "media_decode": f"""
+SELECT blob_id, kind, width, height, channels, sample_rate, n_samples,
+       duration_ms, mean_value
+FROM read_parquet('{world_dir}/media_blobs.parquet')
+""",
+        "media_resize_real": f"""
+SELECT blob_id, width AS src_w, height AS src_h,
+       CAST(CASE WHEN width >= height THEN 64
+                 ELSE greatest(1, (width * 64) // height) END AS BIGINT) AS dst_w,
+       CAST(CASE WHEN width >= height THEN greatest(1, (height * 64) // width)
+                 ELSE 64 END AS BIGINT) AS dst_h
+FROM read_parquet('{world_dir}/media_blobs.parquet')
+WHERE kind IN ('bmp', 'ppm')
 """,
         "media_frame_samples": f"""
 SELECT url, CAST(unnest(range(0, greatest(1, octet_length(html) // 4096), 10)) AS BIGINT) AS frame_idx

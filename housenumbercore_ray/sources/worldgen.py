@@ -59,8 +59,15 @@ import pyarrow.parquet as pq
 
 from ..geo.wkb import linestring_wkb, multipolygon_wkb, polygon_wkb
 
-WORLD_VERSION = "v13"  # v13 = v12 + osm_address_ways.parquet (all other files byte-identical; v12 worlds are backfilled in place)
+WORLD_VERSION = "v14"
 WORLD_ROOT = "/tmp/hnr_world"
+
+# Additive world tables: each is a PURE function of WorldParams, so older
+# cached worlds (v12+: every pre-existing file byte-identical) are upgraded
+# by writing just the missing files in place — multi-GB page shards are
+# never regenerated. v13 added osm_address_ways; v14 added media_blobs.
+_AUGMENT_TABLES: "list[tuple[str, object]]" = []  # filled after the builders are defined
+_BACKFILLABLE_VERSIONS = ("v13", "v12")
 
 LON0, LAT0 = 10.0, 50.0
 MUNI_W, MUNI_H = 0.1, 0.08
@@ -256,6 +263,81 @@ def _address_ways_table(p: "WorldParams") -> pa.Table:
         ("lon0", pa.float64()), ("lon1", pa.float64()), ("linestring_wkb", pa.binary()),
     ])
     return pa.Table.from_pydict(rows, schema=schema)
+
+
+def _media_blobs_table(p: "WorldParams") -> pa.Table:
+    """Deterministic media-blob table (r5): REAL uncompressed payloads —
+    24-bit BMP, binary PPM, PCM WAV — plus undecodable junk, with the
+    generator's ground truth (dims / rate / sample count / mean value)
+    stored as columns. The engine's ``MediaDecode`` recomputes every
+    feature FROM THE BYTES ONLY and the oracle compares against these
+    columns, so a green ``media_decode`` query proves the pure-numpy
+    decoders invert the encoders exactly, pixels included."""
+    from ..stages.multimodal import encode_bmp, encode_ppm, encode_wav
+
+    n_blobs = max(64, p.n_pages // 250)
+    rows = {k: [] for k in ["blob_id", "url", "kind", "payload", "width", "height",
+                            "channels", "sample_rate", "n_samples", "duration_ms",
+                            "mean_value"]}
+    rates = (8000, 16000, 22050, 44100)
+    for b in range(n_blobs):
+        r = int(hi(40, b) % 100)
+        width = height = channels = rate = n_samp = dur = -1
+        if r < 70:  # image: BMP or PPM
+            width = 8 + int(hi(41, b) % 57)
+            height = 6 + int(hi(42, b) % 43)
+            channels = 3
+            seed = int(hi(43, b) % 256)
+            pix = ((seed + 3 * np.arange(width)[None, :, None]
+                    + 7 * np.arange(height)[:, None, None]
+                    + 11 * np.arange(3)[None, None, :]) % 256).astype(np.uint8)
+            if r < 40:
+                kind, payload = "bmp", encode_bmp(pix)
+            else:
+                kind, payload = "ppm", encode_ppm(pix)
+            mean = float(pix.mean())
+        elif r < 90:  # PCM WAV
+            kind = "wav"
+            channels = 1 + int(hi(44, b) % 2)
+            rate = rates[int(hi(45, b) % 4)]
+            n_samp = 500 + int(hi(46, b) % 3000)
+            dur = n_samp * 1000 // rate
+            samples = (((int(hi(47, b) % 1000) + 13 * np.arange(n_samp * channels))
+                        % 65536) - 32768).astype(np.int16).reshape(n_samp, channels)
+            payload = encode_wav(samples, rate)
+            mean = float(samples.mean())
+            width = height = -1
+        else:  # junk: first byte 0x00 → never matches a magic number
+            kind = "unknown"
+            m = 100 + int(hi(49, b) % 400)
+            payload = bytes([0]) + bytes(((int(hi(48, b)) + 17 * np.arange(m - 1)) % 256
+                                          ).astype(np.uint8).tolist())
+            mean = 0.0
+        rows["blob_id"].append(b)
+        rows["url"].append(f"https://media.beispiel-{int(hi(50, b) % 1000):03d}.de/b/{b:06d}")
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["width"].append(width)
+        rows["height"].append(height)
+        rows["channels"].append(channels)
+        rows["sample_rate"].append(rate)
+        rows["n_samples"].append(n_samp)
+        rows["duration_ms"].append(dur)
+        rows["mean_value"].append(mean)
+    schema = pa.schema([
+        ("blob_id", pa.int64()), ("url", pa.string()), ("kind", pa.string()),
+        ("payload", pa.binary()), ("width", pa.int64()), ("height", pa.int64()),
+        ("channels", pa.int64()), ("sample_rate", pa.int64()),
+        ("n_samples", pa.int64()), ("duration_ms", pa.int64()),
+        ("mean_value", pa.float64()),
+    ])
+    return pa.Table.from_pydict(rows, schema=schema)
+
+
+_AUGMENT_TABLES.extend([
+    ("osm_address_ways", _address_ways_table),
+    ("media_blobs", _media_blobs_table),
+])
 
 
 def generate_world(scale: str, out_dir: str) -> dict:
@@ -659,10 +741,10 @@ def generate_world(scale: str, out_dir: str) -> dict:
     tmp = out_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    for name, tbl in [("boundaries", boundaries), ("osm_streets", osm_streets),
-                      ("list_addresses", list_addresses), ("osm_addresses", osm_addresses),
-                      ("osm_relations", osm_relations),
-                      ("osm_address_ways", _address_ways_table(p))]:
+    for name, tbl in ([("boundaries", boundaries), ("osm_streets", osm_streets),
+                       ("list_addresses", list_addresses), ("osm_addresses", osm_addresses),
+                       ("osm_relations", osm_relations)]
+                      + [(n, build(p)) for n, build in _AUGMENT_TABLES]):
         pq.write_table(tbl, os.path.join(tmp, f"{name}.parquet"), row_group_size=100_000)
 
     # pages written chunk-by-chunk as a SHARDED directory of parquet files —
@@ -920,32 +1002,36 @@ def world_dir_for(sf_dir: str) -> str:
 def ensure_world_scale(scale: str) -> str:
     """Generate (once, cached on disk) the world for a named scale.
 
-    v12→v13 upgrade path: v13 only ADDS ``osm_address_ways.parquet`` (a pure
-    function of the scale params); every other file is byte-identical. A
-    cached v12 world is therefore backfilled in place — write the one
-    missing table, move the directory under the v13 root, update the marker
-    — instead of regenerating multi-GB page shards."""
+    Upgrade path: versions since v12 only ADD tables (each a pure function
+    of the scale params, ``_AUGMENT_TABLES``); every pre-existing file is
+    byte-identical. A cached older world is therefore backfilled in place —
+    write the missing tables, move the directory under the current-version
+    root, update the marker — instead of regenerating multi-GB page
+    shards."""
     out = os.path.join(WORLD_ROOT, WORLD_VERSION, scale)
     marker = os.path.join(out, ".done")
     if os.path.exists(marker):
         with open(marker) as fh:
             if fh.read().strip() == WORLD_VERSION:
                 return out
-    old = os.path.join(WORLD_ROOT, "v12", scale)
-    old_marker = os.path.join(old, ".done")
-    if os.path.exists(old_marker):
+    for ver in _BACKFILLABLE_VERSIONS:
+        old = os.path.join(WORLD_ROOT, ver, scale)
+        old_marker = os.path.join(old, ".done")
+        if not os.path.exists(old_marker):
+            continue
         with open(old_marker) as fh:
-            ok = fh.read().strip() == "v12"
-        if ok:
-            pq.write_table(
-                _address_ways_table(WorldParams.for_scale(scale)),
-                os.path.join(old, "osm_address_ways.parquet"),
-                row_group_size=100_000)
-            os.makedirs(os.path.dirname(out), exist_ok=True)
-            os.replace(old, out)
-            with open(marker, "w") as fh:
-                fh.write(WORLD_VERSION)
-            return out
+            if fh.read().strip() != ver:
+                continue
+        for name, build in _AUGMENT_TABLES:
+            path = os.path.join(old, f"{name}.parquet")
+            if not os.path.exists(path):
+                pq.write_table(build(WorldParams.for_scale(scale)), path,
+                               row_group_size=100_000)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        os.replace(old, out)
+        with open(marker, "w") as fh:
+            fh.write(WORLD_VERSION)
+        return out
     generate_world(scale, out)
     return out
 

@@ -142,18 +142,27 @@ class TestMultimodal:
 
         import pyarrow as pa
 
-        from housenumbercore_ray.stages.multimodal import BinaryFeatureExtract, FrameSampleStub, resize_stub
+        import numpy as np
+
+        from housenumbercore_ray.stages.multimodal import (
+            BinaryFeatureExtract,
+            FrameSampleStub,
+            encode_bmp,
+        )
 
         t = pa.table({"url": ["a", "b"], "payload": [b"\x00\x01\x02", b"x" * 10000]})
-        out = BinaryFeatureExtract(col="payload", id_col="url")(t)
+        ext = BinaryFeatureExtract(col="payload", id_col="url")
+        out = ext(t)
         assert out["n_bytes"].to_pylist() == [3, 10000]
         assert out["content_md5"].to_pylist()[0] == hashlib.md5(b"\x00\x01\x02").hexdigest()
 
         fs = FrameSampleStub(every_nth=1, frame_bytes=4096, col="payload", id_col="url")(t)
         assert fs["frame_idx"].to_pylist() == [0, 0, 1]  # 3B→1 frame; 10000B→2 frames
 
-        with pytest.raises(NotImplementedError):
-            resize_stub(pd.DataFrame())
+        # r5: _decode is REAL for uncompressed formats, None for junk
+        pix = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+        assert (ext._decode(encode_bmp(pix)) == pix).all()
+        assert ext._decode(b"\x00not an image") is None
 
     def test_type_sniff_magic_and_entropy(self):
         import numpy as np
