@@ -269,8 +269,13 @@ def evaluation(world_dir: str) -> rd.Dataset:
 
 def muni_summary(world_dir: str) -> rd.Dataset:
     """evaluations analog (dbstructure.sql:209-226): per muni
-    number_target / number_identical / number_osmonly."""
+    number_target / number_identical / number_osmonly, stamped with the
+    OSM-DB replication timestamp parsed from the osmosis state file
+    (``osmdb_tstamp``, TheoreticalHousenumbers.java:817-843 — r5)."""
+    from ..functions.osmosis import osmdb_tstamp
+
     ev = evaluation(world_dir)
+    db_ts = osmdb_tstamp(world_dir)  # driver-side: one tiny file, parsed once
 
     def flags(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -280,6 +285,9 @@ def muni_summary(world_dir: str) -> rd.Dataset:
             "number_osmonly": (b["treffertyp"] == "o").astype(np.int64),
         })
 
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(osmdb_tstamp=pd.Timestamp(db_ts))
+
     return (
         ev.map_batches(flags, batch_format="pandas")
         .groupby("muni_id")
@@ -288,6 +296,7 @@ def muni_summary(world_dir: str) -> rd.Dataset:
             Sum("number_identical", alias_name="number_identical"),
             Sum("number_osmonly", alias_name="number_osmonly"),
         )
+        .map_batches(stamp, batch_format="pandas")
     )
 
 

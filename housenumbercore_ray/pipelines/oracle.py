@@ -308,11 +308,18 @@ SELECT muni_id, street_key, CAST(parity AS BIGINT) AS parity,
        CAST((nxt - num) / 2 - 1 AS BIGINT) AS n_missing
 FROM w WHERE nxt - num > 2
 """,
-        "hnr_muni_summary": pre + """
+        # osmdb_tstamp (r5): the engine parses derived/state.txt (osmosis
+        # escapes and all); the oracle recomputes the same instant
+        # INDEPENDENTLY — worldgen derives the state timestamp from
+        # max(warc_ts) truncated to the hour, so a SQL recompute over the
+        # pages parquet must agree with the file parse.
+        "hnr_muni_summary": pre + f"""
 SELECT muni_id,
        CAST(sum(CASE WHEN treffertyp <> 'o' THEN 1 ELSE 0 END) AS BIGINT) AS number_target,
        CAST(sum(CASE WHEN treffertyp = 'i' THEN 1 ELSE 0 END) AS BIGINT) AS number_identical,
-       CAST(sum(CASE WHEN treffertyp = 'o' THEN 1 ELSE 0 END) AS BIGINT) AS number_osmonly
+       CAST(sum(CASE WHEN treffertyp = 'o' THEN 1 ELSE 0 END) AS BIGINT) AS number_osmonly,
+       (SELECT date_trunc('hour', max(warc_ts))
+        FROM read_parquet('{world_dir}/pages/*.parquet')) AS osmdb_tstamp
 FROM evaluation GROUP BY muni_id
 """,
         "hnr_assignment_stats": pre + """

@@ -228,3 +228,53 @@ def test_skyline_mask_matches_bruteforce():
                & ((size[:, None] > size[None, :]) | (price[:, None] < price[None, :])))
         want = ~dom.any(axis=0)
         assert (got == want).all(), (trial, size.tolist(), price.tolist())
+
+
+class TestOsmosisState:
+    """Osmosis state-file timestamp parse (TheoreticalHousenumbers.java:
+    817-843): \\: unescape, Z→+0000, ISO-8601 (r5)."""
+
+    def test_parse_escaped_timestamp(self):
+        from datetime import datetime
+
+        from housenumbercore_ray.functions.osmosis import parse_state_timestamp
+
+        text = ("#Fri Sep 21 07:39:59 CEST 2012\n"
+                "sequenceNumber=121\n"
+                "timestamp=2012-09-17T08\\:00\\:00Z\n")
+        assert parse_state_timestamp(text) == datetime(2012, 9, 17, 8, 0, 0)
+
+    def test_parse_explicit_offset_normalized_to_utc(self):
+        from datetime import datetime
+
+        from housenumbercore_ray.functions.osmosis import parse_state_timestamp
+
+        # +0200 zone → stored naive-UTC, like the reference's
+        # timestamp-without-time-zone column
+        text = "timestamp=2012-09-17T08\\:30\\:00+0200\n"
+        assert parse_state_timestamp(text) == datetime(2012, 9, 17, 6, 30, 0)
+
+    def test_last_timestamp_line_wins_and_missing_is_none(self):
+        from datetime import datetime
+
+        from housenumbercore_ray.functions.osmosis import parse_state_timestamp
+
+        two = ("timestamp=2012-01-01T00\\:00\\:00Z\n"
+               "timestamp=2013-02-02T01\\:02\\:03Z\n")
+        assert parse_state_timestamp(two) == datetime(2013, 2, 2, 1, 2, 3)
+        assert parse_state_timestamp("sequenceNumber=5\n") is None
+
+    def test_state_file_round_trip_matches_pages(self):
+        """ensure_state_txt derives from max(warc_ts)⌊hour⌋; parsing the
+        written file recovers exactly that instant (the oracle's SQL twin)."""
+        import pyarrow.dataset as pads
+
+        from housenumbercore_ray.functions.osmosis import osmdb_tstamp
+        from housenumbercore_ray.sources.worldgen import ensure_world_scale
+
+        wd = ensure_world_scale("sf0.001")
+        got = osmdb_tstamp(wd)
+        ts = pads.dataset(f"{wd}/pages").to_table(columns=["warc_ts"])["warc_ts"]
+        want = ts.to_pandas().max().to_pydatetime().replace(
+            minute=0, second=0, microsecond=0)
+        assert got == want
