@@ -2058,13 +2058,14 @@ def _pairs_from_buckets(rows: rd.Dataset, bucket_cols: list[str],
     )
 
 
-def _lsh_candidate_pairs(docs: rd.Dataset, k: int = 64, bands: int = 16) -> rd.Dataset:
+def _lsh_candidate_pairs(docs: rd.Dataset, k: int = 64, bands: int = 16,
+                         mod_p: bool = True) -> rd.Dataset:
     """documents (doc_id, text) → globally-deduped LSH candidate pairs
     (doc_id_a < doc_id_b): banding rows → (band, band-hash) bucket groupby →
     pairwise within bucket → pair-key dedup shuffle. ``k``/``bands`` select
     the signature length and banding (see ``SCALE_LSH``)."""
     buckets = docs.map_batches(
-        MinHashLSH, fn_constructor_kwargs={"k": k, "bands": bands},
+        MinHashLSH, fn_constructor_kwargs={"k": k, "bands": bands, "mod_p": mod_p},
         batch_format="pandas", batch_size=1024, concurrency=_heavy_pool(), num_cpus=1
     )
     return _pairs_from_buckets(buckets, ["band_hash"], "doc_id", ["band_hash"])
@@ -2427,7 +2428,10 @@ def _pages_with_ids(world_dir: str) -> rd.Dataset:
 # 5/5 — pinned ≥0.9 vs planted truth in tests). False-candidate math at
 # larger corpora: background page pairs measure J ≲ 0.1 → ≤ 1e-8 per
 # band; even 10^9 pages × 24 bands yields ≪ 1 expected false bucket pair.
-SCALE_LSH = {"k": 192, "bands": 24}
+# mod_p=False (r5): the scale profile mins raw wrap-mod-2^64 values —
+# same collision probabilities, 3.8x faster kernel; the exact profile
+# keeps mod-p so its DuckDB oracle stays bit-identical.
+SCALE_LSH = {"k": 192, "bands": 24, "mod_p": False}
 
 
 def minhash_page_pairs(world_dir: str, threshold: float = 0.7,

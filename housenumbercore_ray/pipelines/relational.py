@@ -964,7 +964,8 @@ def retention_cohorts(sf_dir: str) -> rd.Dataset:
     )
 
 
-def basket_pairs(sf_dir: str, min_support: int = 2) -> rd.Dataset:
+def basket_pairs(sf_dir: str, min_support: int = 2,
+                 max_basket: int | None = None) -> rd.Dataset:
     """Market-basket pair mining over lineitem (association rules): parts
     co-ordered in the same order, with support (co-order count),
     confidence P(b|a) and lift — the Apriori k=2 pass every recommender /
@@ -978,13 +979,31 @@ def basket_pairs(sf_dir: str, min_support: int = 2) -> rd.Dataset:
     and the order total come from a second sharded pass whose output is
     bounded by the part dimension, broadcast via ray.put into the closing
     attach stage. Floats (conf, lift) round to 6 with the division shapes
-    mirrored in the SQL oracle."""
+    mirrored in the SQL oracle.
+
+    ``max_basket`` (r5): pair expansion is quadratic in DISTINCT parts per
+    order — one adversarial basket holding the whole catalog would emit
+    |catalog|²/2 rows from a single shard. When set, orders with more than
+    ``max_basket`` distinct parts are EXCLUDED from the analysis entirely
+    (pairs, marginals and the order total — the semantics of filtering the
+    degenerate baskets upstream), bounding per-shard expansion at
+    max_basket²/2 rows per order. Default None keeps the oracled exact
+    semantics; a 100-TB run should set it (boilerplate/catalog-page
+    baskets are the rule, not the exception, in crawl-derived data)."""
     from ..pipelines.corpus import _shard_on, _shuffle_blocks
 
     cols = ["l_orderkey", "l_partkey"]
 
+    def drop_big_baskets(u: pd.DataFrame) -> pd.DataFrame:
+        # u is already distinct on (order, part); exact per-shard degree
+        # filter (orders are shard-exclusive)
+        if max_basket is None:
+            return u
+        deg = u.groupby("l_orderkey")["l_partkey"].transform("size")
+        return u[deg <= max_basket]
+
     def pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
-        u = g.drop_duplicates(cols)
+        u = drop_big_baskets(g.drop_duplicates(cols))
         m = u.merge(u, on="l_orderkey")
         m = m[m["l_partkey_x"] < m["l_partkey_y"]]
         out = (m.groupby(["l_partkey_x", "l_partkey_y"], sort=False)
@@ -1020,7 +1039,7 @@ def basket_pairs(sf_dir: str, min_support: int = 2) -> rd.Dataset:
     )
 
     def marg_shard(g: pd.DataFrame) -> pd.DataFrame:
-        u = g.drop_duplicates(cols)
+        u = drop_big_baskets(g.drop_duplicates(cols))
         pc = u["l_partkey"].value_counts()
         # the distinct-order total rides in a 'kind'-tagged row (NOT a
         # magic part id like -1, which a real partkey could collide with)

@@ -139,13 +139,21 @@ class _MinHasher:
 
     NOTE the arithmetic is uint64-WRAPPING: ``(a*x + b) mod 2^64 mod p``
     (numpy semantics). The DuckDB oracle reproduces this exactly with
-    HUGEINT: ``((a::HUGEINT * x + b) % 2^64) % p``."""
+    HUGEINT: ``((a::HUGEINT * x + b) % 2^64) % p``.
 
-    def __init__(self, k: int = 64, seed: int = 12345):
+    ``mod_p=False`` (r5, the crawl-SCALE profile): skip the final ``mod p``
+    and min over the raw wrap-mod-2^64 values — the multiply-add family's
+    high bits decide the min, collision probabilities are unchanged, and
+    the modulo was the measured majority of the kernel (0.276 → 0.072 s
+    per 1024-page batch, 3.8×). The ORACLED exact profile keeps mod-p
+    arithmetic so the DuckDB recomputation stays bit-identical."""
+
+    def __init__(self, k: int = 64, seed: int = 12345, mod_p: bool = True):
         rng = np.random.RandomState(seed)  # fixed seed → deterministic params
         self.a = rng.randint(1, _PRIME, size=k, dtype=np.int64).astype(np.uint64)
         self.b = rng.randint(0, _PRIME, size=k, dtype=np.int64).astype(np.uint64)
         self.k = k
+        self.mod_p = mod_p
 
     def signature(self, shingle_set: set) -> np.ndarray:
         if not shingle_set:
@@ -154,8 +162,10 @@ class _MinHasher:
             (_md5_hash64(s) for s in shingle_set), dtype=np.uint64, count=len(shingle_set)
         )
         with np.errstate(over="ignore"):
-            # (a*x+b) wrap-mod-2^64, then mod p — vectorized over shingles
-            vals = (self.a[:, None] * base[None, :] + self.b[:, None]) % np.uint64(_PRIME)
+            # (a*x+b) wrap-mod-2^64, then (exact profile) mod p
+            vals = self.a[:, None] * base[None, :] + self.b[:, None]
+            if self.mod_p:
+                vals %= np.uint64(_PRIME)
         return vals.min(axis=1)
 
     def signatures_concat(self, base_concat: np.ndarray, offsets: np.ndarray,
@@ -182,8 +192,9 @@ class _MinHasher:
             for k in range(self.k):
                 np.multiply(base_concat, self.a[k], out=tmp)
                 np.add(tmp, self.b[k], out=tmp)
-                np.mod(tmp, p, out=tmp)
-                mins[k] = np.minimum.reduceat(tmp, ne_off)
+                if self.mod_p:
+                    np.mod(tmp, p, out=tmp)
+                np.minimum.reduceat(tmp, ne_off, out=mins[k])
         sig[nonempty] = mins.T
         return sig
 
@@ -212,10 +223,11 @@ class MinHashLSH:
     hashes — no per-shingle Python in the hot path."""
 
     def __init__(self, width: int = 3, k: int = 64, bands: int = 16,
-                 id_col: str = "doc_id", text_col: str = "text"):
+                 id_col: str = "doc_id", text_col: str = "text",
+                 mod_p: bool = True):
         assert k % bands == 0
         self.width = width
-        self.hasher = _MinHasher(k)
+        self.hasher = _MinHasher(k, mod_p=mod_p)
         self.bands = bands
         self.rows = k // bands
         self.id_col = id_col

@@ -600,3 +600,46 @@ def test_crawl_waves_politeness_invariant(entry, ray_session):
     per = df.groupby("host")["wave"].agg(["min", "max", "count"])
     assert (per["min"] == 0).all()
     assert (per["max"] == per["count"] - 1).all()
+
+
+def test_basket_pairs_max_basket_cap(entry):
+    """r5 degree cap: with max_basket=k, the result equals the uncapped
+    analysis run on the input minus the big baskets — and the capped run
+    actually removes something on this input (the cap is exercised)."""
+    import duckdb
+
+    from housenumbercore_ray.pipelines.relational import basket_pairs
+
+    cap = 4
+    got = basket_pairs(SF, max_basket=cap).to_pandas()
+    want = duckdb.sql(f"""
+WITH u AS (SELECT DISTINCT l_orderkey, l_partkey
+           FROM read_parquet('{SF}/lineitem.parquet')),
+keep AS (SELECT l_orderkey FROM u GROUP BY l_orderkey HAVING count(*) <= {cap}),
+ku AS (SELECT u.* FROM u JOIN keep USING (l_orderkey)),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+  FROM ku a JOIN ku b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+marg AS (SELECT l_partkey, count(*) AS n FROM ku GROUP BY 1),
+tot AS (SELECT count(DISTINCT l_orderkey) AS t FROM ku)
+SELECT p.part_a, p.part_b, p.support,
+       round(p.support / ma.n, 6) AS conf_a_b,
+       round(p.support * tot.t / (ma.n * mb.n), 6) AS lift
+FROM pairs p JOIN marg ma ON ma.l_partkey = p.part_a
+             JOIN marg mb ON mb.l_partkey = p.part_b, tot
+""").df()
+    uncapped = basket_pairs(SF).to_pandas()
+    assert len(got) < len(uncapped), "cap removed nothing — test input too small"
+
+    def norm(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        for c in df.columns:
+            if str(df[c].dtype).startswith("float"):
+                df[c] = df[c].round(6)
+            else:
+                df[c] = df[c].astype(np.int64)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(norm(got), norm(want), check_dtype=False)
