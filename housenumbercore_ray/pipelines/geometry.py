@@ -475,6 +475,35 @@ def muni_bbox_pairs(world_dir: str, res_deg: float = BBOX_PAIR_RES) -> rd.Datase
 RADIUS_PAIR_M = 50.0
 RADIUS_PAIR_RES = 0.002
 
+_CELL_BITS = 22  # iy occupies the low 22 bits of the packed int64 cell key
+
+
+def _check_lat_band(lat: np.ndarray, radius_m: float, res_deg: float) -> None:
+    """The fixed-degree grid's 1-cell neighborhood only covers the full
+    ``radius_m`` ball while the longitudinal cell width (res_deg · 111320 ·
+    cos lat) stays ≥ radius_m (≈ |lat| ≤ 63° at the defaults). Beyond the
+    band the join would silently MISS true neighbors — and the SQL oracle
+    applies the identical window, so parity tests can't catch it. Fail
+    loudly instead (ADVICE r4)."""
+    if len(lat) == 0:
+        return
+    cell_m = res_deg * 111320.0 * np.cos(np.radians(np.abs(lat).max()))
+    if cell_m < radius_m:
+        band = float(np.degrees(np.arccos(min(1.0, radius_m / (res_deg * 111320.0)))))
+        raise ValueError(
+            f"input latitude {float(np.abs(lat).max()):.2f}° outside the grid's "
+            f"validity band (|lat| ≤ {band:.1f}° for radius {radius_m} m at "
+            f"res {res_deg}°); widen res_deg or the neighbor window")
+
+
+def _neighbor_cell_mask(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    """Validity mask for SHIFTED neighbor cell indices: negative iy would
+    OR all-ones into the packed key ((ix<<22)|iy) and alias unrelated
+    cells into one group (ADVICE r4); negative ix likewise collides.
+    Out-of-range neighbor cells can never contain a real probe/partner
+    (real points always have ix, iy ≥ 0), so dropping them is exact."""
+    return (ix >= 0) & (iy >= 0) & (iy < (1 << _CELL_BITS))
+
 
 def address_radius_pairs(world_dir: str, radius_m: float = RADIUS_PAIR_M,
                          res_deg: float = RADIUS_PAIR_RES) -> rd.Dataset:
@@ -506,18 +535,21 @@ def address_radius_pairs(world_dir: str, radius_m: float = RADIUS_PAIR_M,
         columns=["osm_id", "lon", "lat", "addr_housenumber"])
 
     def cover(b: pd.DataFrame) -> pd.DataFrame:
+        lat = b["lat"].to_numpy(np.float64)
+        _check_lat_band(lat, radius_m, res_deg)
         ix = np.floor((b["lon"].to_numpy(np.float64) + 180.0) / res_deg).astype(np.int64)
-        iy = np.floor((b["lat"].to_numpy(np.float64) + 90.0) / res_deg).astype(np.int64)
+        iy = np.floor((lat + 90.0) / res_deg).astype(np.int64)
         frames = []
         for dx in (0, 1):
             for dy in (0, 1):
+                ok = _neighbor_cell_mask(ix - dx, iy - dy)
                 frames.append(pd.DataFrame({
-                    "cell": ((ix - dx) << 22) | (iy - dy),
-                    "osm_id": b["osm_id"].to_numpy(np.int64),
-                    "lon": b["lon"].to_numpy(np.float64),
-                    "lat": b["lat"].to_numpy(np.float64),
-                    "ix": ix, "iy": iy,
-                    "hnr": b["addr_housenumber"].fillna("").to_numpy(object),
+                    "cell": ((ix[ok] - dx) << _CELL_BITS) | (iy[ok] - dy),
+                    "osm_id": b["osm_id"].to_numpy(np.int64)[ok],
+                    "lon": b["lon"].to_numpy(np.float64)[ok],
+                    "lat": lat[ok],
+                    "ix": ix[ok], "iy": iy[ok],
+                    "hnr": b["addr_housenumber"].fillna("").to_numpy(object)[ok],
                 }))
         return pd.concat(frames, ignore_index=True)
 
@@ -601,26 +633,31 @@ def nearest_list_address(world_dir: str, radius_m: float = NN_JOIN_M,
         return ix, iy
 
     def probe_rows(b: pd.DataFrame) -> pd.DataFrame:
-        ix, iy = cell_of(b["lon"].to_numpy(np.float64), b["lat"].to_numpy(np.float64))
+        lat = b["lat"].to_numpy(np.float64)
+        _check_lat_band(lat, radius_m, res_deg)
+        ix, iy = cell_of(b["lon"].to_numpy(np.float64), lat)
         return pd.DataFrame({
-            "cell": (ix << 22) | iy,
+            "cell": (ix << _CELL_BITS) | iy,
             "pid": b["osm_id"].to_numpy(np.int64),
             "lon": b["lon"].to_numpy(np.float64),
-            "lat": b["lat"].to_numpy(np.float64),
+            "lat": lat,
             "side": np.full(len(b), 0, dtype=np.int8),
         })
 
     def build_rows(b: pd.DataFrame) -> pd.DataFrame:
-        ix, iy = cell_of(b["lon"].to_numpy(np.float64), b["lat"].to_numpy(np.float64))
+        lat = b["lat"].to_numpy(np.float64)
+        _check_lat_band(lat, radius_m, res_deg)
+        ix, iy = cell_of(b["lon"].to_numpy(np.float64), lat)
         frames = []
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
+                ok = _neighbor_cell_mask(ix + dx, iy + dy)
                 frames.append(pd.DataFrame({
-                    "cell": ((ix + dx) << 22) | (iy + dy),
-                    "pid": b["addr_id"].to_numpy(np.int64),
-                    "lon": b["lon"].to_numpy(np.float64),
-                    "lat": b["lat"].to_numpy(np.float64),
-                    "side": np.full(len(b), 1, dtype=np.int8),
+                    "cell": ((ix[ok] + dx) << _CELL_BITS) | (iy[ok] + dy),
+                    "pid": b["addr_id"].to_numpy(np.int64)[ok],
+                    "lon": b["lon"].to_numpy(np.float64)[ok],
+                    "lat": lat[ok],
+                    "side": np.full(int(ok.sum()), 1, dtype=np.int8),
                 }))
         return pd.concat(frames, ignore_index=True)
 

@@ -370,10 +370,15 @@ def ngram_jaccard(a: str, b: str, width: int = 3) -> float:
 def ngram_containment(a: str, b: str, width: int = 3) -> float:
     """Max-containment |A∩B| / min(|A|,|B|) over ``width``-word shingle
     sets — the pure sibling of the pipeline verify in
-    ``pipelines.corpus.ngram_containment_pairs`` (same denominator-zero
-    convention: both sets empty → 1.0). Always ≥ :func:`ngram_jaccard`
-    on the same pair; equals 1.0 whenever one text appears as a
-    contiguous word-substring (≥ ``width`` words) of the other."""
+    ``pipelines.corpus.ngram_containment_pairs``. Denominator-zero
+    convention: BOTH sets empty → 1.0 (matching the pipeline/oracle);
+    exactly ONE set empty → 0.0 here, where the pipeline's (unreachable —
+    candidates always share a shingle) branch would yield 1.0 (ADVICE r4
+    notes the divergence; this kernel's choice is the defensible one:
+    an empty text is not contained in a non-empty one). Always ≥
+    :func:`ngram_jaccard` on the same pair; equals 1.0 whenever one text
+    appears as a contiguous word-substring (≥ ``width`` words) of the
+    other."""
     sa, sb = shingles(a, width), shingles(b, width)
     denom = min(len(sa), len(sb))
     if denom == 0:
