@@ -1033,7 +1033,7 @@ oa AS (
   JOIN b ON o.lon >= b.minlon AND o.lon <= b.maxlon
         AND o.lat >= b.minlat AND o.lat <= b.maxlat
 ),
-res AS (
+res_points AS (
   SELECT oa.mid AS muni_id, oa.osm_type,
          CASE WHEN oa.addr_street IS NOT NULL THEN 'street'
               WHEN r.name IS NOT NULL THEN 'assoc'
@@ -1042,6 +1042,20 @@ res AS (
   FROM oa LEFT JOIN read_parquet('{world_dir}/osm_relations.parquet') r
     ON r.rel_id = oa.assoc_rel_id
 ),
+-- planet_line pass (r5, TheoreticalHousenumbers.java:1056-1071): address
+-- ways counted per covers-or-crosses municipality; worldgen ways are
+-- horizontal so membership is the exact 1-D interval x rect overlap
+res_ways AS (
+  SELECT b.muni_id, 'way' AS osm_type,
+         CASE WHEN aw.addr_street IS NOT NULL THEN 'street'
+              WHEN aw.addr_place IS NOT NULL THEN 'place'
+              ELSE 'incomplete' END AS resolution
+  FROM (SELECT * FROM read_parquet('{world_dir}/osm_address_ways.parquet')
+        {addr_filter}) aw
+  JOIN b ON aw.lon1 >= b.minlon AND aw.lon0 <= b.maxlon
+        AND aw.way_lat >= b.minlat AND aw.way_lat <= b.maxlat
+),
+res AS (SELECT * FROM res_points UNION ALL SELECT * FROM res_ways),
 counts AS (
   SELECT muni_id,
     CAST(sum(CASE WHEN resolution <> 'incomplete' THEN 1 ELSE 0 END) AS BIGINT) AS anzahl_osmadressen,

@@ -119,6 +119,49 @@ def theo_muni_summary(world_dir: str, *, prev_month: bool = False) -> rd.Dataset
         batch_format="pandas", batch_size=8192, concurrency=(1, 4), num_cpus=1,
     )
 
+    # planet_line pass (r5, TheoreticalHousenumbers.java:1056-1071): address
+    # WAYS enter the count per covers-OR-crosses municipality — a
+    # boundary-crossing address way is counted by EVERY municipality it
+    # reaches into, where the point pass above would centroid-locate it
+    # once. Same partial schema, unioned before the finalize groupby.
+    # Deliberately a TASK stage, not another actor pool: mom_diff runs TWO
+    # summaries concurrently, and a third+fourth min-1 actor pool can pin
+    # every CPU on a small cluster while the reads starve (observed 4-cpu
+    # deadlock); tasks release their CPU between batches, and the context
+    # ray.get is a zero-copy object-store read per batch.
+    def line_theo_count(b: pd.DataFrame) -> pd.DataFrame:
+        import ray
+
+        ctx = ray.get(ref)
+        b = b.reset_index(drop=True)
+        ridx, areas = ctx.boundary_index.locate_polyline_multi(
+            b["linestring_wkb"].to_numpy())
+        hit = b.iloc[ridx]
+        resolution = np.where(
+            hit["addr_street"].notna(), "street",
+            np.where(hit["addr_place"].notna(), "place", "incomplete"))
+        out = pd.DataFrame({
+            "muni_id": pd.Series(areas).map(ctx.area_to_muni).to_numpy(np.int64),
+            "osm_type": np.full(len(hit), "way", dtype=object),
+            "resolution": resolution,
+        })
+        out = out.groupby(["muni_id", "osm_type", "resolution"],
+                          as_index=False).size().rename(columns={"size": "n"})
+        return out.astype({"muni_id": np.int64, "n": np.int64})
+
+    way_src = rd.read_parquet(
+        f"{world_dir}/osm_address_ways.parquet",
+        columns=["osm_id", "addr_street", "addr_place", "linestring_wkb"],
+    )
+    if prev_month:
+        way_src = way_src.map_batches(
+            lambda b: b[b["osm_id"].to_numpy(np.int64) % 9 != 4],
+            batch_format="pandas",
+        )
+    way_partials = way_src.map_batches(
+        line_theo_count, batch_format="pandas", batch_size=8192)
+    partials = partials.union(way_partials)
+
     TYPE_COL = {"node": "nodes", "way": "ways", "relation": "rels"}
     TREFFER_COL = {"node": "nodes", "way": "ways", "relation": "polygons"}
 

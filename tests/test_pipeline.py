@@ -124,3 +124,26 @@ def test_crossing_address_way_in_both_munis(world):
     inside = aw[aw["addr_street"] != "Grenzweg"]
     counts = m[m["osm_id"].isin(inside["osm_id"])].groupby("osm_id").size()
     assert (counts == 1).all()
+
+
+def test_theo_summary_counts_crossing_ways_twice(world):
+    """planet_line pass in the theoretical counters (r5): total way-street
+    counts across municipalities = ways carrying addr:street + one EXTRA
+    count per planted boundary-crossing way (covers-or-crosses counts it in
+    both munis; centroid semantics would count each way exactly once)."""
+    import pyarrow.parquet as pq
+
+    from housenumbercore_ray.pipelines.theoretical import theo_muni_summary
+
+    summ = theo_muni_summary(world).to_pandas()
+    aw = pq.read_table(f"{world}/osm_address_ways.parquet").to_pandas()
+    n_street_ways = int(aw["addr_street"].notna().sum())
+    n_crossing = int((aw["addr_street"] == "Grenzweg").sum())
+    assert n_crossing > 0
+    got = int(summ["anzahl_ways_addrstreet_treffer"].sum())
+    # osm_addresses ways (point pass) also land in the same column — count
+    # them too for the exact total
+    oa = pq.read_table(f"{world}/osm_addresses.parquet").to_pandas()
+    n_point_ways = int(((oa["osm_type"] == "way")
+                        & oa["addr_street"].notna()).sum())
+    assert got == n_point_ways + n_street_ways + n_crossing
