@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hnr_streets_missing_in_osm": lambda sf: ev.streets_missing_in_osm(_world(sf)),
         "hnr_street_memberships": lambda sf: ev.street_memberships(_world(sf)),
         "hnr_way_memberships": lambda sf: ev.way_memberships(_world(sf)),
+        "hnr_osc_apply": lambda sf: __import__(
+            "housenumbercore_ray.pipelines.import_list", fromlist=["osc_apply"]
+        ).osc_apply(_world(sf)),
         "hnr_knn_streets": lambda sf: ev.knn_streets(_world(sf)),
         "hnr_subarea_rows": lambda sf: ev.subarea_rows(_world(sf)),
         "hnr_subarea_street_summary": lambda sf: ev.subarea_street_summary(_world(sf)),
@@ -332,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _R5_WINDOW_PRIORITY = [
     # --- new in round 5 (inserted as implemented) ---
     "hnr_way_memberships",
+    "hnr_osc_apply",
     "media_decode",
     "media_resize_real",
     # --- the 21 registry entries never in any driver window (VERDICT r4) ---

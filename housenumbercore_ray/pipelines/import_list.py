@@ -457,3 +457,44 @@ def boundary_import(world_dir: str) -> rd.Dataset:
 
     return rd.from_pandas(parts).groupby("muni_ref").map_groups(
         pick, batch_format="pandas")
+
+
+def osc_apply(world_dir: str) -> rd.Dataset:
+    """Apply an OsmChange replication diff to the previous month's node
+    table — the osmosis diff-import step the reference runs before every
+    evaluation (its output timestamp is the ``last.state.txt`` the engine
+    parses in ``functions/osmosis.py``).
+
+    Shape: the PARSED diff is the small side — delete ids, modify rows and
+    create rows go through ONE ``ray.put``; the planet-side previous table
+    streams through a single task-based ``map_batches`` that drops deleted
+    ids and swaps modified rows in place, and the created rows are unioned
+    in as their own (small) dataset. No shuffle, no driver-side loop over
+    the big table.
+
+    Oracle: by worldgen construction ``apply(prev, changes.osc.xml)``
+    equals the CURRENT node table exactly, so the oracle reads the current
+    parquet — fully independent of the parse + application machinery."""
+    import ray
+
+    from ..sources.osc import OSC_COLS, ensure_osc_xml, parse_osc, prev_nodes
+
+    changes = parse_osc(ensure_osc_xml(world_dir))
+    del_ids = set(changes["delete"]["osm_id"].tolist())
+    mod = changes["modify"].set_index("osm_id")
+    small = ray.put((del_ids, mod))
+
+    prev = rd.from_pandas(prev_nodes(world_dir)).repartition(8)
+
+    def apply_batch(b: pd.DataFrame) -> pd.DataFrame:
+        dels, mods = ray.get(small)
+        b = b[~b["osm_id"].isin(dels)].copy()
+        hit = b["osm_id"].isin(mods.index)
+        if hit.any():
+            repl = mods.loc[b.loc[hit, "osm_id"]].reset_index()
+            b.loc[hit, OSC_COLS] = repl[OSC_COLS].to_numpy(object)
+        return b
+
+    applied = prev.map_batches(apply_batch, batch_format="pandas")
+    created = rd.from_pandas(changes["create"][OSC_COLS])
+    return applied.union(created)

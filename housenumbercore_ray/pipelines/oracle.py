@@ -332,6 +332,16 @@ FROM assigned GROUP BY muni_id
         "hnr_street_memberships": pre + """
 SELECT muni_id, osm_id, skey AS street_key FROM valid_streets
 """,
+        # OSC diff application (r5): worldgen derives changes.osc.xml so
+        # that apply(prev_nodes, osc) == the CURRENT node table; the engine
+        # really parses the XML and streams the application (broadcast
+        # small side), so this oracle — just the current table — catches
+        # any parse or apply bug while staying fully independent of both.
+        "hnr_osc_apply": f"""
+SELECT osm_id, addr_street, addr_place, addr_housenumber, lon, lat
+FROM read_parquet('{world_dir}/osm_addresses.parquet')
+WHERE osm_type = 'node'
+""",
         # planet_line address ways (TheoreticalHousenumbers.java:1056-1071,
         # ST_Covers OR ST_Crosses): worldgen address ways are horizontal, so
         # membership is the exact 1-D interval × rect overlap — same
