@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash_pairs": lambda sf: corpus.media_phash_pairs(_world(sf)),
         "media_type_sniff": lambda sf: corpus.media_type_sniff(_world(sf)),
         "media_decode": lambda sf: corpus.media_decode(_world(sf)),
+        "web_robots_filter": lambda sf: corpus.web_robots_filter(_world(sf)),
         "media_resize_real": lambda sf: corpus.media_resize_real(_world(sf)),
         "media_cdc_chunks": lambda sf: corpus.media_cdc_chunks(_world(sf)),
         # generic relational operator suite (TPC-H-ish tables)
@@ -336,6 +337,7 @@ _R5_WINDOW_PRIORITY = [
     # --- new in round 5 (inserted as implemented) ---
     "hnr_way_memberships",
     "hnr_osc_apply",
+    "web_robots_filter",
     "media_decode",
     "media_resize_real",
     # --- the 21 registry entries never in any driver window (VERDICT r4) ---
@@ -596,6 +598,25 @@ FROM read_parquet('{world_dir}/pages/*.parquet')
         # the generator's ground-truth columns — a value match proves
         # decode inverts encode exactly (mean_value covers all pixels /
         # samples, not just headers).
+        # robots verdicts: rule table replayed as a CASE over the site id
+        # (parsed from the canonicalized host); engine parses real REP text
+        "web_robots_filter": f"""
+WITH p AS (
+  SELECT url,
+         CAST(regexp_extract(lower(url), 'beispiel-([0-9]{{3}})\.de', 1) AS BIGINT) AS site,
+         regexp_replace(regexp_replace(lower(url), '^https?://[^/]*', ''),
+                        '\?.*$', '') AS path
+  FROM read_parquet('{world_dir}/pages/*.parquet')
+)
+SELECT url, site,
+       CASE
+         WHEN site % 11 = 0 THEN FALSE
+         WHEN site % 11 = 3 THEN NOT path LIKE '/seite/1%'
+         WHEN site % 11 = 9 THEN (path LIKE '/seite/22%' OR NOT path LIKE '/seite/2%')
+         ELSE TRUE
+       END AS allowed
+FROM p
+""",
         "media_decode": f"""
 SELECT blob_id, kind, width, height, channels, sample_rate, n_samples,
        duration_ms, mean_value

@@ -4175,6 +4175,42 @@ def substring_dup_spans(sf_dir: str, w: int = 8, min_shared: int = 2,
     )
 
 
+def web_robots_filter(world_dir: str) -> rd.Dataset:
+    """Crawl-politeness verdicts (r5): per page, does the host's robots.txt
+    allow our agent to keep it? The engine PARSES the real per-host
+    robots.txt texts (RFC 9309 group selection + longest-prefix match with
+    Allow winning ties, ``sources/robots.py``), broadcasts the compiled
+    per-site rules once via ``ray.put``, and streams the page urls through
+    one task stage — the exact small-side-broadcast shape a 10^12-page
+    crawl needs (rules are KBs/host; pages never shuffle). Query strings
+    are stripped before matching on both engine and oracle side
+    (documented deviation: RFC 9309 matches path+query; the generated
+    rules never reference queries, so the results are identical).
+
+    Oracle independence: the SQL replays the site-id → ruleset mapping as
+    a CASE (site id parsed from the host), never touching the robots text
+    — a parser bug (group selection, tie-break, prefix logic) surfaces as
+    a verdict mismatch."""
+    import pyarrow.parquet as pq
+
+    from ..sources.robots import allowed_mask, ensure_robots_parquet, parse_robots
+
+    rt = pq.read_table(ensure_robots_parquet(world_dir)).to_pandas()
+    site_rules = {int(s): parse_robots(t)
+                  for s, t in zip(rt["site"], rt["robots_txt"])}
+    rules_ref = ray.put(site_rules)
+
+    def verdicts(b: pd.DataFrame) -> pd.DataFrame:
+        rules = ray.get(rules_ref)
+        site, ok = allowed_mask(b["url"], rules)
+        return pd.DataFrame({"url": b["url"].to_numpy(object),
+                             "site": site,
+                             "allowed": ok})
+
+    return rd.read_parquet(f"{world_dir}/pages", columns=["url"]).map_batches(
+        verdicts, batch_format="pandas")
+
+
 def media_decode(world_dir: str) -> rd.Dataset:
     """REAL media decode (r5, VERDICT r4 next-round #5): pure-numpy 24-bit
     BMP / binary-PPM / PCM-WAV decoders over the ``media_blobs`` payload
