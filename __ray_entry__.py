@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_type_sniff": lambda sf: corpus.media_type_sniff(_world(sf)),
         "media_decode": lambda sf: corpus.media_decode(_world(sf)),
         "web_robots_filter": lambda sf: corpus.web_robots_filter(_world(sf)),
+        "media_audio_energy": lambda sf: corpus.media_audio_energy(_world(sf)),
         "media_resize_real": lambda sf: corpus.media_resize_real(_world(sf)),
         "media_cdc_chunks": lambda sf: corpus.media_cdc_chunks(_world(sf)),
         # generic relational operator suite (TPC-H-ish tables)
@@ -338,6 +339,7 @@ _R5_WINDOW_PRIORITY = [
     "hnr_way_memberships",
     "hnr_osc_apply",
     "web_robots_filter",
+    "media_audio_energy",
     "media_decode",
     "media_resize_real",
     # --- the 21 registry entries never in any driver window (VERDICT r4) ---
@@ -616,6 +618,39 @@ SELECT url, site,
          ELSE TRUE
        END AS allowed
 FROM p
+""",
+        # audio window RMS: the oracle decodes the little-endian int16 PCM
+        # samples from the payload BYTES in pure SQL (hex + substr, the WKB
+        # oracle discipline) — channels and rate parsed from the header
+        # bytes too, no ground-truth columns involved
+        "media_audio_energy": f"""
+WITH w AS (
+  SELECT blob_id, hex(payload) AS hx, octet_length(payload) AS nb
+  FROM read_parquet('{world_dir}/media_blobs.parquet')
+  WHERE substr(hex(payload), 1, 8) = '52494646'
+),
+hdr AS (
+  SELECT blob_id, hx,
+         ('0x' || substr(hx, 2*23+1, 2) || substr(hx, 2*22+1, 2))::UBIGINT::BIGINT AS ch,
+         ('0x' || substr(hx, 2*27+1, 2) || substr(hx, 2*26+1, 2)
+                || substr(hx, 2*25+1, 2) || substr(hx, 2*24+1, 2))::UBIGINT::BIGINT AS rate,
+         (nb - 44) // 2 AS n_tot
+  FROM w
+),
+-- generate_series takes constants only: 6999 >= max interleaved sample
+-- count by worldgen construction (n_samples <= 3499, channels <= 2)
+idx AS (SELECT i FROM generate_series(0, 6999) AS t(i)),
+s AS (
+  SELECT blob_id, ch, rate,
+         ('0x' || substr(hx, 2*(44 + 2*i + 1)+1, 2)
+                || substr(hx, 2*(44 + 2*i)+1, 2))::UBIGINT::BIGINT AS u,
+         (i // ch) // greatest(1, rate * 100 // 1000) AS win
+  FROM hdr JOIN idx ON idx.i < hdr.n_tot
+)
+SELECT blob_id, CAST(win AS BIGINT) AS win,
+       CAST(count(*) // any_value(ch) AS BIGINT) AS n_frames,
+       round(sqrt(avg(pow(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END, 2))), 6) AS rms
+FROM s GROUP BY blob_id, win
 """,
         "media_decode": f"""
 SELECT blob_id, kind, width, height, channels, sample_rate, n_samples,

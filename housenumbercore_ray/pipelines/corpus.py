@@ -4230,6 +4230,55 @@ def media_decode(world_dir: str) -> rd.Dataset:
     )
 
 
+def media_audio_energy(world_dir: str, window_ms: int = 100) -> rd.Dataset:
+    """Windowed RMS energy over REAL decoded PCM samples (r5) — the
+    feature-extraction primitive of audio curation (silence trimming, VAD
+    pre-filters, loudness normalization): per WAV blob, per ``window_ms``
+    window, the RMS over all interleaved channel samples. The engine walks
+    the RIFF chunks (``parse_wav``) and vectorizes the per-window reduce;
+    the oracle independently decodes the little-endian int16 samples from
+    the payload BYTES in pure SQL (ord/substr arithmetic, the same
+    decode-bytes-in-SQL discipline as the WKB oracles) — no ground-truth
+    columns involved. Non-WAV payloads are dropped.
+
+    Scale shape: stateless actor-pool stream over small binary batches,
+    output bounded by (blobs × windows); zero shuffle."""
+    from ..stages.multimodal import parse_wav
+
+    def energy(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"blob_id": [], "win": [], "n_frames": [], "rms": []}
+        for blob_id, data in zip(batch["blob_id"], batch["payload"]):
+            b = data if isinstance(data, bytes) else bytes(data)
+            if b[:4] != b"RIFF":
+                continue
+            try:
+                ch, rate, bits, n, off = parse_wav(b)
+            except ValueError:
+                continue
+            s = np.frombuffer(b, dtype="<i2", count=n * ch, offset=off).astype(np.float64)
+            fpw = max(1, rate * window_ms // 1000)
+            frame = np.arange(n * ch) // ch
+            win = frame // fpw
+            sq = np.bincount(win, weights=s * s)
+            cnt = np.bincount(win)
+            rms = np.round(np.sqrt(sq / cnt), 6)
+            nw = len(cnt)
+            out["blob_id"].extend([blob_id] * nw)
+            out["win"].extend(range(nw))
+            out["n_frames"].extend((cnt // ch).astype(np.int64))
+            out["rms"].extend(rms)
+        return pd.DataFrame({
+            "blob_id": pd.Series(out["blob_id"], dtype=np.int64),
+            "win": pd.Series(out["win"], dtype=np.int64),
+            "n_frames": pd.Series(out["n_frames"], dtype=np.int64),
+            "rms": pd.Series(out["rms"], dtype=np.float64),
+        })
+
+    return rd.read_parquet(
+        f"{world_dir}/media_blobs.parquet", columns=["blob_id", "payload"],
+    ).map_batches(energy, batch_format="pandas", batch_size=128)
+
+
 def media_resize_real(world_dir: str, target: int = 64) -> rd.Dataset:
     """Aspect-preserving resize over REAL decoded pixels (r5): decode each
     image payload, nearest-neighbour-resize the actual pixel array (long

@@ -93,3 +93,32 @@ def test_media_decode_stage_bytes_only():
               "n_samples", "duration_ms"]:
         assert (merged[c] == merged[f"{c}_want"]).all(), c
     assert np.allclose(merged["mean_value"], merged["mean_value_want"])
+
+
+def test_media_audio_energy_windows(ray_session):
+    """Windowed RMS matches a direct numpy recomputation from the decoded
+    samples (the sf0.01 oracle additionally re-decodes the bytes in SQL)."""
+    import pyarrow.parquet as pq
+
+    from housenumbercore_ray.pipelines.corpus import media_audio_energy
+    from housenumbercore_ray.sources.worldgen import ensure_world_scale
+    from housenumbercore_ray.stages.multimodal import parse_wav
+
+    wd = ensure_world_scale("sf0.001")
+    got = media_audio_energy(wd).to_pandas()
+    blobs = pq.read_table(f"{wd}/media_blobs.parquet",
+                          columns=["blob_id", "kind", "payload"]).to_pandas()
+    wavs = blobs[blobs["kind"] == "wav"]
+    assert set(got["blob_id"]) == set(wavs["blob_id"])
+    for _, r in wavs.iterrows():
+        b = bytes(r["payload"])
+        ch, rate, bits, n, off = parse_wav(b)
+        s = np.frombuffer(b, dtype="<i2", count=n * ch, offset=off).astype(np.float64)
+        fpw = max(1, rate // 10)
+        rows = got[got["blob_id"] == r["blob_id"]].sort_values("win")
+        n_win = int(np.ceil(n / fpw))
+        assert len(rows) == n_win
+        for w, row in zip(range(n_win), rows.itertuples()):
+            seg = s[w * fpw * ch:(w + 1) * fpw * ch]
+            assert row.n_frames == len(seg) // ch
+            assert abs(row.rms - round(float(np.sqrt(np.mean(seg ** 2))), 6)) < 1e-9
