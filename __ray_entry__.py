@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": lambda sf: corpus.media_decode(_world(sf)),
         "web_robots_filter": lambda sf: corpus.web_robots_filter(_world(sf)),
         "media_audio_energy": lambda sf: corpus.media_audio_energy(_world(sf)),
+        "web_frontier_schedule": lambda sf: corpus.web_frontier_schedule(_world(sf)),
         "media_resize_real": lambda sf: corpus.media_resize_real(_world(sf)),
         "media_cdc_chunks": lambda sf: corpus.media_cdc_chunks(_world(sf)),
         # generic relational operator suite (TPC-H-ish tables)
@@ -340,6 +341,7 @@ _R5_WINDOW_PRIORITY = [
     "hnr_osc_apply",
     "web_robots_filter",
     "media_audio_energy",
+    "web_frontier_schedule",
     "media_decode",
     "media_resize_real",
     # --- the 21 registry entries never in any driver window (VERDICT r4) ---
@@ -618,6 +620,30 @@ SELECT url, site,
          ELSE TRUE
        END AS allowed
 FROM p
+""",
+        # frontier waves: per-host rank over robots-allowed pages; the
+        # oracle inlines the robots CASE and uses a window function
+        "web_frontier_schedule": f"""
+WITH p AS (
+  SELECT url,
+         CAST(regexp_extract(lower(url), 'beispiel-([0-9]{{3}})\.de', 1) AS BIGINT) AS site,
+         regexp_replace(regexp_replace(lower(url), '^https?://[^/]*', ''),
+                        '\?.*$', '') AS path,
+         CAST(regexp_extract(url, '/seite/([0-9]+)', 1) AS BIGINT) AS page_id
+  FROM read_parquet('{world_dir}/pages/*.parquet')
+),
+a AS (
+  SELECT url, site, page_id FROM p
+  WHERE CASE
+          WHEN site % 11 = 0 THEN FALSE
+          WHEN site % 11 = 3 THEN NOT path LIKE '/seite/1%'
+          WHEN site % 11 = 9 THEN (path LIKE '/seite/22%' OR NOT path LIKE '/seite/2%')
+          ELSE TRUE
+        END
+)
+SELECT url, site,
+       CAST((row_number() OVER (PARTITION BY site ORDER BY page_id) - 1) // 8 AS BIGINT) AS wave
+FROM a
 """,
         # audio window RMS: the oracle decodes the little-endian int16 PCM
         # samples from the payload BYTES in pure SQL (hex + substr, the WKB

@@ -4211,6 +4211,42 @@ def web_robots_filter(world_dir: str) -> rd.Dataset:
         verdicts, batch_format="pandas")
 
 
+def web_frontier_schedule(world_dir: str, per_wave: int = 8) -> rd.Dataset:
+    """Crawl-frontier wave scheduling (r5): robots-allowed pages are
+    assigned to politeness waves — at most ``per_wave`` pages per host per
+    wave, pages ordered by page id within the host (the deterministic
+    frontier order). The operator every polite crawler needs between "what
+    may I fetch" (``web_robots_filter``) and "fetch it" (the fetch stage).
+
+    Scale shape: verdicts stream (broadcast robots rules); the per-host
+    rank is the ONE shuffle — hash-sharded on the host/site id with the
+    rank computed vectorized inside each shard (hosts are shard-exclusive,
+    so ranks are exact); output one row per allowed page. Host cardinality
+    bounds the skew (a host's pages land on one shard — the same bounded
+    key a real frontier partitions on)."""
+    allowed = web_robots_filter(world_dir).map_batches(
+        lambda b: b[b["allowed"]][["url", "site"]], batch_format="pandas")
+
+    def rank_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["page_id"] = g["url"].str.extract(r"/seite/([0-9]+)", expand=False).astype(np.int64)
+        g = g.sort_values(["site", "page_id"], kind="mergesort")
+        rn = g.groupby("site").cumcount()
+        return pd.DataFrame({
+            "url": g["url"].to_numpy(object),
+            "site": g["site"].to_numpy(np.int64),
+            "wave": (rn // per_wave).to_numpy(np.int64),
+        })
+
+    return (
+        allowed.map_batches(_shard_on(["site"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(lambda g: rank_shard(g.drop(columns=["_shard"])),
+                    batch_format="pandas")
+    )
+
+
 def media_decode(world_dir: str) -> rd.Dataset:
     """REAL media decode (r5, VERDICT r4 next-round #5): pure-numpy 24-bit
     BMP / binary-PPM / PCM-WAV decoders over the ``media_blobs`` payload

@@ -57,3 +57,26 @@ def test_case_insensitive_directives_and_agent():
     text = "USER-AGENT: GraftBot\nDISALLOW: /q\n"
     rules = parse_robots(text, agent="graftbot")
     assert not is_allowed(rules, "/q/1")
+
+
+def test_frontier_schedule_waves(ray_session):
+    """Wave assignment: ≤ per_wave pages per (host, wave); waves dense from
+    0; disallowed pages absent; frontier order is page-id order."""
+    from housenumbercore_ray.pipelines.corpus import (
+        web_frontier_schedule,
+        web_robots_filter,
+    )
+    from housenumbercore_ray.sources.worldgen import ensure_world_scale
+
+    wd = ensure_world_scale("sf0.001")
+    sched = web_frontier_schedule(wd).to_pandas()
+    verdicts = web_robots_filter(wd).to_pandas()
+    assert len(sched) == int(verdicts["allowed"].sum())
+    per = sched.groupby(["site", "wave"]).size()
+    assert (per <= 8).all()
+    for site, g in sched.groupby("site"):
+        waves = sorted(g["wave"].unique())
+        assert waves == list(range(len(waves)))
+        full = g["wave"].value_counts()
+        # every wave except the last is full
+        assert (full[full.index != max(waves)] == 8).all()
