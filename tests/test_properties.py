@@ -350,3 +350,58 @@ class TestContainmentProperties:
 
         a, b = " ".join(wa), " ".join(wb)
         assert ngram_containment(a, b) == ngram_containment(b, a)
+
+
+class TestMediaCodecProperties:
+    """r5 pure-numpy codecs: decode is the exact inverse of encode for
+    ARBITRARY dims/content, not just the worldgen fixtures."""
+
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+    @settings(max_examples=40, deadline=None)
+    def test_bmp_round_trip(self, w, h, seed):
+        from housenumbercore_ray.stages.multimodal import decode_bmp, encode_bmp
+
+        pix = np.random.RandomState(seed % 2**31).randint(
+            0, 256, (h, w, 3)).astype(np.uint8)
+        got, gw, gh, ch = decode_bmp(encode_bmp(pix))
+        assert (gw, gh, ch) == (w, h, 3) and (got == pix).all()
+
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+    @settings(max_examples=40, deadline=None)
+    def test_ppm_round_trip(self, w, h, seed):
+        from housenumbercore_ray.stages.multimodal import decode_ppm, encode_ppm
+
+        pix = np.random.RandomState(seed % 2**31).randint(
+            0, 256, (h, w, 3)).astype(np.uint8)
+        got, gw, gh, ch = decode_ppm(encode_ppm(pix))
+        assert (gw, gh, ch) == (w, h, 3) and (got == pix).all()
+
+    @given(st.integers(1, 2), st.sampled_from([8000, 16000, 22050, 44100]),
+           st.integers(1, 500), st.integers(0, 2**32 - 1))
+    @settings(max_examples=40, deadline=None)
+    def test_wav_round_trip(self, ch, rate, n, seed):
+        from housenumbercore_ray.stages.multimodal import encode_wav, parse_wav
+
+        s = np.random.RandomState(seed % 2**31).randint(
+            -32768, 32768, (n, ch)).astype(np.int16)
+        data = encode_wav(s, rate)
+        c, r, bits, nn, off = parse_wav(data)
+        assert (c, r, bits, nn) == (ch, rate, 16, n)
+        got = np.frombuffer(data, dtype="<i2", count=nn * c, offset=off).reshape(nn, c)
+        assert (got == s).all()
+
+    @given(st.integers(1, 60), st.integers(1, 60), st.integers(1, 64))
+    @settings(max_examples=40, deadline=None)
+    def test_resize_dims_invariants(self, w, h, target):
+        from housenumbercore_ray.stages.multimodal import resize_image
+
+        pix = np.zeros((h, w, 3), dtype=np.uint8)
+        r = resize_image(pix, target)
+        dh, dw = r.shape[:2]
+        assert max(dw, dh) == target or (dw == dh == target)
+        assert dw >= 1 and dh >= 1
+        # aspect monotonicity: long side maps to target
+        if w >= h:
+            assert dw == target and dh == max(1, (h * target) // w)
+        else:
+            assert dh == target and dw == max(1, (w * target) // h)
