@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_robots_filter": lambda sf: corpus.web_robots_filter(_world(sf)),
         "media_audio_energy": lambda sf: corpus.media_audio_energy(_world(sf)),
         "web_frontier_schedule": lambda sf: corpus.web_frontier_schedule(_world(sf)),
+        "media_image_stats": lambda sf: corpus.media_image_stats(_world(sf)),
         "media_resize_real": lambda sf: corpus.media_resize_real(_world(sf)),
         "media_cdc_chunks": lambda sf: corpus.media_cdc_chunks(_world(sf)),
         # generic relational operator suite (TPC-H-ish tables)
@@ -342,6 +343,7 @@ _R5_WINDOW_PRIORITY = [
     "web_robots_filter",
     "media_audio_energy",
     "web_frontier_schedule",
+    "media_image_stats",
     "media_decode",
     "media_resize_real",
     # --- the 21 registry entries never in any driver window (VERDICT r4) ---
@@ -644,6 +646,38 @@ a AS (
 SELECT url, site,
        CAST((row_number() OVER (PARTITION BY site ORDER BY page_id) - 1) // 8 AS BIGINT) AS wave
 FROM a
+""",
+        # BMP channel means: width from the header int32, stride incl. the
+        # 4-byte row padding, per-sample channel extraction — all redone on
+        # the raw hex in SQL (BGR file order: k=2 is red). 9215 >= max
+        # w*3*h-1 by worldgen construction (w<=64, h<=48).
+        "media_image_stats": f"""
+WITH w AS (
+  SELECT blob_id, hex(payload) AS hx
+  FROM read_parquet('{world_dir}/media_blobs.parquet')
+  WHERE substr(hex(payload), 1, 4) = '424D'
+),
+hdr AS (
+  SELECT blob_id, hx,
+         ('0x' || substr(hx, 2*21+1, 2) || substr(hx, 2*20+1, 2)
+                || substr(hx, 2*19+1, 2) || substr(hx, 2*18+1, 2))::UBIGINT::BIGINT AS iw,
+         ('0x' || substr(hx, 2*25+1, 2) || substr(hx, 2*24+1, 2)
+                || substr(hx, 2*23+1, 2) || substr(hx, 2*22+1, 2))::UBIGINT::BIGINT AS ih
+  FROM w
+),
+idx AS (SELECT i FROM generate_series(0, 9215) AS t(i)),
+px AS (
+  SELECT blob_id, i % 3 AS k,
+         ('0x' || substr(hx,
+            2*(54 + (i // (iw*3)) * (((iw*3 + 3) // 4) * 4) + (i % (iw*3))) + 1,
+            2))::UBIGINT::BIGINT AS v
+  FROM hdr JOIN idx ON idx.i < hdr.iw * 3 * hdr.ih
+)
+SELECT blob_id,
+       round(avg(CASE WHEN k = 2 THEN v END), 6) AS mean_r,
+       round(avg(CASE WHEN k = 1 THEN v END), 6) AS mean_g,
+       round(avg(CASE WHEN k = 0 THEN v END), 6) AS mean_b
+FROM px GROUP BY blob_id
 """,
         # audio window RMS: the oracle decodes the little-endian int16 PCM
         # samples from the payload BYTES in pure SQL (hex + substr, the WKB

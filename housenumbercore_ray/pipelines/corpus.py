@@ -4247,6 +4247,45 @@ def web_frontier_schedule(world_dir: str, per_wave: int = 8) -> rd.Dataset:
     )
 
 
+def media_image_stats(world_dir: str) -> rd.Dataset:
+    """Per-channel pixel means over REAL decoded BMP images (r5) — the
+    image-analytics sibling of :func:`media_audio_energy`: the engine
+    decodes the full pixel array (``decode_bmp``: BGR order, bottom-up
+    rows, 4-byte row padding) and reduces per channel; the oracle decodes
+    THE SAME BYTES in pure SQL — width from the header's little-endian
+    int32, the row stride incl. padding, per-sample channel extraction —
+    so header math, stride arithmetic AND channel order are all
+    independently cross-checked. PPM/WAV/junk payloads are dropped
+    (PPM's variable-length ASCII header has no clean constant-offset SQL
+    decode; BMP covers the pixel-path proof)."""
+    from ..stages.multimodal import decode_bmp
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"blob_id": [], "mean_r": [], "mean_g": [], "mean_b": []}
+        for blob_id, data in zip(batch["blob_id"], batch["payload"]):
+            b = data if isinstance(data, bytes) else bytes(data)
+            if b[:2] != b"BM":
+                continue
+            try:
+                pix = decode_bmp(b)[0].astype(np.float64)
+            except ValueError:
+                continue
+            out["blob_id"].append(blob_id)
+            out["mean_r"].append(round(float(pix[:, :, 0].mean()), 6))
+            out["mean_g"].append(round(float(pix[:, :, 1].mean()), 6))
+            out["mean_b"].append(round(float(pix[:, :, 2].mean()), 6))
+        return pd.DataFrame({
+            "blob_id": pd.Series(out["blob_id"], dtype=np.int64),
+            "mean_r": pd.Series(out["mean_r"], dtype=np.float64),
+            "mean_g": pd.Series(out["mean_g"], dtype=np.float64),
+            "mean_b": pd.Series(out["mean_b"], dtype=np.float64),
+        })
+
+    return rd.read_parquet(
+        f"{world_dir}/media_blobs.parquet", columns=["blob_id", "payload"],
+    ).map_batches(stats, batch_format="pandas", batch_size=128)
+
+
 def media_decode(world_dir: str) -> rd.Dataset:
     """REAL media decode (r5, VERDICT r4 next-round #5): pure-numpy 24-bit
     BMP / binary-PPM / PCM-WAV decoders over the ``media_blobs`` payload

@@ -122,3 +122,25 @@ def test_media_audio_energy_windows(ray_session):
             seg = s[w * fpw * ch:(w + 1) * fpw * ch]
             assert row.n_frames == len(seg) // ch
             assert abs(row.rms - round(float(np.sqrt(np.mean(seg ** 2))), 6)) < 1e-9
+
+
+def test_media_image_stats_channel_means(ray_session):
+    """BMP channel means match a direct recomputation from decoded pixels
+    (the sf0.01 oracle additionally redoes stride + channel math on the
+    raw hex in SQL)."""
+    import pyarrow.parquet as pq
+
+    from housenumbercore_ray.pipelines.corpus import media_image_stats
+    from housenumbercore_ray.sources.worldgen import ensure_world_scale
+
+    wd = ensure_world_scale("sf0.001")
+    got = media_image_stats(wd).to_pandas().set_index("blob_id")
+    blobs = pq.read_table(f"{wd}/media_blobs.parquet",
+                          columns=["blob_id", "kind", "payload"]).to_pandas()
+    bmps = blobs[blobs["kind"] == "bmp"]
+    assert set(got.index) == set(bmps["blob_id"]) and len(bmps) > 0
+    for _, r in bmps.iterrows():
+        pix = decode_bmp(bytes(r["payload"]))[0].astype(np.float64)
+        row = got.loc[r["blob_id"]]
+        for ch, col in [(0, "mean_r"), (1, "mean_g"), (2, "mean_b")]:
+            assert abs(row[col] - round(float(pix[:, :, ch].mean()), 6)) < 1e-9
