@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_energy": lambda sf: corpus.media_audio_energy(_world(sf)),
         "web_frontier_schedule": lambda sf: corpus.web_frontier_schedule(_world(sf)),
         "media_image_stats": lambda sf: corpus.media_image_stats(_world(sf)),
+        "web_warc_export": lambda sf: corpus.web_warc_export(_world(sf)),
         "media_resize_real": lambda sf: corpus.media_resize_real(_world(sf)),
         "media_cdc_chunks": lambda sf: corpus.media_cdc_chunks(_world(sf)),
         # generic relational operator suite (TPC-H-ish tables)
@@ -344,6 +345,7 @@ _R5_WINDOW_PRIORITY = [
     "media_audio_energy",
     "web_frontier_schedule",
     "media_image_stats",
+    "web_warc_export",
     "media_decode",
     "media_resize_real",
     # --- the 21 registry entries never in any driver window (VERDICT r4) ---
@@ -646,6 +648,33 @@ a AS (
 SELECT url, site,
        CAST((row_number() OVER (PARTITION BY site ORDER BY page_id) - 1) // 8 AS BIGINT) AS wave
 FROM a
+""",
+        # WARC export manifest: record length = fixed header literals +
+        # url/date/length-string lengths + payload + trailer, offsets via a
+        # window sum in page-id order per shard — all pure arithmetic
+        "web_warc_export": f"""
+WITH p AS (
+  SELECT url, html,
+         CAST(regexp_extract(url, '/seite/([0-9]+)', 1) AS BIGINT) AS page_id,
+         octet_length(html) AS n
+  FROM read_parquet('{world_dir}/pages/*.parquet')
+),
+m AS (
+  SELECT url, page_id, page_id % 16 AS shard,
+         CAST(n AS BIGINT) AS content_length,
+         CAST(10 + 21 + 17 + length(url) + 2 + 11 + 20 + 2
+              + 16 + length(CAST(n AS VARCHAR)) + 2 + 2 + n + 4 AS BIGINT)
+           AS record_length,
+         md5(decode(html)) AS block_digest
+  FROM p
+)
+SELECT url, CAST(shard AS BIGINT) AS shard,
+       CAST(coalesce(sum(record_length) OVER (
+              PARTITION BY shard ORDER BY page_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS offset,
+       content_length, record_length, block_digest
+FROM m
 """,
         # BMP channel means: width from the header int32, stride incl. the
         # 4-byte row padding, per-sample channel extraction — all redone on

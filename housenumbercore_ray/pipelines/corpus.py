@@ -4247,6 +4247,45 @@ def web_frontier_schedule(world_dir: str, per_wave: int = 8) -> rd.Dataset:
     )
 
 
+def web_warc_export(world_dir: str, n_shards: int = 16) -> rd.Dataset:
+    """WARC re-export metadata (r5, K-family sink): build a real WARC/1.0
+    response record per page (``sources/warc.py`` — actual bytes, measured
+    lengths, md5 block digest) and place it in its shard file: shard =
+    page_id % n_shards, records ordered by page_id within the shard, byte
+    offset = cumulative record length of the predecessors. The oracle
+    recomputes every number with pure string/length arithmetic + a window
+    sum — pinning the writer's byte layout AND the shard/offset plan
+    independently.
+
+    Scale shape: record building streams (task stage, bytes never leave
+    the worker — only the metadata rows move); the ONE shuffle is the
+    shard groupby whose per-shard cumsum is vectorized. This is exactly a
+    resharding export's manifest pass; the actual file write would stream
+    the same order per shard."""
+    from ..sources.warc import record_meta
+
+    def meta_with_shard(b: pd.DataFrame) -> pd.DataFrame:
+        m = record_meta(b)
+        pid = m["url"].str.extract(r"/seite/([0-9]+)", expand=False).astype(np.int64)
+        m["page_id"] = pid
+        m["shard"] = (pid % n_shards).astype(np.int64)
+        return m
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("page_id", kind="mergesort").reset_index(drop=True)
+        off = np.concatenate([[0], np.cumsum(g["record_length"].to_numpy(np.int64))[:-1]])
+        g["offset"] = off.astype(np.int64)
+        return g[["url", "shard", "offset", "content_length",
+                  "record_length", "block_digest"]]
+
+    return (
+        rd.read_parquet(f"{world_dir}/pages", columns=["url", "warc_ts", "html"])
+        .map_batches(meta_with_shard, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(offsets, batch_format="pandas")
+    )
+
+
 def media_image_stats(world_dir: str) -> rd.Dataset:
     """Per-channel pixel means over REAL decoded BMP images (r5) — the
     image-analytics sibling of :func:`media_audio_energy`: the engine
