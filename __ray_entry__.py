@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_frontier_schedule": lambda sf: corpus.web_frontier_schedule(_world(sf)),
         "media_image_stats": lambda sf: corpus.media_image_stats(_world(sf)),
         "web_warc_export": lambda sf: corpus.web_warc_export(_world(sf)),
+        "web_warc_import": lambda sf: corpus.web_warc_import(_world(sf)),
         "media_resize_real": lambda sf: corpus.media_resize_real(_world(sf)),
         "media_cdc_chunks": lambda sf: corpus.media_cdc_chunks(_world(sf)),
         # generic relational operator suite (TPC-H-ish tables)
@@ -346,6 +347,7 @@ _R5_WINDOW_PRIORITY = [
     "web_frontier_schedule",
     "media_image_stats",
     "web_warc_export",
+    "web_warc_import",
     "media_decode",
     "media_resize_real",
     # --- the 21 registry entries never in any driver window (VERDICT r4) ---
@@ -648,6 +650,13 @@ a AS (
 SELECT url, site,
        CAST((row_number() OVER (PARTITION BY site ORDER BY page_id) - 1) // 8 AS BIGINT) AS wave
 FROM a
+""",
+        # WARC ingest round trip: what the reader parses from the real
+        # shard files must equal the pages table it was written from
+        "web_warc_import": f"""
+SELECT url, CAST(octet_length(html) AS BIGINT) AS content_length,
+       md5(decode(html)) AS block_digest
+FROM read_parquet('{world_dir}/pages/*.parquet')
 """,
         # WARC export manifest: record length = fixed header literals +
         # url/date/length-string lengths + payload + trailer, offsets via a

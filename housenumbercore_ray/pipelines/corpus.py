@@ -4286,6 +4286,41 @@ def web_warc_export(world_dir: str, n_shards: int = 16) -> rd.Dataset:
     )
 
 
+def web_warc_import(world_dir: str) -> rd.Dataset:
+    """WARC ingest (r5, S-family): read the world's derived WARC shard
+    files (real files on disk, written once by ``ensure_warc_shards`` via
+    the same record writer the export uses) and parse them with the REAL
+    reader loop — walk Content-Length record to record, validate version
+    line and trailer (``sources/warc.py:iter_records``). One read task per
+    shard file (``read_binary_files``), payload bytes never leave the
+    worker; the emitted metadata is checked against the pages parquet by
+    the oracle — the full write→read round trip must be lossless.
+
+    At 100 TB this is the ingest shape for a Common-Crawl dump: shard
+    files map 1:1 to read tasks, each streamed and parsed in one pass."""
+    from ..sources.warc import ensure_warc_shards, iter_records
+
+    d = ensure_warc_shards(world_dir)
+
+    def parse_file(b: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        out = {"url": [], "content_length": [], "block_digest": []}
+        for data in b["bytes"]:
+            for fields, payload in iter_records(bytes(data)):
+                out["url"].append(fields["WARC-Target-URI"])
+                out["content_length"].append(len(payload))
+                out["block_digest"].append(hashlib.md5(payload).hexdigest())
+        return pd.DataFrame({
+            "url": pd.Series(out["url"], dtype=object),
+            "content_length": pd.Series(out["content_length"], dtype=np.int64),
+            "block_digest": pd.Series(out["block_digest"], dtype=object),
+        })
+
+    return rd.read_binary_files(d, file_extensions=["warc"]).map_batches(
+        parse_file, batch_format="pandas", batch_size=1)
+
+
 def media_image_stats(world_dir: str) -> rd.Dataset:
     """Per-channel pixel means over REAL decoded BMP images (r5) — the
     image-analytics sibling of :func:`media_audio_energy`: the engine

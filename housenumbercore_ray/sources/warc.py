@@ -78,3 +78,57 @@ def parse_record(data: bytes) -> tuple[dict, bytes]:
     if tail != b"\r\n\r\n":
         raise ValueError("bad record trailer")
     return fields, payload
+
+
+def ensure_warc_shards(world_dir: str, n_shards: int = 16) -> str:
+    """Write (cached) ``derived/warc/shard-NN.warc`` — the world's pages
+    re-exported as real WARC shard files in the web_warc_export manifest
+    order (shard = page_id % n_shards, page-id order within the shard)."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    out = os.path.join(world_dir, "derived", "warc")
+    marker = os.path.join(out, ".done")
+    if os.path.exists(marker):
+        return out
+    tmp = out + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    tbl = pads.dataset(os.path.join(world_dir, "pages")).to_table(
+        columns=["url", "warc_ts", "html"]).to_pandas()
+    tbl["page_id"] = tbl["url"].str.extract(r"/seite/([0-9]+)", expand=False).astype("int64")
+    tbl["shard"] = tbl["page_id"] % n_shards
+    for shard, g in tbl.groupby("shard"):
+        g = g.sort_values("page_id")
+        with open(os.path.join(tmp, f"shard-{int(shard):02d}.warc"), "wb") as fh:
+            for r in g.itertuples():
+                fh.write(build_record(r.url, r.warc_ts, bytes(r.html)))
+    with open(os.path.join(tmp, ".done"), "w") as fh:
+        fh.write("v1")
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    return out
+
+
+def iter_records(data: bytes):
+    """Split a WARC shard's bytes into records by walking Content-Length —
+    the real reader loop (no regex, no guessing): yields (fields, payload)
+    until the buffer is exhausted; raises on any malformed record."""
+    pos = 0
+    while pos < len(data):
+        head_end = data.index(b"\r\n\r\n", pos)
+        head = data[pos:head_end]
+        lines = head.decode().split("\r\n")
+        if lines[0] != "WARC/1.0":
+            raise ValueError(f"bad record at offset {pos}")
+        fields = dict(ln.split(": ", 1) for ln in lines[1:])
+        n = int(fields["Content-Length"])
+        body = head_end + 4
+        payload = data[body:body + n]
+        if data[body + n:body + n + 4] != b"\r\n\r\n":
+            raise ValueError(f"bad trailer at offset {pos}")
+        yield fields, payload
+        pos = body + n + 4

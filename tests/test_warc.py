@@ -48,3 +48,25 @@ def test_export_offsets_contiguous(ray_session):
     # record length really is header + payload + trailer of the built bytes
     row = m.iloc[0]
     assert row.record_length > row.content_length + 100 - 20  # header present
+
+
+def test_warc_import_round_trip(ray_session):
+    """write shards → read+parse → exactly the original pages (urls unique,
+    digests equal, malformed data raises)."""
+    import hashlib
+
+    import pyarrow.dataset as pads
+
+    from housenumbercore_ray.pipelines.corpus import web_warc_import
+    from housenumbercore_ray.sources.warc import iter_records
+    from housenumbercore_ray.sources.worldgen import ensure_world_scale
+
+    wd = ensure_world_scale("sf0.001")
+    got = web_warc_import(wd).to_pandas().sort_values("url").reset_index(drop=True)
+    pages = pads.dataset(f"{wd}/pages").to_table(columns=["url", "html"]).to_pandas()
+    pages = pages.sort_values("url").reset_index(drop=True)
+    assert got["url"].tolist() == pages["url"].tolist()
+    want_digest = [hashlib.md5(bytes(h)).hexdigest() for h in pages["html"]]
+    assert got["block_digest"].tolist() == want_digest
+    with pytest.raises(ValueError):
+        list(iter_records(b"WARC/1.0\r\nContent-Length: 3\r\n\r\nabcXXXX"))
