@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_stats": lambda sf: corpus.media_image_stats(_world(sf)),
         "web_warc_export": lambda sf: corpus.web_warc_export(_world(sf)),
         "web_warc_import": lambda sf: corpus.web_warc_import(_world(sf)),
+        "web_cdx_index": lambda sf: corpus.web_cdx_index(_world(sf)),
         "media_resize_real": lambda sf: corpus.media_resize_real(_world(sf)),
         "media_cdc_chunks": lambda sf: corpus.media_cdc_chunks(_world(sf)),
         # generic relational operator suite (TPC-H-ish tables)
@@ -348,6 +349,7 @@ _R5_WINDOW_PRIORITY = [
     "media_image_stats",
     "web_warc_export",
     "web_warc_import",
+    "web_cdx_index",
     "media_decode",
     "media_resize_real",
     # --- the 21 registry entries never in any driver window (VERDICT r4) ---
@@ -650,6 +652,35 @@ a AS (
 SELECT url, site,
        CAST((row_number() OVER (PARTITION BY site ORDER BY page_id) - 1) // 8 AS BIGINT) AS wave
 FROM a
+""",
+        # CDX: SURT via SQL list ops over the export manifest arithmetic
+        "web_cdx_index": f"""
+WITH p AS (
+  SELECT url, html,
+         CAST(regexp_extract(url, '/seite/([0-9]+)', 1) AS BIGINT) AS page_id,
+         octet_length(html) AS n
+  FROM read_parquet('{world_dir}/pages/*.parquet')
+),
+m AS (
+  SELECT url, page_id, page_id % 16 AS shard,
+         CAST(10 + 21 + 17 + length(url) + 2 + 11 + 20 + 2
+              + 16 + length(CAST(n AS VARCHAR)) + 2 + 2 + n + 4 AS BIGINT)
+           AS record_length,
+         md5(decode(html)) AS block_digest,
+         lower(url) AS low
+  FROM p
+)
+SELECT array_to_string(list_reverse(string_split(
+         regexp_extract(low, '^https?://([^/]+)', 1), '.')), ',')
+       || ')' || regexp_replace(regexp_replace(low, '^https?://[^/]*', ''),
+                                '\?.*$', '') AS surt,
+       url, CAST(shard AS BIGINT) AS shard,
+       CAST(coalesce(sum(record_length) OVER (
+              PARTITION BY shard ORDER BY page_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS offset,
+       record_length, block_digest
+FROM m
 """,
         # WARC ingest round trip: what the reader parses from the real
         # shard files must equal the pages table it was written from

@@ -4321,6 +4321,31 @@ def web_warc_import(world_dir: str) -> rd.Dataset:
         parse_file, batch_format="pandas", batch_size=1)
 
 
+def web_cdx_index(world_dir: str) -> rd.Dataset:
+    """CDX capture index (r5): the lookup index web archives pair with
+    their WARC shards — one row per record keyed by the SURT
+    (Sort-friendly URI Reordering Transform) of the url: host lowercased
+    and reversed at the dots (``www.beispiel-007.de`` →
+    ``de,beispiel-007,www``), then ``)/`` + path; plus the shard / offset /
+    record length needed for random access and the block digest. Built as
+    one vectorized pass over the :func:`web_warc_export` manifest (string
+    kernels only — no extra shuffle beyond the manifest's own); the oracle
+    redoes the SURT transform with SQL list ops."""
+    exp = web_warc_export(world_dir)
+
+    def surt(b: pd.DataFrame) -> pd.DataFrame:
+        low = b["url"].str.lower()
+        host = low.str.extract(r"^https?://([^/]+)", expand=False)
+        path = low.str.replace(r"^https?://[^/]*", "", regex=True).str.replace(
+            r"\?.*$", "", regex=True)
+        rev = host.str.split(".").map(lambda parts: ",".join(reversed(parts)))
+        b = b.copy()
+        b["surt"] = rev + ")" + path
+        return b[["surt", "url", "shard", "offset", "record_length", "block_digest"]]
+
+    return exp.map_batches(surt, batch_format="pandas")
+
+
 def media_image_stats(world_dir: str) -> rd.Dataset:
     """Per-channel pixel means over REAL decoded BMP images (r5) — the
     image-analytics sibling of :func:`media_audio_energy`: the engine

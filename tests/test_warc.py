@@ -70,3 +70,20 @@ def test_warc_import_round_trip(ray_session):
     assert got["block_digest"].tolist() == want_digest
     with pytest.raises(ValueError):
         list(iter_records(b"WARC/1.0\r\nContent-Length: 3\r\n\r\nabcXXXX"))
+
+
+def test_cdx_surt_transform(ray_session):
+    """SURT: host lowercased, dot-reversed with commas, ')' + path, query
+    stripped — spot-checked on the messy url variants worldgen plants."""
+    from housenumbercore_ray.pipelines.corpus import web_cdx_index
+    from housenumbercore_ray.sources.worldgen import ensure_world_scale
+
+    wd = ensure_world_scale("sf0.001")
+    cdx = web_cdx_index(wd).to_pandas()
+    assert cdx["surt"].str.match(r"^de,beispiel-[0-9]{3}(,www)?\)/seite/[0-9]+$").all()
+    up = cdx[cdx["url"].str.startswith("HTTPS://")]
+    if len(up):
+        assert up["surt"].str.startswith("de,beispiel-").all()
+    q = cdx[cdx["url"].str.contains("utm_source", regex=False)]
+    if len(q):
+        assert not q["surt"].str.contains("utm").any()
