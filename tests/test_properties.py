@@ -405,3 +405,29 @@ class TestMediaCodecProperties:
             assert dw == target and dh == max(1, (h * target) // w)
         else:
             assert dh == target and dw == max(1, (w * target) // h)
+
+
+class TestWarcProperties:
+    @given(st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=8),
+           st.integers(0, 2**31 - 1))
+    @settings(max_examples=50, deadline=None)
+    def test_concatenated_records_round_trip(self, payloads, seed):
+        """iter_records recovers every payload exactly — including payloads
+        that CONTAIN '\\r\\n\\r\\n' or 'WARC/1.0' (the reader walks
+        Content-Length, never scans payload bytes)."""
+        import pandas as pd
+
+        from housenumbercore_ray.sources.warc import build_record, iter_records
+
+        # plant adversarial content in one payload
+        payloads = list(payloads)
+        payloads[seed % len(payloads)] += b"\r\n\r\nWARC/1.0\r\nContent-Length: 0\r\n\r\n"
+        ts = pd.Timestamp("2024-06-01 10:00:00")
+        blob = b"".join(
+            build_record(f"https://x.de/seite/{i}", ts, p)
+            for i, p in enumerate(payloads))
+        got = list(iter_records(blob))
+        assert len(got) == len(payloads)
+        for i, (fields, payload) in enumerate(got):
+            assert fields["WARC-Target-URI"] == f"https://x.de/seite/{i}"
+            assert payload == payloads[i]
