@@ -291,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_warc_export": lambda sf: corpus.web_warc_export(_world(sf)),
         "web_warc_import": lambda sf: corpus.web_warc_import(_world(sf)),
         "web_cdx_index": lambda sf: corpus.web_cdx_index(_world(sf)),
+        "media_wav_resample": lambda sf: corpus.media_wav_resample(_world(sf)),
         "media_resize_real": lambda sf: corpus.media_resize_real(_world(sf)),
         "media_cdc_chunks": lambda sf: corpus.media_cdc_chunks(_world(sf)),
         # generic relational operator suite (TPC-H-ish tables)
@@ -350,6 +351,7 @@ _R5_WINDOW_PRIORITY = [
     "web_warc_export",
     "web_warc_import",
     "web_cdx_index",
+    "media_wav_resample",
     "media_decode",
     "media_resize_real",
     # --- the 21 registry entries never in any driver window (VERDICT r4) ---
@@ -715,6 +717,48 @@ SELECT url, CAST(shard AS BIGINT) AS shard,
          AS offset,
        content_length, record_length, block_digest
 FROM m
+""",
+        # wav resample: downmix + linear interp re-derived from the bytes;
+        # 6999 >= max output index ((3499-1)*16000//8000) by construction
+        "media_wav_resample": f"""
+WITH w AS (
+  SELECT blob_id, hex(payload) AS hx, octet_length(payload) AS nb
+  FROM read_parquet('{world_dir}/media_blobs.parquet')
+  WHERE substr(hex(payload), 1, 8) = '52494646'
+),
+hdr AS (
+  SELECT blob_id, hx,
+         ('0x' || substr(hx, 2*23+1, 2) || substr(hx, 2*22+1, 2))::UBIGINT::BIGINT AS ch,
+         ('0x' || substr(hx, 2*27+1, 2) || substr(hx, 2*26+1, 2)
+                || substr(hx, 2*25+1, 2) || substr(hx, 2*24+1, 2))::UBIGINT::BIGINT AS rate,
+         (nb - 44) // 2 AS n_tot
+  FROM w
+),
+sidx AS (SELECT i FROM generate_series(0, 6999) AS t(i)),
+samp AS (
+  SELECT blob_id, ch, rate, n_tot // ch AS n, i // ch AS f,
+         ('0x' || substr(hx, 2*(44 + 2*i + 1)+1, 2)
+                || substr(hx, 2*(44 + 2*i)+1, 2))::UBIGINT::BIGINT AS u
+  FROM hdr JOIN sidx ON sidx.i < hdr.n_tot
+),
+mono AS (
+  SELECT blob_id, any_value(rate) AS rate, any_value(n) AS n, f,
+         avg(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS mv
+  FROM samp GROUP BY blob_id, f
+),
+oj AS (
+  SELECT m.blob_id, m.rate, m.n, t.i AS j,
+         t.i * m.rate / 16000.0 AS p
+  FROM (SELECT DISTINCT blob_id, rate, n FROM mono) m
+  JOIN generate_series(0, 6999) AS t(i)
+    ON t.i < ((m.n - 1) * 16000) // m.rate + 1
+)
+SELECT oj.blob_id, CAST(oj.j AS BIGINT) AS j,
+       round(m0.mv + (oj.p - floor(oj.p)) * (m1.mv - m0.mv), 6) AS v
+FROM oj
+JOIN mono m0 ON m0.blob_id = oj.blob_id AND m0.f = CAST(floor(oj.p) AS BIGINT)
+JOIN mono m1 ON m1.blob_id = oj.blob_id
+            AND m1.f = least(CAST(floor(oj.p) AS BIGINT) + 1, oj.n - 1)
 """,
         # BMP channel means: width from the header int32, stride incl. the
         # 4-byte row padding, per-sample channel extraction — all redone on

@@ -4346,6 +4346,53 @@ def web_cdx_index(world_dir: str) -> rd.Dataset:
     return exp.map_batches(surt, batch_format="pandas")
 
 
+def media_wav_resample(world_dir: str, target_rate: int = 16000) -> rd.Dataset:
+    """Audio preprocessing chain (r5): downmix to mono (per-frame channel
+    mean) + LINEAR resample to ``target_rate`` — the standard
+    speech-pipeline normalization step before feature extraction. One row
+    per output sample (blob_id, j, v round-6). Output position j maps to
+    source position p = j·rate/target; v interpolates the two bracketing
+    mono frames (clamped at the end). The oracle re-derives every output
+    sample from the payload BYTES in SQL — header parse, int16 decode,
+    channel average, the same interpolation arithmetic — so the whole DSP
+    chain is independently pinned, not just its shape.
+
+    Scale shape: stateless task stream over small binary batches; output
+    bounded by blobs × output-samples; zero shuffle."""
+    from ..stages.multimodal import parse_wav
+
+    def resample(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"blob_id": [], "j": [], "v": []}
+        for blob_id, data in zip(batch["blob_id"], batch["payload"]):
+            b = data if isinstance(data, bytes) else bytes(data)
+            if b[:4] != b"RIFF":
+                continue
+            try:
+                ch, rate, bits, n, off = parse_wav(b)
+            except ValueError:
+                continue
+            s = np.frombuffer(b, dtype="<i2", count=n * ch, offset=off).astype(np.float64)
+            mono = s.reshape(n, ch).mean(axis=1)
+            n_out = (n - 1) * target_rate // rate + 1
+            j = np.arange(n_out, dtype=np.int64)
+            p = j * rate / target_rate
+            i0 = np.floor(p).astype(np.int64)
+            i1 = np.minimum(i0 + 1, n - 1)
+            v = np.round(mono[i0] + (p - i0) * (mono[i1] - mono[i0]), 6)
+            out["blob_id"].extend([blob_id] * n_out)
+            out["j"].extend(j)
+            out["v"].extend(v)
+        return pd.DataFrame({
+            "blob_id": pd.Series(out["blob_id"], dtype=np.int64),
+            "j": pd.Series(out["j"], dtype=np.int64),
+            "v": pd.Series(out["v"], dtype=np.float64),
+        })
+
+    return rd.read_parquet(
+        f"{world_dir}/media_blobs.parquet", columns=["blob_id", "payload"],
+    ).map_batches(resample, batch_format="pandas", batch_size=128)
+
+
 def media_image_stats(world_dir: str) -> rd.Dataset:
     """Per-channel pixel means over REAL decoded BMP images (r5) — the
     image-analytics sibling of :func:`media_audio_energy`: the engine

@@ -144,3 +144,34 @@ def test_media_image_stats_channel_means(ray_session):
         row = got.loc[r["blob_id"]]
         for ch, col in [(0, "mean_r"), (1, "mean_g"), (2, "mean_b")]:
             assert abs(row[col] - round(float(pix[:, :, ch].mean()), 6)) < 1e-9
+
+
+def test_media_wav_resample_semantics(ray_session):
+    """Resample invariants: j=0 equals mono[0]; a 16 kHz source passes
+    through unchanged (identity positions); output count is
+    (n-1)*target//rate + 1; values match a direct numpy recomputation."""
+    import pyarrow.parquet as pq
+
+    from housenumbercore_ray.pipelines.corpus import media_wav_resample
+    from housenumbercore_ray.sources.worldgen import ensure_world_scale
+    from housenumbercore_ray.stages.multimodal import parse_wav
+
+    wd = ensure_world_scale("sf0.001")
+    got = media_wav_resample(wd).to_pandas()
+    blobs = pq.read_table(f"{wd}/media_blobs.parquet",
+                          columns=["blob_id", "kind", "payload"]).to_pandas()
+    for _, r in blobs[blobs["kind"] == "wav"].iterrows():
+        b = bytes(r["payload"])
+        ch, rate, bits, n, off = parse_wav(b)
+        mono = (np.frombuffer(b, dtype="<i2", count=n * ch, offset=off)
+                .astype(np.float64).reshape(n, ch).mean(axis=1))
+        g = got[got["blob_id"] == r["blob_id"]].sort_values("j")
+        assert len(g) == (n - 1) * 16000 // rate + 1
+        assert abs(g.iloc[0]["v"] - round(float(mono[0]), 6)) < 1e-9
+        p = g["j"].to_numpy() * rate / 16000
+        i0 = np.floor(p).astype(np.int64)
+        i1 = np.minimum(i0 + 1, n - 1)
+        want = np.round(mono[i0] + (p - i0) * (mono[i1] - mono[i0]), 6)
+        assert np.allclose(g["v"].to_numpy(), want, atol=1e-9)
+        if rate == 16000:
+            assert np.allclose(g["v"].to_numpy(), np.round(mono, 6), atol=1e-9)
