@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_price_quantiles": relational.price_quantiles,
         "rel_order_gaps": relational.order_gaps,
         "rel_events_sessionize": relational.events_sessionize,
+        "rel_events_scd2": relational.events_scd2,
         "rel_value_quantiles_sketch": relational.value_quantiles_sketch,
         "rel_events_funnel": relational.events_funnel,
         "rel_retention_cohorts": relational.retention_cohorts,
@@ -352,6 +353,7 @@ _R5_WINDOW_PRIORITY = [
     "web_warc_import",
     "web_cdx_index",
     "media_wav_resample",
+    "rel_events_scd2",
     "media_decode",
     "media_resize_real",
     # --- the 21 registry entries never in any driver window (VERDICT r4) ---
@@ -1056,6 +1058,32 @@ FROM (
   WHERE ck >= ceil(q * n)
   GROUP BY q
 ), mm
+""",
+        "rel_events_scd2": """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT user_id, event_type, ts,
+         SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS run
+  FROM o
+),
+runs AS (
+  SELECT user_id, run, min(event_type) AS event_type,
+         min(ts) AS valid_from
+  FROM r GROUP BY user_id, run
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type, valid_from,
+       coalesce(lead(valid_from) OVER w2, TIMESTAMP '9999-12-31') AS valid_to,
+       lead(valid_from) OVER w2 IS NULL AS is_current
+FROM runs
+WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
 """,
         "rel_events_sessionize": """
 WITH flagged AS (

@@ -1133,6 +1133,52 @@ def events_sessionize(sf_dir: str, gap_sec: int = 1800) -> rd.Dataset:
     )
 
 
+def events_scd2(sf_dir: str) -> rd.Dataset:
+    """Slowly-changing-dimension type-2 history build (r5) — the warehouse
+    staple: collapse each user's event stream (ordered by ts, event_id)
+    into runs of equal ``event_type``; one row per run with
+    ``valid_from`` (run start), ``valid_to`` (next run's start, or the
+    classic ``9999-12-31`` open-interval sentinel) and ``is_current``.
+
+    Scale shape: same as :func:`events_sessionize` — ONE hash(user) shard
+    shuffle, user-complete shards, fully vectorized run detection (one
+    sort, one shift-compare, one cumsum, one groupby, one shift for
+    valid_to). Output bounded by run count, never event count."""
+    from ..pipelines.corpus import _shard_on, _shuffle_blocks
+
+    SENTINEL = pd.Timestamp("9999-12-31")
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+
+    def scd2_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        user = g["user_id"].to_numpy(np.int64)
+        typ = g["event_type"].to_numpy(object)
+        ts = g["ts"].to_numpy()
+        new_run = np.r_[True, (user[1:] != user[:-1]) | (typ[1:] != typ[:-1])]
+        rid = np.cumsum(new_run)
+        f = pd.DataFrame({"user_id": user, "event_type": typ, "ts": ts, "rid": rid})
+        runs = (f.groupby("rid", sort=True)
+                .agg(user_id=("user_id", "first"), event_type=("event_type", "first"),
+                     valid_from=("ts", "min"))
+                .reset_index(drop=True))
+        nxt = runs["valid_from"].shift(-1)
+        same_user = runs["user_id"].shift(-1) == runs["user_id"]
+        runs["valid_to"] = nxt.where(same_user, pd.NaT)
+        runs["is_current"] = runs["valid_to"].isna()
+        runs["valid_to"] = runs["valid_to"].fillna(SENTINEL)
+        runs["user_id"] = runs["user_id"].astype(np.int64)
+        return runs[["user_id", "event_type", "valid_from", "valid_to", "is_current"]]
+
+    return (
+        ds.map_batches(_shard_on(["user_id"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(lambda g: scd2_shard(g.drop(columns=["_shard"])),
+                    batch_format="pandas")
+    )
+
+
 def value_quantiles_sketch(sf_dir: str,
                            qs: tuple[float, ...] = (0.5, 0.9, 0.99),
                            bins: int = 8192) -> pd.DataFrame:

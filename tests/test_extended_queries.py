@@ -643,3 +643,30 @@ FROM pairs p JOIN marg ma ON ma.l_partkey = p.part_a
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(norm(got), norm(want), check_dtype=False)
+
+
+def test_events_scd2_intervals(entry):
+    """SCD2 invariants: per user, intervals are contiguous (valid_to ==
+    next valid_from), exactly one is_current row (sentinel valid_to),
+    consecutive rows change event_type, and the reconstruction covers
+    every event."""
+    from housenumbercore_ray.pipelines.relational import events_scd2
+
+    scd = events_scd2(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    assert len(scd) > 0
+    sent = pd.Timestamp("9999-12-31")
+    for uid, g in scd.groupby("user_id"):
+        g = g.sort_values("valid_from").reset_index(drop=True)
+        assert g["is_current"].sum() == 1 and bool(g.iloc[-1]["is_current"])
+        assert g.iloc[-1]["valid_to"] == sent
+        assert (g["valid_to"].iloc[:-1].to_numpy()
+                == g["valid_from"].iloc[1:].to_numpy()).all()
+        # runs really are maximal: consecutive rows differ in type
+        assert (g["event_type"].iloc[:-1].to_numpy()
+                != g["event_type"].iloc[1:].to_numpy()).all()
+    # row count: number of type-change runs over the ordered stream
+    s = ev.sort_values(["user_id", "ts", "event_id"])
+    change = (s["user_id"].ne(s["user_id"].shift())
+              | s["event_type"].ne(s["event_type"].shift()))
+    assert len(scd) == int(change.sum())
