@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_order_gaps": relational.order_gaps,
         "rel_events_sessionize": relational.events_sessionize,
         "rel_events_scd2": relational.events_scd2,
+        "corpus_bpe_pair_counts": corpus.bpe_pair_counts,
         "rel_value_quantiles_sketch": relational.value_quantiles_sketch,
         "rel_events_funnel": relational.events_funnel,
         "rel_retention_cohorts": relational.retention_cohorts,
@@ -354,6 +355,7 @@ _R5_WINDOW_PRIORITY = [
     "web_cdx_index",
     "media_wav_resample",
     "rel_events_scd2",
+    "corpus_bpe_pair_counts",
     "media_decode",
     "media_resize_real",
     # --- the 21 registry entries never in any driver window (VERDICT r4) ---
@@ -1058,6 +1060,26 @@ FROM (
   WHERE ck >= ceil(q * n)
   GROUP BY q
 ), mm
+""",
+        # BPE init pair counts: regexp word split (python str.split()
+        # equivalence: runs of whitespace, empties dropped), length cap 32,
+        # per-position substr pairs weighted by word frequency
+        "corpus_bpe_pair_counts": """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents
+),
+wf AS (
+  SELECT w, count(*) AS f FROM toks
+  WHERE w <> '' AND length(w) <= 32 GROUP BY w
+),
+pos AS (SELECT i FROM generate_series(1, 31) AS t(i)),
+p AS (
+  SELECT substr(w, i, 2) AS pair, f
+  FROM wf JOIN pos ON pos.i <= length(w) - 1
+)
+SELECT pair, CAST(sum(f) AS BIGINT) AS n
+FROM p GROUP BY pair
+ORDER BY n DESC, pair LIMIT 200
 """,
         "rel_events_scd2": """
 WITH o AS (

@@ -4393,6 +4393,69 @@ def media_wav_resample(world_dir: str, target_rate: int = 16000) -> rd.Dataset:
     ).map_batches(resample, batch_format="pandas", batch_size=128)
 
 
+def bpe_pair_counts(sf_dir: str, top_k: int = 200, max_word_len: int = 32) -> rd.Dataset:
+    """BPE tokenizer-training prep (r5): the FIRST merge iteration's
+    statistic — corpus-wide counts of adjacent character pairs inside
+    words, weighted by word frequency (Sennrich et al. 2016's init step).
+    Words = whitespace tokens; words longer than ``max_word_len`` are
+    dropped (the standard length cap — URLs/DNA-strings would otherwise
+    dominate pair space); output = top ``top_k`` pairs by (count DESC,
+    pair ASC).
+
+    Scale shape: word counting is the classic two-level reduce (per-batch
+    dict → hash-sharded sum, shuffle volume bounded by the BATCH-distinct
+    vocab, never tokens); pair expansion then runs over the DISTINCT
+    vocabulary only (bounded), one more sharded sum, and a tiny top-k.
+    The oracle redoes the whole thing with regexp_split + per-position
+    substr in SQL."""
+    docs = _docs(sf_dir)
+
+    def word_partials(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c = Counter()
+        for t in b["text"]:
+            for w in t.split():
+                if 0 < len(w) <= max_word_len:
+                    c[w] += 1
+        return pd.DataFrame({"w": pd.Series(list(c.keys()), dtype=object),
+                             "f": pd.Series(list(c.values()), dtype=np.int64)})
+
+    wf = (
+        docs.map_batches(word_partials, batch_format="pandas")
+        .map_batches(_shard_on(["w"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(lambda g: g.groupby("w", as_index=False)["f"].sum(),
+                    batch_format="pandas")
+    )
+
+    def pair_partials(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c = Counter()
+        for w, f in zip(b["w"], b["f"]):
+            for i in range(len(w) - 1):
+                c[w[i:i + 2]] += int(f)
+        return pd.DataFrame({"pair": pd.Series(list(c.keys()), dtype=object),
+                             "n": pd.Series(list(c.values()), dtype=np.int64)})
+
+    pairs = (
+        wf.map_batches(pair_partials, batch_format="pandas")
+        .map_batches(_shard_on(["pair"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(lambda g: g.groupby("pair", as_index=False)["n"].sum(),
+                    batch_format="pandas")
+    )
+
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["n", "pair"], ascending=[False, True]).head(top_k)
+
+    # final top-k: the pair table is small (alphabet²-bounded); one coalesce
+    return pairs.repartition(1).map_batches(topk, batch_format="pandas", batch_size=None)
+
+
 def media_image_stats(world_dir: str) -> rd.Dataset:
     """Per-channel pixel means over REAL decoded BMP images (r5) — the
     image-analytics sibling of :func:`media_audio_energy`: the engine

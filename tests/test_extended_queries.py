@@ -670,3 +670,26 @@ def test_events_scd2_intervals(entry):
     change = (s["user_id"].ne(s["user_id"].shift())
               | s["event_type"].ne(s["event_type"].shift()))
     assert len(scd) == int(change.sum())
+
+
+def test_bpe_pair_counts_semantics(entry):
+    """BPE init statistic equals a direct pandas recomputation (word split,
+    32-char cap, pair expansion weighted by word freq, deterministic
+    ordering contract)."""
+    from collections import Counter
+
+    from housenumbercore_ray.pipelines.corpus import bpe_pair_counts
+
+    got = bpe_pair_counts(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    wf = Counter()
+    for t in docs["text"]:
+        for w in t.split():
+            if 0 < len(w) <= 32:
+                wf[w] += 1
+    pc = Counter()
+    for w, f in wf.items():
+        for i in range(len(w) - 1):
+            pc[w[i:i + 2]] += f
+    want = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    assert list(zip(got["pair"], got["n"])) == want
