@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_order_gaps": relational.order_gaps,
         "rel_events_sessionize": relational.events_sessionize,
         "rel_events_scd2": relational.events_scd2,
+        "rel_events_pit_state": relational.events_pit_state,
         "corpus_bpe_pair_counts": corpus.bpe_pair_counts,
         "rel_value_quantiles_sketch": relational.value_quantiles_sketch,
         "rel_events_funnel": relational.events_funnel,
@@ -355,6 +356,7 @@ _R5_WINDOW_PRIORITY = [
     "web_cdx_index",
     "media_wav_resample",
     "rel_events_scd2",
+    "rel_events_pit_state",
     "corpus_bpe_pair_counts",
     "media_decode",
     "media_resize_real",
@@ -1080,6 +1082,40 @@ p AS (
 SELECT pair, CAST(sum(f) AS BIGINT) AS n
 FROM p GROUP BY pair
 ORDER BY n DESC, pair LIMIT 200
+""",
+        "rel_events_pit_state": """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT user_id, event_type, ts,
+         SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS run
+  FROM o
+),
+runs AS (
+  SELECT user_id, run, min(event_type) AS event_type, min(ts) AS valid_from
+  FROM r GROUP BY user_id, run
+),
+scd AS (
+  SELECT user_id, event_type, valid_from,
+         coalesce(lead(valid_from) OVER w2, TIMESTAMP '9999-12-31') AS valid_to
+  FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
+)
+SELECT CAST(f.event_id AS BIGINT) AS event_id,
+       CAST(f.user_id AS BIGINT) AS user_id,
+       f.ts,
+       scd.event_type AS state_event_type,
+       scd.valid_from AS state_since
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') f
+LEFT JOIN scd ON scd.user_id = f.user_id
+             AND f.ts >= scd.valid_from
+             AND f.ts < scd.valid_to
 """,
         "rel_events_scd2": """
 WITH o AS (

@@ -1133,7 +1133,7 @@ def events_sessionize(sf_dir: str, gap_sec: int = 1800) -> rd.Dataset:
     )
 
 
-def events_scd2(sf_dir: str) -> rd.Dataset:
+def events_scd2(sf_dir: str, exclude_type: str | None = None) -> rd.Dataset:
     """Slowly-changing-dimension type-2 history build (r5) — the warehouse
     staple: collapse each user's event stream (ordered by ts, event_id)
     into runs of equal ``event_type``; one row per run with
@@ -1149,6 +1149,9 @@ def events_scd2(sf_dir: str) -> rd.Dataset:
     SENTINEL = pd.Timestamp("9999-12-31")
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts", "user_id", "event_type"])
+    if exclude_type is not None:
+        ds = ds.map_batches(lambda b: b[b["event_type"] != exclude_type],
+                            batch_format="pandas")
 
     def scd2_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
@@ -1175,6 +1178,91 @@ def events_scd2(sf_dir: str) -> rd.Dataset:
         .repartition(_shuffle_blocks())
         .groupby("_shard")
         .map_groups(lambda g: scd2_shard(g.drop(columns=["_shard"])),
+                    batch_format="pandas")
+    )
+
+
+def events_pit_state(sf_dir: str, fact_type: str = "purchase") -> rd.Dataset:
+    """POINT-IN-TIME temporal join (r5): each ``fact_type`` event (the
+    facts — purchases) joined to the user's SCD2 BROWSING state — the
+    interval history built over all OTHER event types
+    (``events_scd2(exclude_type=fact_type)``) — valid AT fact time:
+    ``valid_from <= ts < valid_to``. The "what did the dimension look like
+    when the fact happened" join every warehouse needs and Ray Data lacks
+    natively. Facts before the user's first state row (or users with no
+    non-fact events) come out NULL (LEFT join semantics).
+
+    Shape: the SCD2 intervals and the facts co-shuffle on ONE hash(user)
+    bucket key; inside a bucket each user's contiguous intervals are a
+    sorted ``valid_from`` array and every fact resolves with one
+    ``searchsorted`` — no interval cross product, O((n+m) log n) per
+    bucket. Oracle: DuckDB LEFT JOIN with the BETWEEN predicate."""
+    from ..pipelines.corpus import _shard_on, _shuffle_blocks
+
+    scd = events_scd2(sf_dir, exclude_type=fact_type)
+    od = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"]).map_batches(
+        lambda b: b[b["event_type"] == fact_type][["event_id", "user_id", "ts"]],
+        batch_format="pandas")
+
+    def tag_scd(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": b["user_id"].astype(np.int64),
+            "t": b["valid_from"], "t2": b["valid_to"],
+            "etype": b["event_type"].astype(object),
+            "o_orderkey": np.int64(-1), "side": "s",
+        })
+
+    def tag_od(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": b["user_id"].astype(np.int64),
+            "t": b["ts"], "t2": pd.NaT,
+            "etype": None,
+            "o_orderkey": b["event_id"].astype(np.int64), "side": "o",
+        })
+
+    def pit_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, u in g.groupby("key", sort=False):
+            o = u[u["side"] == "o"]
+            if len(o) == 0:
+                continue
+            s = u[u["side"] == "s"].sort_values("t")
+            res_type = np.full(len(o), None, dtype=object)
+            res_since = np.full(len(o), np.datetime64("NaT"), dtype="datetime64[us]")
+            if len(s):
+                vf = s["t"].to_numpy()
+                vt = s["t2"].to_numpy()
+                et = s["etype"].to_numpy(object)
+                idx = np.searchsorted(vf, o["t"].to_numpy(), side="right") - 1
+                ok = idx >= 0
+                ok[ok] &= o["t"].to_numpy()[ok] < vt[idx[ok]]
+                res_type[ok] = et[idx[ok]]
+                res_since[ok] = vf[idx[ok]]
+            out.append(pd.DataFrame({
+                "event_id": o["o_orderkey"].to_numpy(np.int64),
+                "user_id": np.full(len(o), int(key), dtype=np.int64),
+                "ts": o["t"].to_numpy(),
+                "state_event_type": res_type,
+                "state_since": res_since,
+            }))
+        if not out:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "state_event_type": pd.Series([], dtype=object),
+                "state_since": pd.Series([], dtype="datetime64[us]"),
+            })
+        return pd.concat(out, ignore_index=True)
+
+    both = scd.map_batches(tag_scd, batch_format="pandas").union(
+        od.map_batches(tag_od, batch_format="pandas"))
+    return (
+        both.map_batches(_shard_on(["key"]), batch_format="pandas")
+        .repartition(_shuffle_blocks())
+        .groupby("_shard")
+        .map_groups(lambda g: pit_shard(g.drop(columns=["_shard"])),
                     batch_format="pandas")
     )
 

@@ -693,3 +693,34 @@ def test_bpe_pair_counts_semantics(entry):
             pc[w[i:i + 2]] += f
     want = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
     assert list(zip(got["pair"], got["n"])) == want
+
+
+def test_events_pit_state_semantics(entry):
+    """PIT join: every purchase keeps exactly one row; joined state is the
+    browsing-state interval containing the purchase ts; purchases before
+    the first browsing event are NULL; non-null and null rows both occur;
+    spot-check against a direct pandas interval lookup."""
+    from housenumbercore_ray.pipelines.relational import events_pit_state, events_scd2
+
+    got = events_pit_state(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    purchases = ev[ev["event_type"] == "purchase"]
+    assert len(got) == len(purchases) and got["event_id"].is_unique
+    scd = events_scd2(SF, exclude_type="purchase").to_pandas()
+    by_user = {u: g.sort_values("valid_from") for u, g in scd.groupby("user_id")}
+    sample = got.sample(n=min(300, len(got)), random_state=7)
+    for r in sample.itertuples():
+        g = by_user.get(r.user_id)
+        want_type, want_since = None, pd.NaT
+        if g is not None:
+            hit = g[(g["valid_from"] <= r.ts) & (r.ts < g["valid_to"])]
+            assert len(hit) <= 1
+            if len(hit):
+                want_type = hit.iloc[0]["event_type"]
+                want_since = hit.iloc[0]["valid_from"]
+        assert (r.state_event_type is None and want_type is None) \
+            or r.state_event_type == want_type
+        assert (pd.isna(r.state_since) and pd.isna(want_since)) \
+            or r.state_since == want_since
+    assert got["state_event_type"].notna().any()
