@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_warc_import": lambda sf: corpus.web_warc_import(_world(sf)),
         "web_cdx_index": lambda sf: corpus.web_cdx_index(_world(sf)),
         "media_wav_resample": lambda sf: corpus.media_wav_resample(_world(sf)),
+        "media_spectrogram": lambda sf: corpus.media_spectrogram(_world(sf)),
         "media_resize_real": lambda sf: corpus.media_resize_real(_world(sf)),
         "media_cdc_chunks": lambda sf: corpus.media_cdc_chunks(_world(sf)),
         # generic relational operator suite (TPC-H-ish tables)
@@ -355,6 +356,7 @@ _R5_WINDOW_PRIORITY = [
     "web_warc_import",
     "web_cdx_index",
     "media_wav_resample",
+    "media_spectrogram",
     "rel_events_scd2",
     "rel_events_pit_state",
     "corpus_bpe_pair_counts",
@@ -723,6 +725,43 @@ SELECT url, CAST(shard AS BIGINT) AS shard,
          AS offset,
        content_length, record_length, block_digest
 FROM m
+""",
+        # spectrogram: trig sums redone in SQL over byte-decoded samples;
+        # round-6 absorbs float association-order ulp between engines
+        "media_spectrogram": f"""
+WITH w AS (
+  SELECT blob_id, hex(payload) AS hx, octet_length(payload) AS nb
+  FROM read_parquet('{world_dir}/media_blobs.parquet')
+  WHERE substr(hex(payload), 1, 8) = '52494646'
+),
+hdr AS (
+  SELECT blob_id, hx,
+         ('0x' || substr(hx, 2*23+1, 2) || substr(hx, 2*22+1, 2))::UBIGINT::BIGINT AS ch,
+         (nb - 44) // 2 AS n_tot
+  FROM w
+),
+sidx AS (SELECT i FROM generate_series(0, 6999) AS t(i)),
+samp AS (
+  SELECT blob_id, ch, n_tot // ch AS n, i // ch AS f,
+         ('0x' || substr(hx, 2*(44 + 2*i + 1)+1, 2)
+                || substr(hx, 2*(44 + 2*i)+1, 2))::UBIGINT::BIGINT AS u
+  FROM hdr JOIN sidx ON sidx.i < hdr.n_tot
+),
+mono AS (
+  SELECT blob_id, any_value(n) AS n, f,
+         avg(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS mv
+  FROM samp GROUP BY blob_id, f
+),
+framed AS (
+  SELECT blob_id, f // 64 AS win, f % 64 AS t, mv
+  FROM mono WHERE f < (n // 64) * 64
+),
+bins AS (SELECT k FROM generate_series(0, 7) AS t(k))
+SELECT blob_id, CAST(win AS BIGINT) AS win, CAST(k AS BIGINT) AS bin,
+       round(sqrt(pow(sum(mv * cos(2 * pi() * k * t / 64.0)), 2)
+                + pow(sum(mv * sin(2 * pi() * k * t / 64.0)), 2)), 6) AS mag
+FROM framed, bins
+GROUP BY blob_id, win, k
 """,
         # wav resample: downmix + linear interp re-derived from the bytes;
         # 6999 >= max output index ((3499-1)*16000//8000) by construction

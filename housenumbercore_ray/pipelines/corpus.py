@@ -4456,6 +4456,63 @@ def bpe_pair_counts(sf_dir: str, top_k: int = 200, max_word_len: int = 32) -> rd
     return pairs.repartition(1).map_batches(topk, batch_format="pandas", batch_size=None)
 
 
+def media_spectrogram(world_dir: str, win: int = 64, n_bins: int = 8) -> rd.Dataset:
+    """Spectrogram plan (r5): per WAV blob, non-overlapping ``win``-sample
+    mono windows × the first ``n_bins`` DFT bins — magnitude
+    ``|Σ_t s[t]·e^{-2πikt/win}|`` round-6 — the time-frequency feature
+    grid audio curation filters on (bandwidth checks, tone detection).
+    Trailing partial windows are dropped (standard frame alignment). The
+    oracle redoes the trig sums in SQL over the byte-decoded samples;
+    round-6 absorbs the ulp-level association-order differences of the
+    two engines' float sums (magnitudes are O(10^3-10^4), relative float
+    spread ~1e-14).
+
+    Scale shape: stateless task stream, output bounded by
+    blobs × windows × bins, zero shuffle; the per-blob kernel is ONE
+    (windows × win) · (win × bins) matmul."""
+    from ..stages.multimodal import parse_wav
+
+    t = np.arange(win)
+    k = np.arange(n_bins)
+    cosm = np.cos(2 * np.pi * np.outer(t, k) / win)
+    sinm = np.sin(2 * np.pi * np.outer(t, k) / win)
+
+    def spect(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"blob_id": [], "win": [], "bin": [], "mag": []}
+        for blob_id, data in zip(batch["blob_id"], batch["payload"]):
+            b = data if isinstance(data, bytes) else bytes(data)
+            if b[:4] != b"RIFF":
+                continue
+            try:
+                ch, rate, bits, n, off = parse_wav(b)
+            except ValueError:
+                continue
+            s = np.frombuffer(b, dtype="<i2", count=n * ch, offset=off).astype(np.float64)
+            mono = s.reshape(n, ch).mean(axis=1)
+            nw = n // win
+            if nw == 0:
+                continue
+            frames = mono[:nw * win].reshape(nw, win)
+            re = frames @ cosm
+            im = frames @ sinm
+            mag = np.round(np.sqrt(re * re + im * im), 6)
+            w_idx = np.repeat(np.arange(nw, dtype=np.int64), n_bins)
+            out["blob_id"].extend([blob_id] * nw * n_bins)
+            out["win"].extend(w_idx)
+            out["bin"].extend(np.tile(k.astype(np.int64), nw))
+            out["mag"].extend(mag.ravel())
+        return pd.DataFrame({
+            "blob_id": pd.Series(out["blob_id"], dtype=np.int64),
+            "win": pd.Series(out["win"], dtype=np.int64),
+            "bin": pd.Series(out["bin"], dtype=np.int64),
+            "mag": pd.Series(out["mag"], dtype=np.float64),
+        })
+
+    return rd.read_parquet(
+        f"{world_dir}/media_blobs.parquet", columns=["blob_id", "payload"],
+    ).map_batches(spect, batch_format="pandas", batch_size=128)
+
+
 def media_image_stats(world_dir: str) -> rd.Dataset:
     """Per-channel pixel means over REAL decoded BMP images (r5) — the
     image-analytics sibling of :func:`media_audio_energy`: the engine

@@ -175,3 +175,33 @@ def test_media_wav_resample_semantics(ray_session):
         assert np.allclose(g["v"].to_numpy(), want, atol=1e-9)
         if rate == 16000:
             assert np.allclose(g["v"].to_numpy(), np.round(mono, 6), atol=1e-9)
+
+
+def test_media_spectrogram_matches_fft(ray_session):
+    """DFT magnitudes match numpy's rfft (an INDEPENDENT FFT implementation,
+    not the engine's matmul) per 64-sample window, first 8 bins."""
+    import pyarrow.parquet as pq
+
+    from housenumbercore_ray.pipelines.corpus import media_spectrogram
+    from housenumbercore_ray.sources.worldgen import ensure_world_scale
+    from housenumbercore_ray.stages.multimodal import parse_wav
+
+    wd = ensure_world_scale("sf0.001")
+    got = media_spectrogram(wd).to_pandas()
+    blobs = pq.read_table(f"{wd}/media_blobs.parquet",
+                          columns=["blob_id", "kind", "payload"]).to_pandas()
+    checked = 0
+    for _, r in blobs[blobs["kind"] == "wav"].iterrows():
+        b = bytes(r["payload"])
+        ch, rate, bits, n, off = parse_wav(b)
+        mono = (np.frombuffer(b, dtype="<i2", count=n * ch, offset=off)
+                .astype(np.float64).reshape(n, ch).mean(axis=1))
+        nw = n // 64
+        g = got[got["blob_id"] == r["blob_id"]]
+        assert len(g) == nw * 8
+        for w in range(min(nw, 3)):
+            want = np.abs(np.fft.rfft(mono[w * 64:(w + 1) * 64]))[:8]
+            sub = g[g["win"] == w].sort_values("bin")["mag"].to_numpy()
+            assert np.allclose(sub, want, rtol=1e-9, atol=1e-5)
+            checked += 1
+    assert checked > 0
